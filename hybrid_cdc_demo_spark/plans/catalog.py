@@ -1,0 +1,832 @@
+"""Declared query inventory (SURVEY.md §2c) — DataFrame builders + DuckDB oracles.
+
+Every entry in :data:`QUERIES` is a ``(spark, sf_dir) -> DataFrame``
+builder expressed with the DataFrame API (Catalyst plans the physical
+execution); :data:`ORACLE_SQL` holds the equivalent ANSI SQL that the
+DuckDB oracle runs over the same parquet tables. Keys without an
+oracle entry are tolerance- or property-checked instead (approx
+aggregates, LSH variants, pandas_udf-only ops).
+
+Determinism rules (so engine and oracle hash-match):
+* every computed column is aliased identically on both sides;
+* double aggregates go through exact DECIMAL intermediates, are cast
+  back to DOUBLE, then ROUNDed — both engines then produce the same
+  bits regardless of shuffle/accumulation order;
+* window orderings carry a unique tiebreak column (event_id);
+* the events ns-timestamps are truncated to µs identically (see
+  sources.tables.load_table).
+
+Scale notes (100 TB posture) are inline per query: broadcast hints on
+dimension joins, no driver-side collects in any hot path, aggregations
+partial-aggregated map-side by Catalyst.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hybrid_cdc_demo_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# Exact-decimal helpers: doubles → DECIMAL so SUMs are associative and
+# engine/oracle agree bit-for-bit after the final cast back to DOUBLE.
+_DEC_PRICE = "decimal(12,2)"  # l_extendedprice / o_totalprice magnitude
+_DEC_FRAC = "decimal(3,2)"  # discount/tax in [0,1)
+
+
+def _dec(col: str, typ: str = _DEC_PRICE):
+    return F.col(col).cast(typ)
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q21: relational core
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q01(spark, sf_dir):
+    """Scan + projection (column pruning reaches the parquet scan)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_quantity")
+    )
+
+
+@query(
+    "q02_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_discount > 0.05 AND (l_returnflag = 'R' OR l_tax < 0.02)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q02(spark, sf_dir):
+    """Conjunctive/disjunctive filter — pushed down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") > 0.05)
+            & ((F.col("l_returnflag") == "R") | (F.col("l_tax") < 0.02))
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q03_agg_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS c,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q03(spark, sf_dir):
+    """TPC-H Q1-shaped hash aggregate (map-side partial agg + final)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("c"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 2
+            ).alias("avg_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q04_distinct_count",
+    oracle="SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS cd FROM orders",
+)
+def q04(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_custkey").alias("cd"))
+    )
+
+
+@query("q05_approx_distinct")  # tolerance-checked, not hash-matched
+def q05(spark, sf_dir):
+    """HyperLogLog++ approximate distinct (within 5%% of exact)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.approx_count_distinct("o_custkey").alias("cd_approx"))
+    )
+
+
+@query(
+    "q06_join_broadcast",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS c
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q06(spark, sf_dir):
+    """Dim join: nation is broadcast — no shuffle of the fact side."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("c"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q07_join_multiway",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))), 2) AS DOUBLE) AS rev
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q07(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join; AQE picks broadcast vs sort-merge per side."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = _dec("l_extendedprice") * (
+        (F.lit(1) - _dec("l_discount", _DEC_FRAC)).cast(_DEC_FRAC)
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("rev"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q08_join_left_outer",
+    oracle="""
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c DESC, c_custkey LIMIT 100
+    """,
+)
+def q08(spark, sf_dir):
+    """TPC-H Q13-shaped left outer join + count of non-null keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c"))
+        .orderBy(F.desc("c"), "c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q09_join_semi",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+)
+def q09(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@query(
+    "q10_join_anti",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q10(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@query(
+    "q11_join_range",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS c
+    FROM part p JOIN lineitem l
+      ON p.p_partkey = l.l_partkey AND l.l_quantity < p.p_size
+    """,
+)
+def q11(spark, sf_dir):
+    """Equi-join with residual range predicate; part side broadcast."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey) & (li.l_quantity < part.p_size),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@query(
+    "q12_cdc_latest_wins",
+    oracle="""
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q12(spark, sf_dir):
+    """Latest event per key — exactly ClickHouse ReplacingMergeTree /
+    CDC latest-wins semantics (reference src/sinks/clickhouse.py:81-145)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .orderBy("user_id")
+        .select("user_id", "event_type", "value")
+    )
+
+
+@query(
+    "q13_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(r AS INTEGER) AS r FROM (
+      SELECT o_custkey, o_orderkey,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS r
+      FROM orders
+    ) WHERE r <= 3 ORDER BY o_custkey, r, o_orderkey
+    """,
+)
+def q13(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.withColumn("r", F.rank().over(w))
+        .filter(F.col("r") <= 3)
+        .orderBy("o_custkey", "r", "o_orderkey")
+        .select("o_custkey", "o_orderkey", "r")
+    )
+
+
+@query(
+    "q14_window_frame_sum",
+    oracle="""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS s
+    FROM events ORDER BY user_id, ts, event_id
+    """,
+)
+def q14(spark, sf_dir):
+    """Analytic window with an explicit ROWS frame (≤4 doubles summed in
+    a defined order → bit-identical across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return (
+        ev.withColumn("s", F.round(F.sum("value").over(w), 2))
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "ts", "s")
+    )
+
+
+@query(
+    "q15_window_lag",
+    oracle="""
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           value - LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+    FROM events ORDER BY user_id, ts, event_id
+    """,
+)
+def q15(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("d", F.col("value") - F.lag("value", 1, 0.0).over(w))
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "ts", "d")
+    )
+
+
+@query(
+    "q16_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q16(spark, sf_dir):
+    """Top-k — Spark plans TakeOrderedAndProject (no full sort at scale)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q17_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def q17a(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+@query(
+    "q17_set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def q17b(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct().orderBy("nationkey")
+
+
+@query(
+    "q17_set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def q17c(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.subtract(supp).orderBy("nationkey")
+
+
+@query(
+    "q18_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q18(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("c"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q19_string_fns",
+    oracle="""
+    SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTR(p_name, 1, 10) AS name10,
+           CAST(LENGTH(p_type) AS INTEGER) AS type_len,
+           CONCAT(p_brand, '#', p_type) AS brand_type
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q19(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.orderBy("p_partkey").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_type").alias("type_len"),
+        F.concat("p_brand", F.lit("#"), "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "q20_date_fns",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q20(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy("o_orderkey").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.year("o_orderdate").alias("y"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+    )
+
+
+@query(
+    "q21_math_decimal",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(3,2))
+                      * CAST(1 + CAST(l_tax AS DECIMAL(3,2)) AS DECIMAL(3,2)), 2) AS DOUBLE) AS amount
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q21(spark, sf_dir):
+    """Per-row decimal arithmetic. The 2-decimal rounding happens via
+    ROUND in the exact DECIMAL domain (half-up in both engines) —
+    ROUND() on an intermediate double diverges between engines on exact
+    .xx5000 boundaries, and DuckDB's decimal→decimal downcast truncates
+    rather than rounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = (
+        _dec("l_extendedprice")
+        * (F.lit(1) - _dec("l_discount", _DEC_FRAC)).cast(_DEC_FRAC)
+        * (F.lit(1) + _dec("l_tax", _DEC_FRAC)).cast(_DEC_FRAC)
+    )
+    return li.orderBy("l_orderkey", "l_linenumber").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(amount, 2).cast("double").alias("amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-Q27: transform-library & training-data operators (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_masking_sha256",
+    oracle="""
+    SELECT user_id, sha256(CAST(user_id AS VARCHAR)) AS uid_sha
+    FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id
+    """,
+)
+def q22(spark, sf_dir):
+    """PII masking parity (reference src/transform/masking.py:126-148):
+    sha256(utf8(value)) via the builtin, null-safe sha2 expression."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("uid_sha", F.sha2(F.col("user_id").cast("string"), 256))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q23_json_extract",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k') AS k
+    FROM events ORDER BY event_id
+    """,
+)
+def q23(spark, sf_dir):
+    """Dynamic JSON payload extraction — the engine's analogue of the
+    reference's untyped columns dict (src/models/event.py:21-48)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.orderBy("event_id").select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    )
+
+
+@query(
+    "q24_array_sum",
+    oracle="""
+    SELECT vec_id, ROUND(list_sum(CAST(embedding AS DOUBLE[])), 2) AS esum
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def q24(spark, sf_dir):
+    """Higher-order array fold over the embedding column (JVM-side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    esum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.orderBy("vec_id").select("vec_id", F.round(esum, 2).alias("esum"))
+
+
+@query(
+    "q25_dedup_exact_count",
+    oracle="SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS c FROM documents",
+)
+def q25(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.countDistinct("text").alias("c"))
+    )
+
+
+@query(
+    "q26_text_token_stats",
+    oracle="""
+    SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q26(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q27_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS raw_score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, ROUND(raw_score, 4) AS score
+    FROM scored ORDER BY raw_score DESC, vec_id LIMIT 10
+    """,
+)
+def q27(spark, sf_dir):
+    """Brute-force cosine top-k (the correctness baseline for ANN).
+
+    The 1-row query-vector side is cross-joined (broadcast) — no
+    driver-side collect, so the same plan works on a 1000-executor
+    cluster; the scaled path is operators.similarity.lsh_topk.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    emb_d = emb.select("vec_id", dbl.alias("emb"))
+    min_id = emb_d.agg(F.min("vec_id").alias("mid"))
+    qv = (
+        emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
+        .select(F.col("emb").alias("qv"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    scored = emb_d.crossJoin(F.broadcast(qv)).select(
+        "vec_id",
+        (
+            dot(F.col("emb"), F.col("qv"))
+            / (
+                F.sqrt(dot(F.col("emb"), F.col("emb")))
+                * F.sqrt(dot(F.col("qv"), F.col("qv")))
+            )
+        ).alias("raw_score"),
+    )
+    return (
+        scored.orderBy(F.desc("raw_score"), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("raw_score", 4).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1-S6: streaming semantics, batch-replay form (oracle-checked).
+# The true streaming (readStream/writeStream) variants live in
+# hybrid_cdc_demo_spark.streaming and are exercised by tests/.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s1_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+           event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3
+    """,
+)
+def s1(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "c",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "s2_sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - (k * INTERVAL '15 minutes') AS window_start
+      FROM events CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(k)
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM buckets GROUP BY window_start ORDER BY window_start
+    """,
+)
+def s2(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "c",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "s3_session_window",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    x AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM y GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
+)
+def s3(spark, sf_dir):
+    """Session windows, 30-min gap. Spark's session_window end = last
+    event + gap; the oracle reproduces that via gaps-and-islands."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "s4_watermarked_hourly",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def s4(spark, sf_dir):
+    """Watermarked hourly counts. In batch replay the watermark is a
+    no-op (all data on time); the late-drop behavior is exercised by
+    the streaming test in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("c"))
+        .select(F.col("window.start").alias("window_start"), "c")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "s5_stateful_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM (
+      SELECT event_id, user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def s5(spark, sf_dir):
+    """First-event-wins dedup by event_id (O28 / dropDuplicates
+    semantics made deterministic for the oracle comparison)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .orderBy("event_id")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@query(
+    "s6_cdc_pipeline_batch",
+    oracle="""
+    SELECT sha256(CAST(user_id AS VARCHAR)) AS user_token, event_type, value FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_token
+    """,
+)
+def s6(spark, sf_dir):
+    """Batch equivalent of the end-to-end CDC pipeline: mask the key
+    (O12) then latest-wins upsert (O21/O23). The streaming form
+    (foreachBatch + merge + checkpoint) is streaming.pipeline."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.sha2(F.col("user_id").cast("string"), 256).alias("user_token"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_token")
+    )

@@ -1,0 +1,80 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for the 100 TB posture (AQE on, skew-join
+handling, partition coalescing, Arrow for the few pandas_udf paths)
+while staying correct on local[N] test runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Session-level (runtime-settable) SQL confs.
+SESSION_CONFS: dict[str, str] = {
+    # AQE: runtime re-planning — broadcast conversion, skew-join
+    # splitting, post-shuffle partition coalescing. Essential at scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for pandas_udf / toPandas (10-100x over pickling).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic wall-clock semantics regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # The driver testdata's events.parquet stores TIMESTAMP(NANOS)
+    # which Spark's parquet reader rejects; read as long (ns) and
+    # convert in sources.tables.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "hybrid-cdc-demo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster you would size it so post-shuffle partitions land in the
+    100-200 MB range (or simply let AQE coalesce from a higher value).
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{default_parallelism()}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or default_parallelism())
+    )
+    for k, v in SESSION_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.ui.enabled", "false")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    configure_session(spark)
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Used when the caller (e.g. the verification driver) owns the
+    SparkSession: every conf in SESSION_CONFS is runtime-settable, so
+    we can adopt a foreign session instead of building our own.
+    """
+    for k, v in SESSION_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    return spark
