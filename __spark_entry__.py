@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hybrid_cdc_demo_spark.plans.catalog import ORACLE_SQL, QUERIES
+from hybrid_cdc_demo_spark.plans import ORACLE_SQL, QUERIES
 from hybrid_cdc_demo_spark.session import configure_session
 
 

@@ -1,0 +1,129 @@
+"""PII/PHI masking — semantics of reference src/transform/masking.py.
+
+Reference behavior reproduced (file:line cites into /root/reference):
+* field classification by substring match against configured PII/PHI
+  name lists, PHI checked before PII (masking.py:67-92,
+  config/masking-rules.yaml:6-18);
+* PII → SHA-256 hex of the utf-8 value, None→None (masking.py:126-148);
+* PHI → deterministic HMAC-SHA256 token under a secret key
+  (masking.py:151-177);
+* apply_masking replaces classified columns, passes the rest through
+  (masking.py:180-215).
+
+Spark-first design: classification happens driver-side over the
+DataFrame *schema* (cheap, no data touched); masking is injected as
+column expressions in a single Catalyst-optimized projection. SHA-256
+uses the builtin null-safe ``sha2``; HMAC has no Spark builtin ≤4.x so
+it is an Arrow-vectorized pandas_udf (the only Python in the path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as hmac_mod
+from dataclasses import dataclass, field
+from enum import Enum
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+
+
+class MaskingStrategy(str, Enum):
+    NONE = "none"
+    PII_HASH = "pii_hash"
+    PHI_TOKEN = "phi_token"
+
+
+#: Default rule lists — mirrors config/masking-rules.yaml:6-18.
+DEFAULT_PII_FIELDS = ["email", "phone", "ssn", "credit_card", "address"]
+DEFAULT_PHI_FIELDS = ["medical_record_number", "patient_id"]
+DEFAULT_SECRET_KEY = "default-secret-key"  # masking.py:207 default
+
+
+@dataclass
+class MaskingRules:
+    pii_fields: list[str] = field(default_factory=lambda: list(DEFAULT_PII_FIELDS))
+    phi_fields: list[str] = field(default_factory=lambda: list(DEFAULT_PHI_FIELDS))
+    secret_key: str = DEFAULT_SECRET_KEY
+
+
+def classify_field(name: str, rules: MaskingRules | None = None) -> MaskingStrategy:
+    """Substring classification; PHI takes precedence over PII
+    (masking.py:82-90 — e.g. ``patient_id_email`` → PHI)."""
+    rules = rules or MaskingRules()
+    lowered = name.lower()
+    for phi in rules.phi_fields:
+        if phi in lowered:
+            return MaskingStrategy.PHI_TOKEN
+    for pii in rules.pii_fields:
+        if pii in lowered:
+            return MaskingStrategy.PII_HASH
+    return MaskingStrategy.NONE
+
+
+def mask_pii(col: Column | str) -> Column:
+    """SHA-256 hex masking (masking.py:126-148). Null-safe: sha2
+    propagates NULL; '' hashes to sha256('') like the reference."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("string"), 256)
+
+
+def hmac_sha256_udf(secret_key: str):
+    """Arrow-vectorized HMAC-SHA256 tokenizer (masking.py:151-177).
+
+    No Spark builtin HMAC exists; a scalar pandas_udf keeps the
+    transfer Arrow-batched rather than per-row pickled.
+    """
+    key_bytes = secret_key.encode("utf-8")
+
+    @pandas_udf("string")
+    def _hmac(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None
+            if v is None
+            else hmac_mod.new(key_bytes, str(v).encode("utf-8"), hashlib.sha256).hexdigest()
+        )
+
+    return _hmac
+
+
+def mask_phi(col: Column | str, secret_key: str = DEFAULT_SECRET_KEY) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return hmac_sha256_udf(secret_key)(c.cast("string"))
+
+
+def mask_expr(name: str, rules: MaskingRules | None = None) -> Column:
+    """Masking expression for one column per its classification."""
+    rules = rules or MaskingRules()
+    strategy = classify_field(name, rules)
+    if strategy is MaskingStrategy.PII_HASH:
+        return mask_pii(name).alias(name)
+    if strategy is MaskingStrategy.PHI_TOKEN:
+        return mask_phi(name, rules.secret_key).alias(name)
+    return F.col(name)
+
+
+def apply_masking(df: DataFrame, rules: MaskingRules | None = None) -> DataFrame:
+    """Single projection applying masking to every classified column
+    (masking.py:180-215). One Catalyst stage; unclassified columns are
+    pass-through and remain prunable."""
+    rules = rules or MaskingRules()
+    return df.select([mask_expr(name, rules) for name in df.columns])
+
+
+# Pure-Python reference semantics (for unit-test vectors and driver-side
+# use, identical digests to the reference implementation):
+def mask_pii_value(value: str | None) -> str | None:
+    if value is None:
+        return None
+    return hashlib.sha256(str(value).encode("utf-8")).hexdigest()
+
+
+def mask_phi_value(value: str | None, secret_key: str = DEFAULT_SECRET_KEY) -> str | None:
+    if value is None:
+        return None
+    return hmac_mod.new(
+        secret_key.encode("utf-8"), str(value).encode("utf-8"), hashlib.sha256
+    ).hexdigest()

@@ -1,0 +1,144 @@
+"""Text-analysis column expressions for large-scale training-data prep.
+
+All hot-path expressions are built from ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen'd) — no Python UDFs. Operators:
+
+* tokenization / token counting (whitespace + BPE-ish regex),
+* quality scoring (length, punctuation ratio, stopword ratio),
+* language identification (stopword-hit heuristic over per-language
+  wordlists — pure column expressions, argmax via greatest),
+* document fingerprinting (normalized-text SHA-256, plus polynomial
+  rolling-hash shingles used by the dedup operators).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+WHITESPACE_RE = r"\s+"
+#: BPE-ish word/number/punct splitter (public GPT-2-style pattern shape).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small — the point is the Spark plumbing
+#: (score columns + greatest/argmax), not lexicon quality.
+STOPWORDS = {
+    "en": ["the", "a", "an", "and", "of", "in", "to", "is", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+
+
+def tokens(text: Column | str, pattern: str = WHITESPACE_RE) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), pattern)
+
+
+def token_count(text: Column | str, pattern: str = WHITESPACE_RE) -> Column:
+    return F.size(tokens(text, pattern))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of GPT-2-style sub-tokens via regexp_extract_all."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0))
+
+
+def char_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """punctuation chars / total chars, as double."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return n_punct.cast("double") / F.length(c).cast("double")
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """stopword tokens / total tokens, as double."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return n_stop.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation
+    + reasonable stopword density. Deterministic, JVM-only."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c).cast("double")
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    stop = stopword_ratio(c)
+    stop_score = F.lit(1.0) - F.least(F.abs(stop - F.lit(0.4)), F.lit(1.0))
+    return F.round((len_score + punct_score + stop_score) / 3, 4)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratio columns."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    out = {}
+    for lang, words in STOPWORDS.items():
+        stops = F.array(*[F.lit(w) for w in words])
+        out[lang] = (
+            F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast("double")
+            / F.size(toks).cast("double")
+        )
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language by stopword-hit ratio; 'und' when nothing hits.
+
+    Built as a fold over (score, lang) structs with array_max —
+    stays in codegen, scales linearly, no shuffle.
+    """
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), WHITESPACE_RE, " ")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Whole-document fingerprint: SHA-256 of the normalized text."""
+    return F.sha2(normalized_text(text), 256)
+
+
+def rolling_hashes(text: Column | str, k: int = 8) -> Column:
+    """Array of 64-bit hashes of the k-char windows of the normalized
+    text (rolling-hash shingles). Used for winnowing-style
+    fingerprints and character-shingle dedup; xxhash64 keeps it
+    JVM-side instead of a literal polynomial loop."""
+    norm = normalized_text(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+    )
+
+
+def winnowing_fingerprint(text: Column | str, k: int = 8, window: int = 4) -> Column:
+    """Winnowing document fingerprint: min rolling-hash per window of
+    ``window`` consecutive k-gram hashes, deduplicated (public
+    winnowing algorithm, Schleimer/Wilkerson/Aiken 2003)."""
+    hashes = rolling_hashes(text, k)
+    n = F.size(hashes)
+    win_mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    )
+    return F.array_distinct(win_mins)

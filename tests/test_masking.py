@@ -1,0 +1,68 @@
+"""Masking semantics parity with the reference (B4 fixtures,
+FIXTURES.md): classification precedence, SHA-256 digests, HMAC
+tokens — identical values to reference src/transform/masking.py."""
+
+import hashlib
+import hmac
+
+import pyspark.sql.functions as F
+
+from hybrid_cdc_demo_spark.functions.masking import (
+    DEFAULT_SECRET_KEY,
+    MaskingRules,
+    MaskingStrategy,
+    apply_masking,
+    classify_field,
+    mask_phi_value,
+    mask_pii_value,
+)
+
+
+def test_classification_precedence():
+    # PHI beats PII when both substrings match (masking.py:82-90)
+    assert classify_field("patient_id_email") is MaskingStrategy.PHI_TOKEN
+    assert classify_field("email") is MaskingStrategy.PII_HASH
+    assert classify_field("user_email_address") is MaskingStrategy.PII_HASH
+    assert classify_field("medical_record_number") is MaskingStrategy.PHI_TOKEN
+    assert classify_field("first_name") is MaskingStrategy.NONE
+    assert classify_field("PHONE") is MaskingStrategy.PII_HASH  # case-insensitive
+
+
+def test_python_vectors():
+    assert mask_pii_value(None) is None
+    assert mask_pii_value("") == hashlib.sha256(b"").hexdigest()
+    assert (
+        mask_pii_value("alice@example.com")
+        == hashlib.sha256(b"alice@example.com").hexdigest()
+    )
+    expected = hmac.new(
+        DEFAULT_SECRET_KEY.encode(), b"MRN-1234", hashlib.sha256
+    ).hexdigest()
+    assert mask_phi_value("MRN-1234") == expected
+    # deterministic tokenization: same input → same token
+    assert mask_phi_value("MRN-1234") == mask_phi_value("MRN-1234")
+
+
+def test_apply_masking_dataframe(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", "alice@example.com", "555-0100", "MRN-1", "Alice"),
+            ("u2", None, "555-0199", None, "Bob"),
+        ],
+        ["user_id", "email", "phone", "patient_id", "first_name"],
+    )
+    out = apply_masking(df, MaskingRules()).collect()
+    by_id = {r["user_id"]: r for r in out}
+    assert by_id["u1"]["email"] == mask_pii_value("alice@example.com")
+    assert by_id["u1"]["phone"] == mask_pii_value("555-0100")
+    assert by_id["u1"]["patient_id"] == mask_phi_value("MRN-1")
+    assert by_id["u1"]["first_name"] == "Alice"  # unclassified passthrough
+    assert by_id["u2"]["email"] is None  # null-safe
+    assert by_id["u2"]["patient_id"] is None
+
+
+def test_masking_is_single_projection(spark):
+    """Masking must not add shuffles — one projection stage."""
+    df = spark.createDataFrame([("a@b.c", 1)], ["email", "x"])
+    plan = apply_masking(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

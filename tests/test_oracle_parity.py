@@ -4,7 +4,7 @@ same contract at sf0.01)."""
 
 import pytest
 
-from hybrid_cdc_demo_spark.plans.catalog import ORACLE_SQL, QUERIES
+from hybrid_cdc_demo_spark.plans import ORACLE_SQL, QUERIES
 from hybrid_cdc_demo_spark.testing import run_parity
 
 
