@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the declared query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus a streaming CDC replay throughput
+measurement, and print ONE JSON line:
+
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": 0.1, "streaming_events_per_sec": ...}
+
+Each query is forced to full materialization via the noop sink (count()
+alone would let Catalyst prune work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hybrid_cdc_demo_spark.session import get_spark  # noqa: E402
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from hybrid_cdc_demo_spark.plans import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        start = time.perf_counter()
+        try:
+            materialize(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            timings[name] = -1.0
+            print(f"# bench error {name}: {exc}", file=sys.stderr)
+    return timings
+
+
+def run_streaming_replay(spark, n_events: int = 20000) -> dict[str, float]:
+    """S6 pipeline replay: envelope fixtures → validate/mask/merge into
+    all three sink personalities; reports events/s and per-batch p99
+    (BASELINE.md targets: ≥1000 events/s, p99 < 1 s)."""
+    from hybrid_cdc_demo_spark.schema.evolution import SchemaRegistry, TableSchema
+    from hybrid_cdc_demo_spark.sources.cdc import generate_change_events
+    from hybrid_cdc_demo_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+
+    tmp = tempfile.mkdtemp(prefix="cdc-bench-")
+    src = os.path.join(tmp, "commitlog")
+    generate_change_events(src, n_events=n_events, n_files=10, seed=42)
+    reg = SchemaRegistry()
+    reg.register(
+        TableSchema(
+            "ecommerce",
+            "users",
+            {
+                "user_id": "uuid",
+                "email": "text",
+                "phone": "text",
+                "first_name": "text",
+                "last_name": "text",
+                "age": "int",
+                "city": "text",
+                "created_at": "timestamp",
+            },
+            ["user_id"],
+        )
+    )
+    cfg = PipelineConfig(
+        source_dir=src,
+        target_dir=os.path.join(tmp, "warehouse"),
+        max_files_per_trigger=1,
+    )
+    pipeline = CDCPipeline(spark, cfg, reg)
+
+    batch_secs: list[float] = []
+    orig = pipeline.process_batch
+
+    def timed(df, bid):
+        t0 = time.perf_counter()
+        out = orig(df, bid)
+        batch_secs.append(time.perf_counter() - t0)
+        return out
+
+    pipeline.process_batch = timed
+    start = time.perf_counter()
+    q = (
+        __import__(
+            "hybrid_cdc_demo_spark.sources.cdc", fromlist=["read_envelope_stream"]
+        ).read_envelope_stream(spark, cfg.source_dir, cfg.max_files_per_trigger)
+        .writeStream.foreachBatch(timed)
+        .option("checkpointLocation", cfg.checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - start
+    batch_secs.sort()
+    p99 = batch_secs[int(len(batch_secs) * 0.99) - 1] if batch_secs else 0.0
+    return {
+        "streaming_events_per_sec": round(n_events / wall, 1),
+        "streaming_batch_p99_sec": round(p99, 3),
+        "streaming_wall_sec": round(wall, 3),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(app_name="hybrid-cdc-demo-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = run_queries(spark, sf_dir)
+    streaming = run_streaming_replay(spark)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    result = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **streaming,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
