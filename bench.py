@@ -43,7 +43,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-def run_streaming_replay(spark, n_events: int = 20000) -> dict[str, float]:
+def run_streaming_replay(spark, n_events: int = 50000) -> dict[str, float]:
     """S6 pipeline replay: envelope fixtures → validate/mask/merge into
     all three sink personalities; reports events/s and per-batch p99
     (BASELINE.md targets: ≥1000 events/s, p99 < 1 s)."""
@@ -53,7 +53,7 @@ def run_streaming_replay(spark, n_events: int = 20000) -> dict[str, float]:
 
     tmp = tempfile.mkdtemp(prefix="cdc-bench-")
     src = os.path.join(tmp, "commitlog")
-    generate_change_events(src, n_events=n_events, n_files=10, seed=42)
+    generate_change_events(src, n_events=n_events, n_files=25, seed=42)
     reg = SchemaRegistry()
     reg.register(
         TableSchema(
@@ -90,16 +90,7 @@ def run_streaming_replay(spark, n_events: int = 20000) -> dict[str, float]:
 
     pipeline.process_batch = timed
     start = time.perf_counter()
-    q = (
-        __import__(
-            "hybrid_cdc_demo_spark.sources.cdc", fromlist=["read_envelope_stream"]
-        ).read_envelope_stream(spark, cfg.source_dir, cfg.max_files_per_trigger)
-        .writeStream.foreachBatch(timed)
-        .option("checkpointLocation", cfg.checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    pipeline.run_available()
     wall = time.perf_counter() - start
     batch_secs.sort()
     p99 = batch_secs[int(len(batch_secs) * 0.99) - 1] if batch_secs else 0.0

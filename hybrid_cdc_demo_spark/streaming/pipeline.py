@@ -22,6 +22,7 @@ Captured → Validated → Masked → Replicated → Committed
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -51,6 +52,12 @@ class PipelineConfig:
     retry: RetryPolicy = field(default_factory=RetryPolicy)
     delete_policy_append: str = "skip"
     max_files_per_trigger: int | None = 1
+    #: shuffle partitions sized to BATCH volume, not table volume — a
+    #: 2k-row micro-batch shuffled into 32 partitions pays 32 tasks of
+    #: scheduling overhead for microseconds of work each; at a real
+    #: 1000-executor deployment this is the `spark.sql.shuffle.partitions`
+    #: you tune to trigger-interval row counts, not total data size.
+    shuffle_partitions: int = 4
 
     @property
     def dlq_path(self) -> str:
@@ -89,16 +96,20 @@ class CDCPipeline:
             ),
         }
         self.sink_errors: dict[str, int] = {}
+        # plan expressions are unbound Columns — build them ONCE, not
+        # per micro-batch (dozens of Py4J roundtrips per build add up
+        # at per-second triggers)
+        self._checks = self._build_checks()
+        self._key_hash = F.sha2(F.to_json(F.col("partition_key")), 256)
+        self._masked_payload = self._build_masked_payload()
 
     # -- transform stages (pure DataFrame → DataFrame, unit-testable) --
 
-    def split_valid(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Stage 1+2: corrupt / contract-violating rows out (O7/O8).
-
-        Envelope contract (event-schema.json:22-25, 41-45, 74-90):
+    def _build_checks(self) -> F.Column:
+        """Envelope contract (event-schema.json:22-25, 41-45, 74-90):
         known event_type, non-empty partition_key, parseable columns
-        JSON, DELETE ⇒ empty columns.
-        """
+        JSON, DELETE ⇒ empty columns, registered partition keys
+        present (O7/O8)."""
         pk = self.registry.latest(self.config.keyspace, self.config.table)
         required_keys = pk.partition_keys if pk else []
         checks = (
@@ -121,7 +132,50 @@ class CDCPipeline:
         )
         for k in required_keys:
             checks = checks & F.element_at("partition_key", F.lit(k)).isNotNull()
-        flagged = batch.withColumn("__valid", checks)
+        return checks
+
+    def _build_masked_payload(self) -> F.Column:
+        """Driver-side field classification (O11, masking.py:67-92):
+        decide WHICH columns get masked from the registered schema, so
+        only the needed expressions enter the plan — in particular the
+        HMAC pandas_udf (a Python-worker roundtrip per batch) is only
+        present when a PHI-classified column actually exists."""
+        from hybrid_cdc_demo_spark.functions.masking import (
+            MaskingStrategy,
+            classify_field,
+        )
+
+        rules = self.config.masking
+        schema = self.registry.latest(self.config.keyspace, self.config.table)
+        field_names = (
+            list(schema.columns)
+            if schema is not None
+            else ["email", "phone", "patient_id"]
+        )
+        names, values = [], []
+        for name in field_names:
+            strategy = classify_field(name, rules)
+            if strategy is MaskingStrategy.NONE:
+                continue
+            extracted = F.get_json_object("columns", f"$.{name}")
+            names.append(F.lit(f"{name}_masked"))
+            values.append(
+                mask_pii(extracted)
+                if strategy is MaskingStrategy.PII_HASH
+                else mask_phi(extracted, rules.secret_key)
+            )
+        if not names:
+            return F.lit(None).cast("string")
+        return F.to_json(
+            F.map_filter(
+                F.map_from_arrays(F.array(*names), F.array(*values)),
+                lambda _, v: v.isNotNull(),
+            )
+        )
+
+    def split_valid(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Stage 1+2: corrupt / contract-violating rows out (O7/O8)."""
+        flagged = batch.withColumn("__valid", self._checks)
         valid = flagged.filter(F.col("__valid")).drop("__valid")
         invalid = flagged.filter(~F.coalesce(F.col("__valid"), F.lit(False))).drop(
             "__valid"
@@ -140,31 +194,9 @@ class CDCPipeline:
 
         Also derives key_hash: the masked replica key (partition-key
         values hashed, so the replica never stores raw keys)."""
-        rules = self.config.masking
-        masked_payload = F.to_json(
-            F.map_filter(
-                F.map_from_arrays(
-                    F.array(
-                        F.lit("email_masked"),
-                        F.lit("phone_masked"),
-                        F.lit("patient_id_masked"),
-                    ),
-                    F.array(
-                        mask_pii(F.get_json_object("columns", "$.email")),
-                        mask_pii(F.get_json_object("columns", "$.phone")),
-                        mask_phi(
-                            F.get_json_object("columns", "$.patient_id"),
-                            rules.secret_key,
-                        ),
-                    ),
-                ),
-                lambda _, v: v.isNotNull(),
-            )
+        return batch.withColumn("key_hash", self._key_hash).withColumn(
+            "columns_masked", self._masked_payload
         )
-        return batch.withColumn(
-            "key_hash",
-            F.sha2(F.to_json(F.col("partition_key")), 256),
-        ).withColumn("columns_masked", masked_payload)
 
     def unknown_columns(self, batch: DataFrame) -> DataFrame:
         """Stage 2b (O9): rows whose payload carries columns not in the
@@ -182,30 +214,61 @@ class CDCPipeline:
     # -- micro-batch processor ----------------------------------------
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> dict:
-        batch = batch.persist()
+        # under foreachBatch `batch` is bound to the streaming query's
+        # cloned session (confs latched at query start — start() sizes
+        # them); for direct calls this is the caller's session
+        session = batch.sparkSession
+        prev_parts = session.conf.get("spark.sql.shuffle.partitions")
+        session.conf.set(
+            "spark.sql.shuffle.partitions", str(self.config.shuffle_partitions)
+        )
+        # narrow (no shuffle) so every downstream job over the cached
+        # batch runs batch-sized task counts, not source-split counts
+        batch = batch.coalesce(self.config.shuffle_partitions).persist()
         try:
             valid, invalid = self.split_valid(batch)
             valid = self.mask(self.dedup(valid)).persist()
-            stats = {"batch_id": batch_id, "invalid": invalid.count()}
-            if stats["invalid"]:
-                write_dlq(
-                    invalid,
-                    self.config.dlq_path,
-                    destination="validation",
-                    error_type="contract_violation",
-                )
+            # job 1: materialize the transformed batch into cache so
+            # the parallel fan-out reads warm data instead of racing
+            # cold-cache partitions (and the count is the O19 stat)
+            stats = {"batch_id": batch_id, "valid": valid.count()}
+
             # multi-sink fan-out with per-sink isolation (O20: one
-            # failing destination never blocks the others)
-            for name, sink in self.sinks.items():
-                try:
-                    written = with_retry(
-                        lambda s=sink: s.write_batch(valid, batch_id),
-                        self.config.retry,
+            # failing destination never blocks the others). Concurrent
+            # threads submit independent Spark jobs over the same
+            # cached batch — the reference's asyncio.gather(main.py:148)
+            # expressed as parallel job submission. DLQ routing of the
+            # invalid split rides the same pool.
+            def dlq_task():
+                inv = invalid.count()
+                if inv:
+                    write_dlq(
+                        invalid,
+                        self.config.dlq_path,
+                        destination="validation",
+                        error_type="contract_violation",
                     )
-                    stats[name] = written
+                return "invalid", inv, None
+
+            def one_sink(item):
+                name, sink = item
+                try:
+                    return name, with_retry(
+                        lambda: sink.write_batch(valid, batch_id),
+                        self.config.retry,
+                    ), None
                 except Exception as exc:  # noqa: BLE001
+                    return name, -1, exc
+
+            tasks = [dlq_task] + [
+                (lambda item=item: one_sink(item)) for item in self.sinks.items()
+            ]
+            with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+                results = [f.result() for f in [pool.submit(t) for t in tasks]]
+            for name, written, exc in results:
+                stats[name] = written
+                if exc is not None:
                     self.sink_errors[name] = self.sink_errors.get(name, 0) + 1
-                    stats[name] = -1
                     write_dlq(
                         valid,
                         self.config.dlq_path,
@@ -215,10 +278,28 @@ class CDCPipeline:
             return stats
         finally:
             batch.unpersist()
+            session.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     # -- entry points --------------------------------------------------
 
     def start(self) -> StreamingQuery:
+        # size micro-batch execution to batch volume BEFORE start: the
+        # query clones the session and latches these confs, so a tiny
+        # trigger isn't split into defaultParallelism scan tasks nor
+        # shuffled into table-sized partition counts
+        conf = self.spark.conf
+        self._prev_confs = {
+            "spark.sql.shuffle.partitions": conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+            "spark.sql.files.minPartitionNum": conf.get(
+                "spark.sql.files.minPartitionNum", None
+            ),
+        }
+        conf.set(
+            "spark.sql.shuffle.partitions", str(self.config.shuffle_partitions)
+        )
+        conf.set("spark.sql.files.minPartitionNum", "1")
         stream = read_envelope_stream(
             self.spark,
             self.config.source_dir,
@@ -233,9 +314,21 @@ class CDCPipeline:
             .start()
         )
 
+    def restore_confs(self) -> None:
+        for k, v in getattr(self, "_prev_confs", {}).items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
     def run_available(self) -> None:
         """Process everything currently in the source dir, then stop
         (deterministic test/replay mode; graceful-shutdown semantics of
         main.py:252-275 — final batch always flushed)."""
         q = self.start()
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        finally:
+            for sink in self.sinks.values():
+                sink.flush()
+            self.restore_confs()

@@ -17,11 +17,23 @@ Three personalities mirror the reference's destinations:
 Exactly-once (reference postgres.py:137+196-198 single-transaction
 data+offset commit, SURVEY §7.3.1): every sink keeps a batch ledger;
 ``foreachBatch`` replays of an already-committed batchId are skipped,
-and the upsert merge itself is idempotent, so source-checkpoint +
-ledger + idempotent-merge composes to effective exactly-once without a
-transactional store. Snapshots are versioned directories with an
-atomic pointer swap (plain parquet, no Delta in this container; on a
-real deployment the same class maps 1:1 onto Delta MERGE + txnVersion).
+segment writes are overwrite-by-batchId (idempotent under crash
+between data write and ledger commit), and the latest-wins merge is
+itself idempotent — source-checkpoint + ledger + idempotent-merge
+composes to effective exactly-once without a transactional store.
+
+Storage layout is log-structured merge (the same write path a 100 TB
+deployment needs): each micro-batch appends one sorted delta segment
+(O(batch) work, no rewrite of accumulated state), reads merge
+base + deltas with a latest-wins window, and a compaction folds
+deltas into the base snapshot every ``compact_every`` batches. This
+is exactly ClickHouse's ReplacingMergeTree model (write fast, merge
+in background, dedup at read) applied to all three personalities;
+per-batch cost stays constant as the table grows instead of the
+O(table) rewrite a naive MERGE-per-batch would pay. Snapshots are
+versioned directories with an atomic pointer swap (plain parquet, no
+Delta in this container; on a real deployment the same class maps
+1:1 onto Delta MERGE + txnVersion).
 """
 
 from __future__ import annotations
@@ -29,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -131,45 +144,136 @@ def latest_per_key(
     )
 
 
+def _segment_stats(
+    seg_dir: Path, ts_col: str = "timestamp_micros"
+) -> tuple[int, int | None]:
+    """Row count + max event timestamp straight from parquet footers —
+    zero Spark jobs, the same metadata-only trick Delta/Iceberg use
+    for file-level stats. Matters because per-batch driver jobs are
+    the throughput ceiling of a micro-batch pipeline."""
+    n = 0
+    mx: int | None = None
+    import pyarrow.parquet as pq
+
+    for f in seg_dir.rglob("*.parquet"):
+        md = pq.ParquetFile(str(f)).metadata
+        n += md.num_rows
+        if ts_col in md.schema.names:
+            idx = md.schema.names.index(ts_col)
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is not None and stats.has_min_max:
+                    mx = stats.max if mx is None else max(mx, stats.max)
+    return n, mx
+
+
 class UpsertSink:
-    """Postgres-personality MERGE sink (O21/O22/O25)."""
+    """Postgres-personality MERGE sink (O21/O22/O25), log-structured:
+    write = append one delta segment per batch; read = latest-wins
+    merge of base snapshot + pending deltas, DELETEs drop keys;
+    compaction folds deltas into the base every ``compact_every``
+    batches. Final state is identical to merge-on-write (verified by
+    the pipeline tests against batch Q12 ground truth) but each batch
+    costs O(batch), not O(table) — the property that matters when the
+    target table is 100 TB."""
 
     name = "postgres"
 
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        compact_every: int = 8,
+    ):
+        self.spark = spark
         self.table = VersionedParquetTable(spark, os.path.join(path, "data"))
+        self.delta_path = Path(path) / "delta"
+        self.delta_path.mkdir(parents=True, exist_ok=True)
         self.ledger = BatchLedger(os.path.join(path, "ledger"))
         self.key_cols = key_cols
+        self.compact_every = compact_every
+        # background merge thread — ReplacingMergeTree-style: the write
+        # path never blocks on folding deltas into the base
+        self._compact_pool = ThreadPoolExecutor(max_workers=1)
+        self._compact_future = None
+
+    # -- layout hooks overridden by HypertableSink --------------------
+    def _augment(self, df: DataFrame) -> DataFrame:
+        return df
+
+    partition_cols: list[str] | None = None
+
+    def _segments(self) -> list[Path]:
+        return sorted(self.delta_path.glob("seg-*"))
 
     def write_batch(self, batch: DataFrame, batch_id: int) -> int:
-        """Idempotent MERGE: union current snapshot with the batch's
-        newest row per key, keep the overall latest, drop keys whose
-        latest event is a DELETE. Rerunning the same batch is a no-op
-        (same inputs → same snapshot), giving exactly-once effect."""
         if self.ledger.is_committed(batch_id):
             return 0
-        incoming = latest_per_key(batch, self.key_cols)
-        current = self.table.read()
-        if current is not None:
-            merged = current.unionByName(incoming.select(*current.columns))
-            merged = latest_per_key(merged, self.key_cols)
-        else:
-            merged = incoming
-        result = merged.filter(F.col("event_type") != "DELETE")
-        n = result.count()
-        self.table.write(result)
+        incoming = self._augment(latest_per_key(batch, self.key_cols))
+        # overwrite-by-batchId → crash between write and ledger commit
+        # replays into the SAME segment, never duplicating data
+        seg = self.delta_path / f"seg-{batch_id:012d}"
+        incoming.write.mode("overwrite").parquet(str(seg))
+        n, max_ts = _segment_stats(seg)
         self.ledger.commit(
             batch_id,
             {
                 "destination": self.name,
                 "rows": n,
-                "last_event_timestamp_micros": _max_ts(batch),
+                "last_event_timestamp_micros": max_ts,
             },
         )
+        if len(self._segments()) >= self.compact_every and (
+            self._compact_future is None or self._compact_future.done()
+        ):
+            self._compact_future = self._compact_pool.submit(self.compact)
         return n
 
+    def flush(self) -> None:
+        """Wait for any in-flight background compaction (durability
+        point for graceful shutdown, O38)."""
+        if self._compact_future is not None:
+            self._compact_future.result()
+            self._compact_future = None
+
+    def _merged(self, segs: list[Path] | None = None) -> DataFrame | None:
+        base = self.table.read()
+        if segs is None:
+            segs = self._segments()
+        if segs:
+            deltas = self.spark.read.parquet(*[str(s) for s in segs])
+            base = deltas if base is None else base.unionByName(
+                deltas.select(*base.columns)
+            )
+        if base is None:
+            return None
+        return latest_per_key(base, self.key_cols)
+
+    def compact(self) -> None:
+        """Fold pending delta segments into the base snapshot (the
+        ReplacingMergeTree background merge). Folds exactly the
+        segments captured at entry — batches appended concurrently
+        stay in the delta log for the next merge. Idempotent: a crash
+        after the snapshot pointer swap but before segment removal
+        re-merges the same rows to the same state (latest-wins is a
+        fixed point)."""
+        segs = self._segments()
+        merged = self._merged(segs)
+        if merged is None:
+            return
+        self.table.write(
+            merged.filter(F.col("event_type") != "DELETE"),
+            partition_by=self.partition_cols,
+        )
+        for s in segs:
+            shutil.rmtree(s, ignore_errors=True)
+
     def read(self) -> DataFrame | None:
-        return self.table.read()
+        merged = self._merged()
+        if merged is None:
+            return None
+        return merged.filter(F.col("event_type") != "DELETE")
 
 
 class AppendSink:
@@ -188,6 +292,7 @@ class AppendSink:
         self.spark = spark
         self.path = Path(path)
         self.data_path = self.path / "log"
+        self.data_path.mkdir(parents=True, exist_ok=True)
         self.ledger = BatchLedger(os.path.join(path, "ledger"))
         self.key_cols = key_cols
         assert delete_policy in ("skip", "tombstone")
@@ -202,24 +307,26 @@ class AppendSink:
             out = batch.filter(F.col("event_type") != "DELETE")
         else:
             out = batch  # tombstones resolve in the dedup view
-        n = out.count()
-        (
-            out.withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(str(self.data_path))
-        )
+        out = out.withColumn("_batch_id", F.lit(batch_id))
+        # per-batch segment dir + overwrite = idempotent under replay
+        seg = self.data_path / f"seg-{batch_id:012d}"
+        out.write.mode("overwrite").parquet(str(seg))
+        n, max_ts = _segment_stats(seg)
         self.ledger.commit(
             batch_id,
             {
                 "destination": self.name,
                 "rows": n,
-                "last_event_timestamp_micros": _max_ts(batch),
+                "last_event_timestamp_micros": max_ts,
             },
         )
         return n
 
+    def flush(self) -> None:
+        """Append log has no background work to wait for."""
+
     def read_raw(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.data_path))
+        return self.spark.read.parquet(str(self.data_path / "seg-*"))
 
     def read(self) -> DataFrame:
         """Deduplicated view = ReplacingMergeTree final state (O23):
@@ -233,7 +340,9 @@ class AppendSink:
 
 class HypertableSink(UpsertSink):
     """TimescaleDB personality (O24): upsert + time-partitioned layout.
-    partitionBy(time_bucket) is the hypertable chunking property."""
+    partitionBy(time_bucket) on the compacted base is the hypertable
+    chunking property; delta segments carry the chunk column so base
+    and deltas stay union-compatible."""
 
     name = "timescaledb"
 
@@ -243,36 +352,17 @@ class HypertableSink(UpsertSink):
         path: str,
         key_cols: list[str],
         time_col: str = "timestamp_micros",
+        compact_every: int = 8,
     ):
-        super().__init__(spark, path, key_cols)
+        super().__init__(spark, path, key_cols, compact_every=compact_every)
         self.time_col = time_col
 
-    def write_batch(self, batch: DataFrame, batch_id: int) -> int:
-        if self.ledger.is_committed(batch_id):
-            return 0
-        incoming = latest_per_key(batch, self.key_cols)
-        current = self.table.read()
-        if current is not None:
-            merged = latest_per_key(
-                current.drop("_chunk").unionByName(incoming), self.key_cols
-            )
-        else:
-            merged = incoming
-        result = merged.filter(F.col("event_type") != "DELETE").withColumn(
-            "_chunk",
-            F.to_date(F.timestamp_micros(F.col(self.time_col))),
+    partition_cols = ["_chunk"]
+
+    def _augment(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_chunk", F.to_date(F.timestamp_micros(F.col(self.time_col)))
         )
-        n = result.count()
-        self.table.write(result, partition_by=["_chunk"])
-        self.ledger.commit(
-            batch_id,
-            {
-                "destination": self.name,
-                "rows": n,
-                "last_event_timestamp_micros": _max_ts(batch),
-            },
-        )
-        return n
 
 
 def _max_ts(batch: DataFrame) -> int | None:
