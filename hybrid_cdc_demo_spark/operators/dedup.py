@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from hybrid_cdc_demo_spark.functions.text import normalized_text
+from hybrid_cdc_demo_spark.operators.partitioning import spread
 
 
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -60,21 +61,54 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — MinHash over word shingles.
 
-    One explode + one groupBy; the H minimums are H map-side partial
-    aggregations over xxhash64(seed, shingle), so the shuffle carries
-    only H longs per document.
+    Shuffle-FREE: the signature is a pure per-row map (tokenize →
+    hash each k-shingle straight off the token array with a multi-arg
+    xxhash64, no intermediate shingle strings → H running minimums),
+    so at 100 TB this stage is embarrassingly parallel with zero
+    network cost. The H hash family is the Kirsch-Mitzenmacher linear
+    combination h_i = h1 + i*h2 ("Less Hashing, Same Performance",
+    2006): every shingle is hashed twice instead of H times. Masks
+    (62/32 bits) keep h1 + 63*h2 inside a signed long — ANSI mode
+    rejects wraparound; min-rank behavior is unaffected.
     """
-    shingled = df.select(
-        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, shingle_k)).alias("_sh")
+    toks = F.split(normalized_text(text_col), r"\s+")
+    n = F.size(toks)
+    positions = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
+    sh_hash = F.transform(
+        positions,
+        lambda i: F.xxhash64(
+            *[F.try_element_at(toks, i + j) for j in range(shingle_k)]
+        ),
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = shingled.groupBy("_id").agg(*aggs)
-    return sig.select(
-        "_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    # one fold over the shingle hashes carrying H running minimums —
+    # a compact expression tree (the H-separate-columns formulation
+    # compiles seconds of generated code before the first row moves)
+    iota = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    pairs = F.zip_with(
+        "_h1", "_h2", lambda a, b: F.struct(a.alias("a"), b.alias("b"))
     )
+    signature = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(
+            acc, iota, lambda m, i: F.least(m, x["a"] + i * x["b"])
+        ),
+    )
+    sig = (
+        spread(df)
+        .select(F.col(id_col).alias("_id"), sh_hash.alias("_hs"))
+        .select(
+            "_id",
+            F.transform(
+                "_hs", lambda h: h.bitwiseAND(F.lit(0x3FFFFFFFFFFFFFFF))
+            ).alias("_h1"),
+            F.transform(
+                "_hs", lambda h: F.xxhash64(h).bitwiseAND(F.lit(0xFFFFFFFF))
+            ).alias("_h2"),
+        )
+        .select("_id", signature.alias("signature"))
+    )
+    return sig
 
 
 def minhash_lsh_candidates(
@@ -143,9 +177,12 @@ def verify_jaccard(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact Jaccard over word shingles for each candidate pair."""
+    df = spread(df)
+    # both join branches consume the shingle table — materialize once
+    # instead of re-shingling per branch
     sh = df.select(
         F.col(id_col).alias("_vid"), word_shingles(text_col, shingle_k).alias("_sh")
-    )
+    ).persist()
     a = sh.select(F.col("_vid").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_vid").alias("id_b"), F.col("_sh").alias("sh_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")
@@ -179,29 +216,48 @@ def minhash_lsh_dedup(
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash long): 64-bit SimHash over word tokens.
 
-    Explode tokens, then 64 conditional-sum aggregations (+1/-1 per
-    bit of xxhash64(token)) and a sign-fold back into one long. All
-    builtin expressions; one shuffle keyed on the doc id.
+    Shuffle-free per-row fold: hash each distinct token once, fold the
+    hashes into 64 signed bit-counters (+1/-1 per bit), then fold the
+    counter signs back into one long. Pure builtin higher-order
+    expressions — a compact tree (the 64-aggregate-columns
+    formulation compiles seconds of generated code) and zero network
+    cost at any scale.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(F.split(normalized_text(text_col), r"\s+"))).alias("_t"),
-    ).withColumn("_h", F.xxhash64("_t"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sums = toks.groupBy("_id").agg(*aggs)
-    fp = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseXOR(term)
-    return sums.select("_id", fp.alias("simhash"))
+    token_hashes = F.transform(
+        F.array_distinct(F.split(normalized_text(text_col), r"\s+")),
+        lambda t: F.xxhash64(t),
+    )
+    counters = F.aggregate(
+        token_hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            # ±1 per bit of this token's hash (static 64-shift tree)
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
+                    for i in range(64)
+                ]
+            ),
+            lambda c, b: c + 2 * b - 1,
+        ),
+    )
+    powers = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            counters,
+            powers,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseXOR(x),
+    )
+    return spread(df).select(F.col(id_col).alias("_id"), fp.alias("simhash"))
 
 
 def simhash_candidates(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -209,6 +265,9 @@ def simhash_candidates(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     4 16-bit bands; pairs agreeing on ≥1 band are candidates (any pair
     within hamming distance 3 must agree on one band), then filter by
     exact hamming distance ≤ max_hamming."""
+    # the banded self-join reads its input twice; without this the
+    # entire upstream fingerprint computation runs once per branch
+    fps = fps.persist()
     banded = fps.select(
         "_id",
         "simhash",
@@ -249,7 +308,7 @@ def ngram_jaccard_pairs(
     explode n-grams → self-join on gram → per-pair intersection count →
     |A∩B| / (|A|+|B|-|A∩B|). No O(n²) cross join — only documents
     sharing at least one gram ever meet."""
-    grams = df.select(
+    grams = spread(df).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
             F.transform(
@@ -260,7 +319,7 @@ def ngram_jaccard_pairs(
                 lambda i: normalized_text(text_col).substr(i, F.lit(n)),
             )
         ).alias("_grams"),
-    )
+    ).persist()  # consumed by sizes + both inverted-index branches
     sizes = grams.select("_id", F.size("_grams").alias("_sz"))
     inv = grams.select("_id", F.explode("_grams").alias("_g"))
     a = inv.select(F.col("_id").alias("id_a"), "_g")

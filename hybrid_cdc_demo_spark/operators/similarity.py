@@ -21,6 +21,8 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from hybrid_cdc_demo_spark.operators.partitioning import spread
+
 
 def _as_double_array(col) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -106,7 +108,7 @@ def lsh_topk(
     set. Candidate volume ~ n * probes / 2^H instead of n."""
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, num_planes, seed)
-    data = df.select(
+    data = spread(df).select(
         F.col(id_col), _as_double_array(vec_col).alias("_v")
     ).withColumn("bucket", srp_bucket_expr("_v", planes))
 
@@ -139,9 +141,11 @@ def embedding_neardup_pairs(
     buckets (skew-capped), verify exact cosine ≥ threshold."""
     dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, num_planes, seed)
-    data = df.select(
+    # bucketed projection feeds BOTH self-join branches and the size
+    # guard — materialize once instead of hashing 3x
+    data = spread(df).select(
         F.col(id_col).alias("_id"), _as_double_array(vec_col).alias("_v")
-    ).withColumn("bucket", srp_bucket_expr("_v", planes))
+    ).withColumn("bucket", srp_bucket_expr("_v", planes)).persist()
     a = data.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "bucket")
     b = data.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "bucket")
     bucket_sizes = data.groupBy("bucket").count().filter(F.col("count") <= max_bucket)

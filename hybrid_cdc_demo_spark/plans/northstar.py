@@ -41,7 +41,7 @@ def ns_dedup_exact(spark, sf_dir):
 def ns_dedup_minhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_dedup(
-        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+        docs, "text", "doc_id", num_hashes=32, bands=16, threshold=0.5
     ).orderBy("id_a", "id_b")
 
 
