@@ -202,3 +202,238 @@ class SchemaRegistry:
             raise SchemaValidationError(
                 f"{keyspace}.{table}: missing partition keys {missing}"
             )
+
+
+# --- typed payload views (O10) ----------------------------------------------
+
+
+def typed_view(batch, schema: TableSchema):
+    """Envelope rows → typed per-table view: payload JSON parsed
+    against the registered schema (from_json) with per-column
+    ``try_cast`` semantics — a value that can't take its declared type
+    becomes NULL and the row is flagged in ``type_mismatches``
+    (reference validate_column_type/validate_event_types,
+    src/transform/validator.py:156-227, which returns a mismatch list
+    instead of failing)."""
+    import pyspark.sql.functions as F
+
+    raw = F.from_json("columns", ST.MapType(ST.StringType(), ST.StringType()))
+    typed_cols = []
+    mismatch_flags = []
+    for name, cql in schema.columns.items():
+        spark_t = cql_to_spark(cql)
+        raw_val = raw[name]
+        typed = F.try_to_timestamp(raw_val) if isinstance(
+            spark_t, ST.TimestampType
+        ) else raw_val.try_cast(spark_t)
+        typed_cols.append(typed.alias(name))
+        mismatch_flags.append(
+            F.when(raw_val.isNotNull() & typed.isNull(), F.lit(name))
+        )
+    return batch.select(
+        "event_id",
+        "event_type",
+        "timestamp_micros",
+        *typed_cols,
+        F.array_compact(F.array(*mismatch_flags)).alias("type_mismatches"),
+    )
+
+
+# --- evolution supervisor (SURVEY §7.3.2) -----------------------------------
+
+SPARK_TO_CQL = {
+    "string": "text",
+    "long": "bigint",
+    "bigint": "bigint",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "timestamp": "timestamp",
+    "date": "date",
+    "binary": "blob",
+}
+
+_NUMERIC_CQL = {
+    "int", "bigint", "smallint", "tinyint", "varint", "float", "double",
+    "decimal", "counter",
+}
+
+
+def _json_class(cql: str) -> str:
+    """JSON serialization class of a CQL type: what schema inference
+    can actually observe about it."""
+    t = cql.strip().lower().split("(")[0].split("<")[0]
+    if t in _NUMERIC_CQL:
+        return "number"
+    if t == "boolean":
+        return "boolean"
+    return "string"
+
+
+class SchemaEvolutionSupervisor:
+    """Detect payload drift in a micro-batch and evolve the registry.
+
+    The streaming frame schema never changes (payload stays a JSON
+    string), so ADD/widening evolution needs NO query restart — only
+    the registry version moves and typed views pick up the new
+    column. Incompatible changes (narrowing ALTER, partition-key
+    change — schema.py:62-102/331-356) are reported so the pipeline
+    can divert that table's events to the DLQ, matching reference
+    semantics.
+    """
+
+    def __init__(self, registry: SchemaRegistry):
+        self.registry = registry
+        self.audit: list[dict] = []
+
+    #: drifted payload rows sampled per observation — bounds driver
+    #: work; rows the sample misses re-trigger the probe next batch
+    sample_size: int = 256
+
+    def observe_batch(self, batch, keyspace: str, table: str) -> dict:
+        """Reconcile the payload schema present in ``batch`` with the
+        registry. Sampling is limited to rows that actually carry
+        unknown columns (≤ sample_size), collected once and classified
+        driver-side — full distributed JSON schema inference would
+        cost seconds per observation for information a handful of
+        rows already carries."""
+        import pyspark.sql.functions as F
+
+        current = self.registry.latest(keyspace, table)
+        payloads = batch.filter("columns IS NOT NULL AND columns != '{}'")
+        sample = []
+        if current is not None:
+            known = F.array(*[F.lit(c) for c in current.columns])
+            drifted = payloads.filter(
+                F.size(F.array_except(F.json_object_keys("columns"), known)) > 0
+            )
+            sample = drifted.select("columns").limit(self.sample_size).collect()
+        if not sample:
+            # no unknown-column rows: drift (if any) is a class change
+            # on a KNOWN column — sample generally to see it
+            sample = payloads.select("columns").limit(self.sample_size).collect()
+        observed_cols: dict[str, str] = {}
+        for row in sample:
+            try:
+                obj = json.loads(row[0])
+            except (TypeError, ValueError):
+                continue
+            if not isinstance(obj, dict):
+                continue
+            for k, v in obj.items():
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    cls = "boolean"
+                elif isinstance(v, int):
+                    cls = "bigint"
+                elif isinstance(v, float):
+                    cls = "double"
+                else:
+                    cls = "text"
+                prev = observed_cols.get(k)
+                if prev is None or (prev == "bigint" and cls == "double"):
+                    observed_cols[k] = cls
+                elif prev != cls and "text" in (prev, cls) and prev != "text":
+                    observed_cols[k] = "text"
+        if not observed_cols:
+            return {"action": "noop", "changes": []}
+        if current is None:
+            discovered = TableSchema(keyspace, table, observed_cols)
+            self.registry.register(discovered)
+            return {"action": "discovered", "changes": []}
+        # union semantics: absent columns are not DROPs (an event may
+        # simply not set every column); only ADD/ALTER are observed.
+        # JSON inference sees serialization classes, not CQL types —
+        # a timestamp arrives as a JSON string, an int as a JSON
+        # number — so only an IRRECONCILABLE class change (number →
+        # string etc.) is a real ALTER; same-class observations keep
+        # the registered (more precise) type.
+        merged = dict(current.columns)
+        changes: list[SchemaChange] = []
+        for name, cql in observed_cols.items():
+            if name not in merged:
+                changes.append(SchemaChange(ChangeType.ADD_COLUMN, name, None, cql))
+                merged[name] = cql
+            elif _json_class(merged[name]) != _json_class(cql):
+                changes.append(
+                    SchemaChange(ChangeType.ALTER_TYPE, name, merged[name], cql)
+                )
+                merged[name] = cql
+        if not changes:
+            return {"action": "noop", "changes": []}
+        if not all(c.is_compatible() for c in changes):
+            entry = {"action": "incompatible", "changes": changes}
+            self.audit.append(entry)
+            return entry
+        evolved = TableSchema(
+            keyspace,
+            table,
+            merged,
+            list(current.partition_keys),
+            list(current.clustering_keys),
+        )
+        self.registry.register(evolved)
+        entry = {
+            "action": "evolved",
+            "changes": changes,
+            "version": self.registry.latest(keyspace, table).version,
+        }
+        self.audit.append(entry)
+        return entry
+
+
+# --- registry persistence ----------------------------------------------------
+
+
+def save_registry(registry: SchemaRegistry, path: str) -> None:
+    """Persist every schema version as JSONL keyed
+    (keyspace, table, version) — the durable registry table of
+    SURVEY §1.1 (small metadata; parquet/Delta in production)."""
+    from pathlib import Path as _P
+
+    rows = []
+    for (ks, tbl), history in registry._versions.items():
+        for s in history:
+            rows.append(
+                {
+                    "keyspace": ks,
+                    "table": tbl,
+                    "version": s.version,
+                    "columns": s.columns,
+                    "partition_keys": s.partition_keys,
+                    "clustering_keys": s.clustering_keys,
+                    "schema_hash": s.get_hash(),
+                }
+            )
+    p = _P(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(".tmp")
+    tmp.write_text("\n".join(json.dumps(r) for r in rows))
+    tmp.replace(p)
+
+
+def load_registry(path: str) -> SchemaRegistry:
+    from pathlib import Path as _P
+
+    reg = SchemaRegistry()
+    text = _P(path).read_text()
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        r = json.loads(line)
+        s = TableSchema(
+            r["keyspace"],
+            r["table"],
+            r["columns"],
+            r["partition_keys"],
+            r["clustering_keys"],
+            version=r["version"],
+        )
+        key = (s.keyspace, s.table)
+        reg._versions.setdefault(key, []).append(s)
+    for history in reg._versions.values():
+        history.sort(key=lambda s: s.version)
+    return reg

@@ -129,3 +129,20 @@ def generate_change_events(
                 fh.write(json.dumps(row) + "\n")
         paths.append(str(p))
     return paths
+
+
+def active_events(df: DataFrame, now_micros: int) -> DataFrame:
+    """TTL view (SURVEY §2b): the reference carries ``ttl_seconds`` but
+    never enforces it (event.py:48, parser.py:99-102); we carry the
+    column untouched and offer the optional expiry filter —
+    ``timestamp_micros + ttl`` must still be in the future."""
+    import pyspark.sql.functions as F
+
+    return df.filter(
+        F.col("ttl_seconds").isNull()
+        | (
+            F.col("timestamp_micros")
+            + F.col("ttl_seconds").cast("long") * 1_000_000
+            > F.lit(now_micros)
+        )
+    )

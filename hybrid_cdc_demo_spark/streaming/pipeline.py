@@ -30,7 +30,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from hybrid_cdc_demo_spark.functions.masking import MaskingRules, mask_phi, mask_pii
-from hybrid_cdc_demo_spark.schema.evolution import SchemaRegistry
+from hybrid_cdc_demo_spark.schema.evolution import (
+    SchemaEvolutionSupervisor,
+    SchemaRegistry,
+)
 from hybrid_cdc_demo_spark.sources.cdc import read_envelope_stream
 from hybrid_cdc_demo_spark.streaming.dlq import write_dlq
 from hybrid_cdc_demo_spark.streaming.retry import RetryPolicy, with_retry
@@ -58,6 +61,14 @@ class PipelineConfig:
     #: 1000-executor deployment this is the `spark.sql.shuffle.partitions`
     #: you tune to trigger-interval row counts, not total data size.
     shuffle_partitions: int = 4
+    #: schema drift handling (SURVEY §7.3.2): when a batch carries
+    #: payload columns outside the registered schema, evolve the
+    #: registry (ADD/widening need no restart — payload stays JSON in
+    #: the frame schema) or divert the batch to the DLQ when the drift
+    #: is incompatible. Masking classification is resolved at pipeline
+    #: construction, so an ADDed PII-named column takes effect at the
+    #: next supervised restart.
+    auto_evolve: bool = True
 
     @property
     def dlq_path(self) -> str:
@@ -96,6 +107,7 @@ class CDCPipeline:
             ),
         }
         self.sink_errors: dict[str, int] = {}
+        self.evolution = SchemaEvolutionSupervisor(self.registry)
         # plan expressions are unbound Columns — build them ONCE, not
         # per micro-batch (dozens of Py4J roundtrips per build add up
         # at per-second triggers)
@@ -230,8 +242,38 @@ class CDCPipeline:
             valid = self.mask(self.dedup(valid)).persist()
             # job 1: materialize the transformed batch into cache so
             # the parallel fan-out reads warm data instead of racing
-            # cold-cache partitions (and the count is the O19 stat)
-            stats = {"batch_id": batch_id, "valid": valid.count()}
+            # cold-cache partitions; the same job computes the O19
+            # stat AND the schema-drift probe (no extra pass)
+            schema = self.registry.latest(self.config.keyspace, self.config.table)
+            if self.config.auto_evolve and schema is not None:
+                known = F.array(*[F.lit(c) for c in schema.columns])
+                drift_flag = (
+                    F.size(F.array_except(F.json_object_keys("columns"), known)) > 0
+                )
+            else:
+                drift_flag = F.lit(False)
+            counts = valid.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(drift_flag.cast("int")).alias("drift"),
+            ).collect()[0]
+            stats = {"batch_id": batch_id, "valid": counts["n"]}
+
+            if counts["drift"]:
+                outcome = self.evolution.observe_batch(
+                    valid, self.config.keyspace, self.config.table
+                )
+                stats["schema"] = outcome["action"]
+                if outcome["action"] == "incompatible":
+                    # reference semantics: incompatible change diverts
+                    # the table's events to the DLQ, sinks untouched
+                    write_dlq(
+                        valid,
+                        self.config.dlq_path,
+                        destination="schema",
+                        error_type="schema_incompatible",
+                    )
+                    stats["invalid"] = invalid.count()
+                    return stats
 
             # multi-sink fan-out with per-sink isolation (O20: one
             # failing destination never blocks the others). Concurrent
