@@ -1,0 +1,295 @@
+"""JDBC warehouse sink: SQL generation + transactional batch writer.
+
+The reference's sink layer is per-event SQL against Postgres/
+ClickHouse/TimescaleDB (src/sinks/postgres.py:68-205,
+clickhouse.py:81-192, timescaledb.py:89-139). This module reproduces
+the REAL parts of that layer — SQL statement generation and the
+data+offset single-transaction commit — as a Spark ``foreachBatch``
+writer:
+
+* ``upsert_sql``   — idempotent upsert keyed on the replica key
+                     (postgres.py:124-132 semantics: insert, on key
+                     conflict update every non-key column);
+* ``delete_sql``   — key-targeted delete (postgres.py:93-101);
+* ``offset_upsert_sql`` — the cdc_offsets commit executed in the SAME
+                     transaction as the data
+                     (postgres.py:148-205, commit at 198);
+* ``create_table_ddl`` — CQL → warehouse DDL via the declarative
+                     type-mapping tables (O17;
+                     config/schema-mappings.yaml:5-51);
+* ``JdbcUpsertSink`` — executes the above per micro-batch through a
+                     DB-API connection factory: partitions write with
+                     ``executemany`` (batched, not per-event round
+                     trips), the ledger row commits atomically with
+                     the data, and an already-committed batch_id is a
+                     no-op (exactly-once, SURVEY §7.3.1).
+
+The writer is dialect-agnostic DB-API (tests run it against sqlite,
+whose ON CONFLICT grammar matches Postgres); on a cluster the
+connection factory returns psycopg2/clickhouse-driver connections
+per executor partition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from hybrid_cdc_demo_spark.schema.evolution import TableSchema, UnsupportedTypeError
+
+#: CQL → warehouse DDL types (SURVEY §1.3; schema-mappings.yaml:5-51).
+CQL_TO_POSTGRES = {
+    "uuid": "uuid",
+    "text": "text",
+    "varchar": "varchar",
+    "ascii": "text",
+    "int": "integer",
+    "smallint": "smallint",
+    "tinyint": "smallint",
+    "bigint": "bigint",
+    "varint": "bigint",
+    "float": "real",
+    "double": "double precision",
+    "decimal": "numeric",
+    "boolean": "boolean",
+    "timestamp": "timestamptz",
+    "date": "date",
+    "time": "time",
+    "blob": "bytea",
+    "inet": "inet",
+}
+
+CQL_TO_CLICKHOUSE = {
+    "uuid": "UUID",
+    "text": "String",
+    "varchar": "String",
+    "ascii": "String",
+    "int": "Int32",
+    "smallint": "Int16",
+    "tinyint": "Int8",
+    "bigint": "Int64",
+    "varint": "Int64",
+    "float": "Float32",
+    "double": "Float64",
+    "decimal": "Decimal(18,2)",
+    "boolean": "UInt8",
+    "timestamp": "DateTime64(3)",
+    "date": "Date",
+    "time": "String",
+    "blob": "String",
+    "inet": "String",
+}
+
+UNSUPPORTED_PREFIXES = ("frozen<", "tuple<", "counter")
+
+
+def _ddl_type(cql: str, dialect: str) -> str:
+    t = cql.strip().lower()
+    if t.startswith(UNSUPPORTED_PREFIXES):
+        raise UnsupportedTypeError(cql)
+    table = CQL_TO_POSTGRES if dialect in ("postgres", "timescaledb") else CQL_TO_CLICKHOUSE
+    if t.startswith(("map<", "list<", "set<")):
+        # complex types serialize to JSON at the JDBC edge (SURVEY §1.3)
+        return "jsonb" if dialect in ("postgres", "timescaledb") else "String"
+    return table.get(t.split("(")[0], "text" if dialect != "clickhouse" else "String")
+
+
+def create_table_ddl(schema: TableSchema, dialect: str = "postgres") -> str:
+    """O17: declarative type-mapped DDL; primary key = partition +
+    clustering keys (the replica key)."""
+    cols = ",\n  ".join(
+        f"{name} {_ddl_type(cql, dialect)}" for name, cql in schema.columns.items()
+    )
+    keys = schema.partition_keys + schema.clustering_keys
+    pk = f",\n  PRIMARY KEY ({', '.join(keys)})" if keys else ""
+    if dialect == "clickhouse":
+        order = ", ".join(keys) or "tuple()"
+        return (
+            f"CREATE TABLE IF NOT EXISTS {schema.table} (\n  {cols}\n) "
+            f"ENGINE = ReplacingMergeTree ORDER BY ({order})"
+        )
+    return f"CREATE TABLE IF NOT EXISTS {schema.table} (\n  {cols}{pk}\n)"
+
+
+def upsert_sql(table: str, columns: list[str], key_cols: list[str]) -> str:
+    """Idempotent upsert: non-key columns take the incoming value on
+    conflict (postgres.py:124-132 semantics)."""
+    col_list = ", ".join(columns)
+    placeholders = ", ".join("?" for _ in columns)
+    updates = ", ".join(
+        f"{c} = excluded.{c}" for c in columns if c not in key_cols
+    )
+    conflict = ", ".join(key_cols)
+    return (
+        f"INSERT INTO {table} ({col_list}) VALUES ({placeholders}) "
+        f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+    )
+
+
+def delete_sql(table: str, key_cols: list[str]) -> str:
+    where = " AND ".join(f"{k} = ?" for k in key_cols)
+    return f"DELETE FROM {table} WHERE {where}"
+
+
+def offset_upsert_sql(offset_table: str = "cdc_offsets") -> str:
+    """The cdc_offsets commit row (scripts/sql/create-offset-table.sql
+    shape + batch_id), executed inside the data transaction."""
+    return (
+        f"INSERT INTO {offset_table} "
+        "(table_name, keyspace_name, destination, batch_id, "
+        "last_event_timestamp_micros, events_replicated_count) "
+        "VALUES (?, ?, ?, ?, ?, ?) "
+        "ON CONFLICT (table_name, keyspace_name, destination) DO UPDATE SET "
+        "batch_id = excluded.batch_id, "
+        "last_event_timestamp_micros = excluded.last_event_timestamp_micros, "
+        "events_replicated_count = cdc_offsets.events_replicated_count "
+        "+ excluded.events_replicated_count"
+    )
+
+
+OFFSET_TABLE_DDL = """
+CREATE TABLE IF NOT EXISTS cdc_offsets (
+  table_name text,
+  keyspace_name text,
+  destination text,
+  batch_id bigint,
+  last_event_timestamp_micros bigint,
+  events_replicated_count bigint,
+  PRIMARY KEY (table_name, keyspace_name, destination)
+)
+"""
+
+
+class JdbcUpsertSink:
+    """Transactional JDBC personality for ``foreachBatch``.
+
+    Two transaction scopes:
+
+    * ``txn_scope="partition"`` (default, the 100 TB path): every
+      partition opens its own connection and applies its rows with
+      ``executemany`` in one partition-local transaction — fully
+      distributed, no driver data movement. The offset row commits
+      LAST, driver-side. A crash between the two phases replays the
+      batch, but the upsert/delete statements are idempotent and
+      latest-wins, so the replay converges to the same state before
+      the offset finally commits — effective exactly-once.
+    * ``txn_scope="driver"`` — strict reference parity
+      (postgres.py:137+196-198): all rows and the offset commit in ONE
+      transaction through a single driver connection. Atomic, but the
+      batch streams through the driver; use for modest batch sizes.
+
+    Either way a replayed batch_id <= the committed one is a no-op.
+    """
+
+    name = "jdbc"
+
+    def __init__(
+        self,
+        connection_factory: Callable,
+        table: str,
+        columns: list[str],
+        key_cols: list[str],
+        keyspace: str = "ecommerce",
+        txn_scope: str = "partition",
+    ):
+        assert txn_scope in ("partition", "driver")
+        self.connection_factory = connection_factory
+        self.table = table
+        self.columns = columns
+        self.key_cols = key_cols
+        self.keyspace = keyspace
+        self.txn_scope = txn_scope
+
+    def _committed_batch(self, conn) -> int | None:
+        cur = conn.cursor()
+        cur.execute(
+            "SELECT batch_id FROM cdc_offsets WHERE table_name = ? "
+            "AND keyspace_name = ? AND destination = ?",
+            (self.table, self.keyspace, self.name),
+        )
+        row = cur.fetchone()
+        return None if row is None else row[0]
+
+    def _apply_rows(self, cur, rows) -> tuple[int, int, int]:
+        cols, keys = self.columns, self.key_cols
+        up_sql = upsert_sql(self.table, cols, keys)
+        del_sql = delete_sql(self.table, keys)
+        upserts, deletes = [], []
+        max_ts = 0
+        for r in rows:
+            max_ts = max(max_ts, r["timestamp_micros"] or 0)
+            if r["event_type"] == "DELETE":
+                deletes.append(tuple(r[k] for k in keys))
+            else:
+                upserts.append(tuple(r[c] for c in cols))
+        if upserts:
+            cur.executemany(up_sql, upserts)
+        if deletes:
+            cur.executemany(del_sql, deletes)
+        return len(upserts), len(deletes), max_ts
+
+    def _commit_offset(self, conn, batch_id: int, max_ts: int, n: int) -> None:
+        conn.cursor().execute(
+            offset_upsert_sql(),
+            (self.table, self.keyspace, self.name, batch_id, max_ts, n),
+        )
+
+    def write_batch(self, batch: DataFrame, batch_id: int) -> int:
+        factory = self.connection_factory
+        probe = factory()
+        try:
+            committed = self._committed_batch(probe)
+            if committed is not None and committed >= batch_id:
+                return 0
+        finally:
+            probe.close()
+
+        projected = batch.select("event_type", "timestamp_micros", *self.columns)
+        if self.txn_scope == "partition":
+            sink = self  # close over a picklable copy for executors
+
+            def write_partition(rows) -> None:
+                conn = factory()
+                try:
+                    n_up, n_del, _ = sink._apply_rows(conn.cursor(), rows)
+                    if n_up or n_del:
+                        conn.commit()
+                    else:
+                        conn.rollback()
+                except Exception:
+                    conn.rollback()
+                    raise
+                finally:
+                    conn.close()
+
+            projected.foreachPartition(write_partition)
+            import pyspark.sql.functions as F
+
+            stats = projected.agg(
+                F.max("timestamp_micros").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            conn = factory()
+            try:
+                self._commit_offset(
+                    conn, batch_id, stats["mx"] or 0, stats["n"] or 0
+                )
+                conn.commit()
+                return stats["n"] or 0
+            finally:
+                conn.close()
+
+        conn = factory()
+        try:
+            n_up, n_del, max_ts = self._apply_rows(
+                conn.cursor(), projected.toLocalIterator()
+            )
+            self._commit_offset(conn, batch_id, max_ts, n_up)
+            conn.commit()  # the exactly-once point
+            return n_up + n_del
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
