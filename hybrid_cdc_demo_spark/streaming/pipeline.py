@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from hybrid_cdc_demo_spark.functions.masking import MaskingRules, mask_phi, mask_pii
+from hybrid_cdc_demo_spark.observability.logging import (
+    log_batch,
+    log_masked_field,
+    log_schema_change,
+    log_sink_error,
+)
 from hybrid_cdc_demo_spark.schema.evolution import (
     SchemaEvolutionSupervisor,
     SchemaRegistry,
@@ -169,6 +175,8 @@ class CDCPipeline:
             strategy = classify_field(name, rules)
             if strategy is MaskingStrategy.NONE:
                 continue
+            # audit which field gets masked and how — never the value
+            log_masked_field(name, strategy.value, self.config.table)
             extracted = F.get_json_object("columns", f"$.{name}")
             names.append(F.lit(f"{name}_masked"))
             values.append(
@@ -263,6 +271,13 @@ class CDCPipeline:
                     valid, self.config.keyspace, self.config.table
                 )
                 stats["schema"] = outcome["action"]
+                log_schema_change(
+                    self.config.keyspace,
+                    self.config.table,
+                    outcome["action"],
+                    outcome.get("changes", []),
+                    outcome.get("version"),
+                )
                 if outcome["action"] == "incompatible":
                     # reference semantics: incompatible change diverts
                     # the table's events to the DLQ, sinks untouched
@@ -311,12 +326,16 @@ class CDCPipeline:
                 stats[name] = written
                 if exc is not None:
                     self.sink_errors[name] = self.sink_errors.get(name, 0) + 1
+                    log_sink_error(
+                        name, type(exc).__name__, self.sink_errors[name]
+                    )
                     write_dlq(
                         valid,
                         self.config.dlq_path,
                         destination=name,
                         error_type=type(exc).__name__,
                     )
+            log_batch(stats)
             return stats
         finally:
             batch.unpersist()
