@@ -44,6 +44,12 @@ def warmup(spark, sf_dir: str) -> None:
     materialize(D.simhash_candidates(D.simhash(docs, "text", "doc_id")))
     emb = load_table(spark, sf_dir, "embeddings").limit(256)
     materialize(S.embedding_neardup_pairs(emb, threshold=0.8))
+    import pyspark.sql.functions as F
+
+    qdf = emb.limit(1).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
+    materialize(S.ivf_topk(emb, qdf, k=5, num_cells=4, nprobe=2))
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:

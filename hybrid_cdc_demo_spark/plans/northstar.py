@@ -153,6 +153,24 @@ def ns_simsearch_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+@query("ns_simsearch_ivf")  # recall-tested vs brute force in tests/
+def ns_simsearch_ivf(spark, sf_dir):
+    """IVF scale path: KMeans coarse quantizer, nprobe nearest cells,
+    exact rank inside the probed subset (at scale the index persists
+    partitionBy(_cell) → partition-pruned probes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    min_id = emb_d.agg(F.min("vec_id").alias("mid"))
+    qdf = (
+        emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
+        .select(F.col("emb").alias("qv"))
+    )
+    out = S.ivf_topk(emb, qdf, k=10, num_cells=16, nprobe=6)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
 @query("ns_embedding_neardup")
 def ns_embedding_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
