@@ -112,6 +112,85 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("mime_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Distributed image resize via mapInPandas: same batch shape a
+    real decoder+resizer (PIL/libvips) uses — binary in, binary out,
+    metadata updated. The codec is stubbed: ``fake=True`` emits a
+    deterministic byte downsample so the plumbing (schema, Arrow
+    round trip, metadata propagation) is testable end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(width * height, 1)
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no media codecs in this environment")
+
+            def shrink(c: bytes) -> bytes:
+                arr = np.frombuffer(bytes(c), dtype=np.uint8)
+                if len(arr) == 0:
+                    return b"\x00" * target
+                idx = np.linspace(0, len(arr) - 1, target).astype(int)
+                return arr[idx].tobytes()
+
+            out = pdf.copy()
+            out["content"] = out["content"].map(shrink)
+            out["width"] = width
+            out["height"] = height
+            yield out[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("mean_level", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Waveform-level statistics via mapInPandas (decode stubbed;
+    ``fake=True`` treats bytes as unsigned 8-bit samples)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("no audio codecs in this environment")
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = np.frombuffer(bytes(content), dtype=np.uint8).astype(float)
+                n = len(arr)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_samples": n,
+                        "mean_level": float(arr.mean()) if n else 0.0,
+                        "rms": float(np.sqrt((arr**2).mean())) if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields])
+
+    return media.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     timestamp (content decode stubbed). Demonstrates the explode-based

@@ -136,6 +136,63 @@ def ns_tokens_bpeish(spark, sf_dir):
     )
 
 
+@query(
+    "ns_corpus_curation",
+    oracle="""
+    WITH canon AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
+        FROM documents) WHERE rn = 1
+    ), scored AS (
+      SELECT lang,
+             LENGTH(text) AS n_chars,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')))
+               * 1.0 / LENGTH(text) AS punct_ratio
+      FROM canon
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM scored
+    WHERE n_chars >= 100 AND punct_ratio <= 0.1
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def ns_corpus_curation(spark, sf_dir):
+    """The composite training-data pipeline in one plan: exact dedup
+    (canonical = min doc_id per text), quality gates (length +
+    punctuation density), per-language corpus stats. Every stage is
+    the operator already verified individually; the composition stays
+    one Catalyst plan — dedup window, filter, and agg pipeline into
+    two shuffles total."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    canon = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    scored = canon.select(
+        "lang",
+        T.char_count("text").alias("n_chars"),
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.punct_ratio("text").alias("punct_ratio"),
+    )
+    return (
+        scored.filter((F.col("n_chars") >= 100) & (F.col("punct_ratio") <= 0.1))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("ns_simsearch_lsh")  # recall-tested vs brute force in tests/
 def ns_simsearch_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
