@@ -67,6 +67,11 @@ class PipelineConfig:
     #: 1000-executor deployment this is the `spark.sql.shuffle.partitions`
     #: you tune to trigger-interval row counts, not total data size.
     shuffle_partitions: int = 4
+    #: trigger mode (O3): None → availableNow (drain + stop, the
+    #: deterministic test/replay mode); "Ns" → processingTime
+    #: continuous polling, the reference's poll_interval_seconds
+    #: (settings.py:90-92; its 0.1 s default ≙ "100 milliseconds")
+    processing_interval: str | None = None
     #: schema drift handling (SURVEY §7.3.2): when a batch carries
     #: payload columns outside the registered schema, evolve the
     #: registry (ADD/widening need no restart — payload stays JSON in
@@ -366,14 +371,26 @@ class CDCPipeline:
             self.config.source_dir,
             max_files_per_trigger=self.config.max_files_per_trigger,
         )
-        return (
-            stream.writeStream.foreachBatch(
-                lambda df, bid: self.process_batch(df, bid)
+        writer = stream.writeStream.foreachBatch(
+            lambda df, bid: self.process_batch(df, bid)
+        ).option("checkpointLocation", self.config.checkpoint_path)
+        if self.config.processing_interval:
+            writer = writer.trigger(
+                processingTime=self.config.processing_interval
             )
-            .option("checkpointLocation", self.config.checkpoint_path)
-            .trigger(availableNow=True)
-            .start()
-        )
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def stop(self, query) -> None:
+        """Graceful shutdown (O38, main.py:252-275): stop the trigger
+        loop — the in-flight micro-batch completes and commits — then
+        flush background compactions and restore session confs."""
+        query.stop()
+        query.awaitTermination()
+        for sink in self.sinks.values():
+            sink.flush()
+        self.restore_confs()
 
     def restore_confs(self) -> None:
         for k, v in getattr(self, "_prev_confs", {}).items():

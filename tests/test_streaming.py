@@ -307,3 +307,35 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     out = spark.sql("SELECT event_id FROM s5_test").collect()
     assert sorted(r["event_id"] for r in out) == ["x", "y"]
+
+
+def test_continuous_trigger_and_graceful_stop(spark, tmp_path):
+    """O3/O38: processingTime trigger polls for new segments; stop()
+    drains the in-flight batch and flushes compactions."""
+    import time as _time
+
+    generate_change_events(
+        str(tmp_path / "commitlog"), n_events=200, n_files=1, seed=9
+    )
+    p = _pipeline(spark, tmp_path, processing_interval="200 milliseconds")
+    q = p.start()
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not p.sinks["postgres"].ledger.committed_batches():
+            _time.sleep(0.3)
+        assert p.sinks["postgres"].ledger.committed_batches()
+        # a second wave arrives while the query is live
+        generate_change_events(
+            str(tmp_path / "commitlog"), n_events=100, n_files=1, seed=10,
+            base_micros=1_900_000_000_000_000, file_prefix="wave2",
+        )
+        deadline = _time.time() + 30
+        while _time.time() < deadline and len(
+            p.sinks["postgres"].ledger.committed_batches()
+        ) < 2:
+            _time.sleep(0.3)
+        assert len(p.sinks["postgres"].ledger.committed_batches()) >= 2
+    finally:
+        p.stop(q)
+    assert not q.isActive
+    assert p.sinks["postgres"].read().count() > 0
