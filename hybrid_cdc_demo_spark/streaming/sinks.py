@@ -365,11 +365,6 @@ class HypertableSink(UpsertSink):
         )
 
 
-def _max_ts(batch: DataFrame) -> int | None:
-    row = batch.agg(F.max("timestamp_micros").alias("m")).collect()[0]
-    return row["m"]
-
-
 def replication_lag_seconds(ledger: BatchLedger, now_micros: int) -> float:
     """O33: now - last committed event timestamp, floored at 0
     (src/cdc/offset.py:271-290)."""
