@@ -139,11 +139,11 @@ def test_minhash_signature_is_shingle_set_function(seed):
         for r in minhash_signatures(df, "text", "doc_id", 16, 3).collect()
     }
     assert sigs[1] == sigs[2]  # identical text, identical signature
-    # duplicated text adds only the k-1 junction shingles; most of the
-    # 16 min-ranks see an identical shingle set and must agree (the
-    # exact count is stochastic — only total divergence is a bug)
-    same = sum(1 for x, y in zip(sigs[1], sigs[3]) if x == y)
-    assert same >= 8
+    # dup's shingle set is a SUPERSET of text's (junction shingles
+    # added), so each per-position minimum can only decrease — a
+    # deterministic monotonicity property of min-hashing (an overlap
+    # threshold here is stochastic and flakes under hypothesis seeds)
+    assert all(d <= t for t, d in zip(sigs[1], sigs[3]))
 
 
 @settings(max_examples=6, deadline=None)
