@@ -928,3 +928,136 @@ def q29(spark, sf_dir):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q30_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q30(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS
+    becomes a left-semi join — Catalyst's decorrelation, no per-row
+    subquery. (The testdata lineitem carries no commit/receipt dates;
+    the returned-flag predicate keeps the correlated-EXISTS shape.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q31_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(3,2))
+                       AS DECIMAL(3,2))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q31(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the revenue CTE feeds both the join
+    and the MAX scalar subquery — persisted once, the scalar max
+    broadcast back as a filter."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    amount = _dec("l_extendedprice") * (
+        (F.lit(1) - _dec("l_discount", _DEC_FRAC)).cast(_DEC_FRAC)
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(amount).alias("total_revenue"))
+        .persist()
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q32_tpch_q22",
+    oracle="""
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM (
+      SELECT SUBSTR(c_name, 10, 2) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_totalprice > 400000)
+    )
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def q32(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): scalar AVG
+    subquery (broadcast) + correlated NOT EXISTS (left-anti join).
+    (Every testdata customer has orders, so the exclusion is
+    'never placed a >400k order' to keep the anti-join non-trivial.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    eligible = (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_totalprice") > 400000),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+    )
+    return (
+        eligible.select(
+            F.substring("c_name", 10, 2).alias("cntrycode"), "c_acctbal"
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -85,3 +85,86 @@ def stateful_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [id_col]
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    interval: str = "5 minutes",
+) -> DataFrame:
+    """Stream-stream equi-join with a time-interval condition: rows
+    pair only when the right event lands within ``interval`` of the
+    left event. Both sides carry watermarks so the join state is
+    BOUNDED — without the interval + watermarks Spark must keep every
+    row forever (unbounded state, the classic stream-join trap at
+    scale)."""
+    import pyspark.sql.functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {interval}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {interval}"))
+    )
+    return lw.join(rw, cond)
+
+
+def running_totals_with_state(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running (count, sum) maintained in explicit state across
+    micro-batches — the escape hatch for aggregation semantics the
+    built-in windowed operators can't express. Arrow-batched per
+    group; state is two floats per key, not the row history."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("events", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("events", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        events, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            events += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((events, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"key": [key[0]], "events": [events], "total": [total]}
+        )
+
+    return (
+        stream.select(key_col, value_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

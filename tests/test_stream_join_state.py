@@ -1,0 +1,122 @@
+"""Stream-stream interval join (bounded state) and the
+applyInPandasWithState custom stateful operator."""
+
+import json
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from hybrid_cdc_demo_spark.streaming import windows as W
+
+
+def _write_jsonl(path, rows, mtime=None):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with path.open("w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    clicks = [
+        {"user": "u1", "ts": "2024-01-01T10:00:00Z", "page": "a"},
+        {"user": "u2", "ts": "2024-01-01T10:30:00Z", "page": "b"},
+    ]
+    buys = [
+        {"user": "u1", "ts": "2024-01-01T10:03:00Z", "amount": 5.0},  # within 5m
+        {"user": "u1", "ts": "2024-01-01T11:00:00Z", "amount": 9.0},  # too late
+        {"user": "u2", "ts": "2024-01-01T10:29:00Z", "amount": 7.0},  # within 5m
+    ]
+    _write_jsonl(tmp_path / "clicks" / "f.json", clicks)
+    _write_jsonl(tmp_path / "buys" / "f.json", buys)
+
+    left = (
+        spark.readStream.schema("user string, ts timestamp, page string")
+        .json(str(tmp_path / "clicks"))
+    )
+    right = (
+        spark.readStream.schema("user string, ts timestamp, amount double")
+        .json(str(tmp_path / "buys"))
+        .withColumnRenamed("ts", "buy_ts")
+    )
+    joined = W.interval_join(
+        left, right, key="user", left_ts="ts", right_ts="buy_ts",
+        watermark="10 minutes", interval="5 minutes",
+    ).select(left["user"], "page", "amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["user"], r["amount"]) for r in spark.sql(
+        "SELECT user, amount FROM ssjoin_test"
+    ).collect()}
+    assert rows == {("u1", 5.0), ("u2", 7.0)}  # the 11:00 buy excluded
+
+
+def test_interval_join_helper_plans_bounded_state(spark, tmp_path):
+    """The helper's analyzed plan must carry watermarks on BOTH sides
+    (bounded state) and a stream-stream Join."""
+    _write_jsonl(tmp_path / "l" / "f.json", [{"k": "a", "ts": "2024-01-01T00:00:00Z"}])
+    _write_jsonl(tmp_path / "r" / "f.json", [{"k": "a", "ts": "2024-01-01T00:01:00Z"}])
+    left = spark.readStream.schema("k string, ts timestamp").json(str(tmp_path / "l"))
+    right = (
+        spark.readStream.schema("k string, ts timestamp")
+        .json(str(tmp_path / "r"))
+        .withColumnRenamed("ts", "rts")
+    )
+    joined = W.interval_join(left, right, key="k", left_ts="ts", right_ts="rts")
+    analyzed = joined._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("EventTimeWatermark") == 2
+    assert "Join Inner" in analyzed
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    src = tmp_path / "ev"
+    now = time.time()
+    _write_jsonl(
+        src / "b1.json",
+        [
+            {"user_id": "u1", "value": 10.0, "ts": "2024-01-01T10:00:00Z"},
+            {"user_id": "u1", "value": 5.0, "ts": "2024-01-01T10:01:00Z"},
+            {"user_id": "u2", "value": 1.0, "ts": "2024-01-01T10:02:00Z"},
+        ],
+        mtime=now - 60,
+    )
+    _write_jsonl(
+        src / "b2.json",
+        [
+            {"user_id": "u1", "value": 2.0, "ts": "2024-01-01T10:10:00Z"},
+            {"user_id": "u3", "value": 4.0, "ts": "2024-01-01T10:11:00Z"},
+        ],
+        mtime=now - 30,
+    )
+    stream = (
+        spark.readStream.schema("user_id string, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    totals = W.running_totals_with_state(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("state_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM state_test").collect()
+    # last emission per key carries the cumulative state ACROSS batches
+    final = {}
+    for r in rows:
+        final[r["key"]] = (r["events"], r["total"])
+    assert final["u1"] == (3, 17.0)  # 2 events batch1 + 1 in batch2
+    assert final["u2"] == (1, 1.0)
+    assert final["u3"] == (1, 4.0)
