@@ -1061,3 +1061,73 @@ def q32(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "s7_interval_join",
+    oracle="""
+    SELECT a.event_id AS left_id, b.event_id AS right_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_id <> b.event_id
+    ORDER BY left_id, right_id
+    """,
+)
+def s7(spark, sf_dir):
+    """Batch replay of the stream-stream interval join (windows.
+    interval_join): pairs of events from the same user within 5
+    minutes. In streaming form both sides carry watermarks so state
+    stays bounded; the batch form is the verifiable equivalent."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("b_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (a.u == b.u2)
+            & (b.b_ts >= a.a_ts)
+            & (b.b_ts <= a.a_ts + F.expr("INTERVAL 5 minutes"))
+            & (F.col("left_id") != F.col("right_id")),
+        )
+        .select("left_id", "right_id")
+        .orderBy("left_id", "right_id")
+    )
+
+
+@query(
+    "s8_running_totals",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS DOUBLE) AS running_total,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS running_events
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def s8(spark, sf_dir):
+    """Batch equivalent of running_totals_with_state (the
+    applyInPandasWithState operator): per-user cumulative sum/count —
+    the stateful stream emits exactly the suffix of this series."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_events"),
+    ).orderBy("user_id", "event_id")
