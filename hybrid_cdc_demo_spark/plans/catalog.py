@@ -1131,3 +1131,33 @@ def s8(spark, sf_dir):
         .alias("running_total"),
         F.count(F.lit(1)).over(w).alias("running_events"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "q33_asof_join",
+    oracle="""
+    SELECT a.event_id, b.value AS last_update_value
+    FROM (SELECT user_id, event_id, ts FROM events) a
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'UPDATE') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    ORDER BY a.event_id
+    """,
+)
+def q33(spark, sf_dir):
+    """As-of join (operators.asof): every event annotated with the
+    latest prior UPDATE value for its user. Single-shuffle union+
+    window implementation — no native ASOF in Spark, no O(n·m) range
+    blowup (see operators/asof.py)."""
+    from hybrid_cdc_demo_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "event_id", "ts")
+    right = ev.filter(F.col("event_type") == "UPDATE").select(
+        "user_id", F.col("ts").alias("u_ts"), F.col("value").alias("u_value")
+    )
+    return (
+        asof_join(left, right, "user_id", "ts", "u_ts", ["u_value"])
+        .select("event_id", F.col("u_value").alias("last_update_value"))
+        .orderBy("event_id")
+    )
