@@ -250,6 +250,7 @@ class CDCPipeline:
         # narrow (no shuffle) so every downstream job over the cached
         # batch runs batch-sized task counts, not source-split counts
         batch = batch.coalesce(self.config.shuffle_partitions).persist()
+        valid = None
         try:
             valid, invalid = self.split_valid(batch)
             valid = self.mask(self.dedup(valid)).persist()
@@ -343,6 +344,10 @@ class CDCPipeline:
             log_batch(stats)
             return stats
         finally:
+            # release BOTH caches — a per-second trigger that only
+            # persists would accumulate stale blocks for the whole run
+            if valid is not None:
+                valid.unpersist()
             batch.unpersist()
             session.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
