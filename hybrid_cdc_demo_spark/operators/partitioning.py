@@ -44,8 +44,21 @@ def skew_salted_join(
     factory); this explicit form is for the pathological keys AQE's
     thresholds won't split (e.g. one key = 40% of a 100 TB table) or
     non-AQE environments. Salted output is row-identical to the plain
-    join (property-tested)."""
+    join (property-tested).
+
+    Only ``inner`` and ``left`` (outer) are supported: under right/full
+    outer the replicated small side would emit every UNMATCHED small
+    row once per salt — salt_buckets duplicates the plain join doesn't
+    have. (Matched rows are fine under any ``how``; it's the
+    null-extended ones that multiply.)"""
     import pyspark.sql.functions as F
+
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"skew_salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full outer would emit unmatched small-side rows once "
+            "per salt"
+        )
 
     salted_large = large.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")

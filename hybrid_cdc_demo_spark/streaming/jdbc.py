@@ -134,7 +134,13 @@ def delete_sql(table: str, key_cols: list[str]) -> str:
 
 def offset_upsert_sql(offset_table: str = "cdc_offsets") -> str:
     """The cdc_offsets commit row (scripts/sql/create-offset-table.sql
-    shape + batch_id), executed inside the data transaction."""
+    shape + batch_id), executed inside the data transaction.
+
+    ``last_event_timestamp_micros`` only advances (src/cdc/offset.py:76-83
+    rejects timestamp regressions): a later batch that carries older
+    events — file-reorder under maxFilesPerTrigger=1 — must not move
+    the offset clock backwards. Two-arg ``MAX`` is the sqlite/ClickHouse
+    spelling; on Postgres the dialect swaps in ``GREATEST``."""
     return (
         f"INSERT INTO {offset_table} "
         "(table_name, keyspace_name, destination, batch_id, "
@@ -142,8 +148,9 @@ def offset_upsert_sql(offset_table: str = "cdc_offsets") -> str:
         "VALUES (?, ?, ?, ?, ?, ?) "
         "ON CONFLICT (table_name, keyspace_name, destination) DO UPDATE SET "
         "batch_id = excluded.batch_id, "
-        "last_event_timestamp_micros = excluded.last_event_timestamp_micros, "
-        "events_replicated_count = cdc_offsets.events_replicated_count "
+        f"last_event_timestamp_micros = MAX({offset_table}.last_event_timestamp_micros, "
+        "excluded.last_event_timestamp_micros), "
+        f"events_replicated_count = {offset_table}.events_replicated_count "
         "+ excluded.events_replicated_count"
     )
 
@@ -212,6 +219,13 @@ class JdbcUpsertSink:
         return None if row is None else row[0]
 
     def _apply_rows(self, cur, rows) -> tuple[int, int, int]:
+        """Apply a LATEST-PER-KEY-COLLAPSED batch: each key appears at
+        most once (write_batch collapses first), so an upsert and a
+        delete can never target the same key within a batch and the
+        executemany order between the two statement groups is
+        immaterial. Without the collapse, DELETE(ts=100) followed by
+        re-INSERT(ts=200) would apply as upsert-then-delete and leave
+        the key wrongly absent."""
         cols, keys = self.columns, self.key_cols
         up_sql = upsert_sql(self.table, cols, keys)
         del_sql = delete_sql(self.table, keys)
@@ -245,7 +259,21 @@ class JdbcUpsertSink:
         finally:
             probe.close()
 
-        projected = batch.select("event_type", "timestamp_micros", *self.columns)
+        from hybrid_cdc_demo_spark.streaming.sinks import latest_per_key
+
+        # Collapse to one surviving event per key BEFORE applying
+        # (latest timestamp, event_id tiebreak — same convergence rule
+        # as UpsertSink): per-key SQL order inside a batch then cannot
+        # matter, and a crash-replay re-applies the identical winners.
+        # The window's hash-exchange also leaves partitions keyed, so
+        # in partition scope no two connections ever touch one key.
+        tiebreak = (
+            "event_id" if "event_id" in batch.columns else "timestamp_micros"
+        )
+        collapsed = latest_per_key(batch, self.key_cols, tiebreak_col=tiebreak)
+        projected = collapsed.select(
+            "event_type", "timestamp_micros", *self.columns
+        )
         if self.txn_scope == "partition":
             sink = self  # close over a picklable copy for executors
 

@@ -125,6 +125,13 @@ class CDCPipeline:
         self._checks = self._build_checks()
         self._key_hash = F.sha2(F.to_json(F.col("partition_key")), 256)
         self._masked_payload = self._build_masked_payload()
+        # O6 (reference src/cdc/reader.py:186-188): the pipeline is
+        # scoped to ONE (keyspace, table); events for any other table
+        # in a shared commitlog directory are skipped — counted, never
+        # DLQ'd (they are not errors) and never replicated.
+        self._in_scope = (F.col("keyspace") == c.keyspace) & (
+            F.col("table_name") == c.table
+        )
 
     # -- transform stages (pure DataFrame → DataFrame, unit-testable) --
 
@@ -252,7 +259,16 @@ class CDCPipeline:
         batch = batch.coalesce(self.config.shuffle_partitions).persist()
         valid = None
         try:
-            valid, invalid = self.split_valid(batch)
+            # O6 scope filter runs FIRST: corrupt rows parse to null
+            # keyspace/table and must still reach the DLQ, so the
+            # invalid split keeps null-scope rows while foreign-table
+            # rows (well-formed, different table) are skipped.
+            scoped = batch.filter(
+                self._in_scope
+                | F.col("keyspace").isNull()
+                | F.col("table_name").isNull()
+            )
+            valid, invalid = self.split_valid(scoped)
             valid = self.mask(self.dedup(valid)).persist()
             # job 1: materialize the transformed batch into cache so
             # the parallel fan-out reads warm data instead of racing
@@ -260,10 +276,26 @@ class CDCPipeline:
             # stat AND the schema-drift probe (no extra pass)
             schema = self.registry.latest(self.config.keyspace, self.config.table)
             if self.config.auto_evolve and schema is not None:
+                from hybrid_cdc_demo_spark.schema.evolution import _json_class
+
                 known = F.array(*[F.lit(c) for c in schema.columns])
                 drift_flag = (
                     F.size(F.array_except(F.json_object_keys("columns"), known)) > 0
                 )
+                # drift is ALSO a known column arriving under a new
+                # JSON class (e.g. a registered bigint as "thirty") —
+                # the ALTER path the supervisor classifies as
+                # compatible widening or incompatible narrowing
+                for name, cql in schema.columns.items():
+                    jc = _json_class(cql)
+                    if jc == "string":
+                        continue  # any JSON value reads back as text
+                    v = F.get_json_object("columns", f"$.{name}")
+                    if jc == "number":
+                        bad = v.isNotNull() & v.try_cast("double").isNull()
+                    else:  # boolean
+                        bad = v.isNotNull() & ~F.lower(v).isin("true", "false")
+                    drift_flag = drift_flag | bad
             else:
                 drift_flag = F.lit(False)
             counts = valid.agg(
@@ -293,7 +325,17 @@ class CDCPipeline:
                         destination="schema",
                         error_type="schema_incompatible",
                     )
+                    # the invalid split must ALSO persist before the
+                    # early return — foreachBatch completing advances
+                    # the checkpoint, so a merely-counted row is gone
                     stats["invalid"] = invalid.count()
+                    if stats["invalid"]:
+                        write_dlq(
+                            invalid,
+                            self.config.dlq_path,
+                            destination="validation",
+                            error_type="contract_violation",
+                        )
                     return stats
 
             # multi-sink fan-out with per-sink isolation (O20: one
@@ -313,6 +355,16 @@ class CDCPipeline:
                     )
                 return "invalid", inv, None
 
+            def foreign_task():
+                # O6 observability: skipped foreign-table events are a
+                # counter (reader.py:186-188 skips silently; we count)
+                n = batch.filter(
+                    F.col("keyspace").isNotNull()
+                    & F.col("table_name").isNotNull()
+                    & ~self._in_scope
+                ).count()
+                return "foreign_skipped", n, None
+
             def one_sink(item):
                 name, sink = item
                 try:
@@ -323,7 +375,7 @@ class CDCPipeline:
                 except Exception as exc:  # noqa: BLE001
                     return name, -1, exc
 
-            tasks = [dlq_task] + [
+            tasks = [dlq_task, foreign_task] + [
                 (lambda item=item: one_sink(item)) for item in self.sinks.items()
             ]
             with ThreadPoolExecutor(max_workers=len(tasks)) as pool:

@@ -106,25 +106,99 @@ class BatchLedger:
     """Committed-batch registry per sink — the `cdc_offsets` analogue
     (FIXTURES.md §B6; reference scripts/sql/create-offset-table.sql:4-18
     plus our batch_id column). JSON-per-batch files; presence of the
-    file == committed (atomic create)."""
+    file == committed (atomic create).
 
-    def __init__(self, path: str):
+    Two offset-table behaviors from the reference are enforced here so
+    every sink personality inherits them:
+
+    * **Timestamp monotonicity** (src/cdc/offset.py:76-83): the
+      committed ``last_event_timestamp_micros`` is a running max — a
+      later batch carrying older events (maxFilesPerTrigger=1 file
+      reordering) never regresses the offset clock.
+    * **Retention/compaction** (src/cdc/offset.py cleanup_old_offsets
+      semantics): every ``compact_every`` commits the loose per-batch
+      JSON files fold into one ``_manifest.json``, so a week of 1 s
+      triggers holds ~compact_every files, not ~600k. Per-batch records
+      are preserved exactly (the manifest keeps them all); only the
+      file COUNT is bounded.
+    """
+
+    MANIFEST = "_manifest.json"
+
+    def __init__(self, path: str, compact_every: int = 64):
         self.path = Path(path)
         self.path.mkdir(parents=True, exist_ok=True)
+        self.compact_every = compact_every
+        self._committed: set[int] | None = None  # lazy-loaded from disk
+        self._max_ts: int | None = None
+
+    def _load(self) -> None:
+        if self._committed is not None:
+            return
+        self._committed = set()
+        for b in self.committed_batches():
+            self._committed.add(int(b["batch_id"]))
+            ts = b.get("last_event_timestamp_micros")
+            if ts is not None:
+                ts = int(ts)
+                self._max_ts = ts if self._max_ts is None else max(self._max_ts, ts)
+
+    @property
+    def max_timestamp_micros(self) -> int | None:
+        """Monotone offset clock: max committed event timestamp."""
+        self._load()
+        return self._max_ts
 
     def is_committed(self, batch_id: int) -> bool:
-        return (self.path / f"batch-{batch_id:012d}.json").exists()
+        self._load()
+        return batch_id in self._committed
 
     def commit(self, batch_id: int, stats: dict) -> None:
+        self._load()
+        ts = stats.get("last_event_timestamp_micros")
+        ts = None if ts is None else int(ts)
+        if self._max_ts is not None:
+            # offset.py:76-83 — reject timestamp regressions
+            ts = self._max_ts if ts is None else max(ts, self._max_ts)
+        if ts is not None:
+            self._max_ts = ts
+        stats = {**stats, "last_event_timestamp_micros": ts}
         tmp = self.path / f".batch-{batch_id:012d}.tmp"
         tmp.write_text(json.dumps({"batch_id": batch_id, **stats}, default=str))
         os.replace(tmp, self.path / f"batch-{batch_id:012d}.json")
+        self._committed.add(batch_id)
+        if len(list(self.path.glob("batch-*.json"))) >= self.compact_every:
+            self._compact()
+
+    def _manifest_entries(self) -> list[dict]:
+        mf = self.path / self.MANIFEST
+        if not mf.exists():
+            return []
+        return json.loads(mf.read_text())
+
+    def _compact(self) -> None:
+        """Fold loose batch files into the manifest. Crash-safe: the
+        manifest replaces atomically BEFORE loose files unlink; a crash
+        between the two leaves duplicates that committed_batches()
+        dedups by batch_id."""
+        loose = sorted(self.path.glob("batch-*.json"))
+        by_id = {int(e["batch_id"]): e for e in self._manifest_entries()}
+        for p in loose:
+            e = json.loads(p.read_text())
+            by_id[int(e["batch_id"])] = e
+        entries = [by_id[k] for k in sorted(by_id)]
+        tmp = self.path / "._manifest.tmp"
+        tmp.write_text(json.dumps(entries))
+        os.replace(tmp, self.path / self.MANIFEST)
+        for p in loose:
+            p.unlink(missing_ok=True)
 
     def committed_batches(self) -> list[dict]:
-        out = []
+        by_id = {int(e["batch_id"]): e for e in self._manifest_entries()}
         for p in sorted(self.path.glob("batch-*.json")):
-            out.append(json.loads(p.read_text()))
-        return out
+            e = json.loads(p.read_text())
+            by_id[int(e["batch_id"])] = e
+        return [by_id[k] for k in sorted(by_id)]
 
 
 def latest_per_key(
@@ -185,6 +259,7 @@ class UpsertSink:
         path: str,
         key_cols: list[str],
         compact_every: int = 8,
+        tombstone_grace_micros: int = 7 * 24 * 3600 * 1_000_000,
     ):
         self.spark = spark
         self.table = VersionedParquetTable(spark, os.path.join(path, "data"))
@@ -193,6 +268,12 @@ class UpsertSink:
         self.ledger = BatchLedger(os.path.join(path, "ledger"))
         self.key_cols = key_cols
         self.compact_every = compact_every
+        #: how long DELETE tombstones survive compaction, measured in
+        #: EVENT time against the ledger's monotone offset clock (no
+        #: wall clock — deterministic replay). A tombstone GC'd too
+        #: early lets a late out-of-order stale insert resurrect the
+        #: key; this is Cassandra's gc_grace_seconds by another name.
+        self.tombstone_grace_micros = tombstone_grace_micros
         # background merge thread — ReplacingMergeTree-style: the write
         # path never blocks on folding deltas into the base
         self._compact_pool = ThreadPoolExecutor(max_workers=1)
@@ -242,7 +323,15 @@ class UpsertSink:
         if segs is None:
             segs = self._segments()
         if segs:
-            deltas = self.spark.read.parquet(*[str(s) for s in segs])
+            # ignoreMissingFiles: a reader racing the background
+            # compactor may hold a plan over segments the compactor
+            # just folded+removed; tolerate the vanished files — every
+            # row in them is, by compaction's contract, already in the
+            # base snapshot this same plan unions in.
+            deltas = (
+                self.spark.read.option("ignoreMissingFiles", "true")
+                .parquet(*[str(s) for s in segs])
+            )
             base = deltas if base is None else base.unionByName(
                 deltas.select(*base.columns)
             )
@@ -257,15 +346,26 @@ class UpsertSink:
         stay in the delta log for the next merge. Idempotent: a crash
         after the snapshot pointer swap but before segment removal
         re-merges the same rows to the same state (latest-wins is a
-        fixed point)."""
+        fixed point).
+
+        DELETE tombstones SURVIVE compaction: dropping them here would
+        let a late out-of-order event older than the delete win
+        latest_per_key against nothing and resurrect the key. They are
+        GC'd only once older than ``tombstone_grace_micros`` against
+        the ledger's monotone event clock, and filtered in read()."""
         segs = self._segments()
         merged = self._merged(segs)
         if merged is None:
             return
-        self.table.write(
-            merged.filter(F.col("event_type") != "DELETE"),
-            partition_by=self.partition_cols,
-        )
+        keep = merged
+        clock = self.ledger.max_timestamp_micros
+        if clock is not None and self.tombstone_grace_micros is not None:
+            cutoff = clock - self.tombstone_grace_micros
+            keep = merged.filter(
+                (F.col("event_type") != "DELETE")
+                | (F.col("timestamp_micros") >= F.lit(cutoff))
+            )
+        self.table.write(keep, partition_by=self.partition_cols)
         for s in segs:
             shutil.rmtree(s, ignore_errors=True)
 
@@ -326,7 +426,21 @@ class AppendSink:
         """Append log has no background work to wait for."""
 
     def read_raw(self) -> DataFrame:
-        return self.spark.read.parquet(str(self.data_path / "seg-*"))
+        segs = sorted(self.data_path.glob("seg-*"))
+        if not segs:
+            # empty log reads as an empty table (the 'seg-*' glob
+            # would otherwise throw PATH_NOT_FOUND before first batch);
+            # schema = the columns read()/latest_per_key touch
+            fields = ", ".join(
+                [f"`{k}` string" for k in self.key_cols]
+                + ["event_id string", "event_type string",
+                   "timestamp_micros long", "_batch_id long"]
+            )
+            return self.spark.createDataFrame([], fields)
+        return (
+            self.spark.read.option("ignoreMissingFiles", "true")
+            .parquet(*[str(s) for s in segs])
+        )
 
     def read(self) -> DataFrame:
         """Deduplicated view = ReplacingMergeTree final state (O23):
