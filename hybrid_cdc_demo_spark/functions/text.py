@@ -69,16 +69,24 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
     return n_stop.cast("double") / F.size(toks).cast("double")
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, round_digits: int | None = 4) -> Column:
     """Composite [0,1] quality heuristic: length band + low punctuation
-    + reasonable stopword density. Deterministic, JVM-only."""
+    + reasonable stopword density. Deterministic, JVM-only.
+
+    ``round_digits=None`` returns the raw double — every term is plain
+    IEEE arithmetic over the (oracle-verified) ratio signals, so the
+    unrounded value is bitwise-reproducible in ANSI SQL, while ROUND()
+    on a boundary double is engine-dependent."""
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c).cast("double")
     len_score = F.least(n / F.lit(200.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
     stop = stopword_ratio(c)
     stop_score = F.lit(1.0) - F.least(F.abs(stop - F.lit(0.4)), F.lit(1.0))
-    return F.round((len_score + punct_score + stop_score) / 3, 4)
+    score = (len_score + punct_score + stop_score) / 3
+    if round_digits is None:
+        return score
+    return F.round(score, round_digits)
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:

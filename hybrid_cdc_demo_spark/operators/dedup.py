@@ -302,12 +302,21 @@ def simhash_candidates(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    round_digits: int | None = 4,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard via an inverted-index join:
     explode n-grams → self-join on gram → per-pair intersection count →
     |A∩B| / (|A|+|B|-|A∩B|). No O(n²) cross join — only documents
-    sharing at least one gram ever meet."""
+    sharing at least one gram ever meet.
+
+    ``round_digits=None`` emits the raw IEEE quotient — integer/integer
+    division is correctly rounded and bitwise-identical across engines,
+    whereas ROUND() on a near-boundary double is not (oracle parity)."""
     grams = spread(df).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
@@ -332,17 +341,14 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"))
     sz_b = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"))
+    score = F.col("_inter").cast("double") / (
+        F.col("_sza") + F.col("_szb") - F.col("_inter")
+    ).cast("double")
+    if round_digits is not None:
+        score = F.round(score, round_digits)
     jac = (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("_inter").cast("double")
-                / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
-                4,
-            ).alias("jaccard"),
-        )
+        .select("id_a", "id_b", score.alias("jaccard"))
     )
     return jac.filter(F.col("jaccard") >= threshold)

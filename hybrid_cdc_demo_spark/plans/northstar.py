@@ -52,15 +52,45 @@ def ns_dedup_simhash(spark, sf_dir):
     return D.simhash_candidates(fps, max_hamming=10).orderBy("id_a", "id_b")
 
 
-@query("ns_dedup_ngram_jaccard")
+@query(
+    "ns_dedup_ngram_jaccard",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id < 100
+    ), grams AS (
+      SELECT id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(t) - 2, 1)),
+               i -> substring(t, i, 3))) AS gs
+      FROM norm
+    ), inv AS (
+      SELECT id, unnest(gs) AS g FROM grams
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN (SELECT id, len(gs) AS s FROM grams) sa ON sa.id = id_a
+    JOIN (SELECT id, len(gs) AS s FROM grams) sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
 def ns_dedup_ngram(spark, sf_dir):
     """Exact char-trigram Jaccard pairs over a bounded slice (the
     inverted-index join is exact; at scale it runs on LSH candidates,
-    not all-pairs — see operators.dedup.minhash_lsh_dedup)."""
+    not all-pairs — see operators.dedup.minhash_lsh_dedup). Unrounded
+    quotient: int/int double division is bitwise-equal across engines,
+    ROUND() on a boundary double is not."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, round_digits=None
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -90,11 +120,33 @@ def ns_text_stats(spark, sf_dir):
     )
 
 
-@query("ns_text_quality")  # composite heuristic — engine-defined, rows-only
+@query(
+    "ns_text_quality",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS DOUBLE) AS n,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(LENGTH(text) AS DOUBLE) AS pr,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> list_contains(['the','a','an','and','of','in','to','is','it','that'], t))) AS DOUBLE)
+               / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS sr
+      FROM documents
+    )
+    SELECT doc_id,
+           (LEAST(n / 200.0, 1.0)
+            + (1.0 - LEAST(pr * 5, 1.0))
+            + (1.0 - LEAST(ABS(sr - 0.4), 1.0))) / 3 AS quality
+    FROM sig ORDER BY doc_id
+    """,
+)
 def ns_text_quality(spark, sf_dir):
+    """Composite quality score — pure IEEE arithmetic over the
+    oracle-verified ns_text_stats signals, emitted unrounded so the
+    doubles are bitwise-reproducible in ANSI SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.orderBy("doc_id").select(
-        "doc_id", T.quality_score("text").alias("quality")
+        "doc_id", T.quality_score("text", round_digits=None).alias("quality")
     )
 
 
