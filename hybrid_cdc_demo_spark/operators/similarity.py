@@ -237,6 +237,28 @@ def ivf_index(
     return indexed, centers
 
 
+def probe_cells(centers: list[list[float]], qv, nprobe: int) -> list[int]:
+    """Rank centroids by cosine to the query, driver-side (centroids
+    are tiny metadata, never corpus data)."""
+    q = np.asarray(qv, dtype=float)
+    qn = np.linalg.norm(q) or 1.0
+    sims = []
+    for i, c in enumerate(centers):
+        cv = np.asarray(c)
+        denom = (np.linalg.norm(cv) or 1.0) * qn
+        sims.append((float(cv.dot(q)) / denom, i))
+    return [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+
+
+def _rank_in_cells(
+    indexed: DataFrame, qv, probe: list[int], k: int, id_col: str
+) -> DataFrame:
+    cands = indexed.filter(F.col("_cell").isin(probe))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    scored = cands.select(id_col, cosine(F.col("_v"), qlit).alias("score"))
+    return scored.orderBy(F.desc("score"), id_col).limit(k)
+
+
 def ivf_topk(
     df: DataFrame,
     query: DataFrame,
@@ -252,20 +274,77 @@ def ivf_topk(
     (driver-side — centroids are tiny), probe the ``nprobe`` nearest
     cells, exact-rank inside the probed subset. Candidate volume is
     ~ n * nprobe / num_cells; nprobe == num_cells degrades gracefully
-    to exact search."""
+    to exact search.
+
+    Builds the index inline — fine for one-shot exploration. Repeated
+    queries should build ONCE with :func:`ivf_write` and probe the
+    persisted, partition-pruned index via :func:`ivf_topk_persisted`."""
     indexed, centers = ivf_index(df, id_col, vec_col, num_cells, seed)
     qv = query.select(query_vec_col).first()[0]
-    q = np.asarray(qv, dtype=float)
-    qn = np.linalg.norm(q) or 1.0
-    sims = []
-    for i, c in enumerate(centers):
-        cv = np.asarray(c)
-        denom = (np.linalg.norm(cv) or 1.0) * qn
-        sims.append((float(cv.dot(q)) / denom, i))
-    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
-    cands = indexed.filter(F.col("_cell").isin(probe))
-    qlit = F.array(*[F.lit(float(x)) for x in q])
-    scored = cands.select(
-        id_col, cosine(F.col("_v"), qlit).alias("score")
+    probe = probe_cells(centers, qv, nprobe)
+    return _rank_in_cells(indexed, qv, probe, k, id_col)
+
+
+def ivf_write(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 64,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Build the IVF index ONCE and persist it: the corpus is written
+    ``partitionBy(_cell)`` (the inverted file — each cell is its own
+    parquet directory) and the centroid matrix lands in a JSON sidecar.
+    At 100 TB this is the only sane shape: the index build is a single
+    batch job, and every subsequent query scans just the probed cells'
+    files via partition pruning instead of re-clustering the corpus."""
+    import json
+    import os
+
+    indexed, centers = ivf_index(df, id_col, vec_col, num_cells, seed)
+    indexed.write.mode("overwrite").partitionBy("_cell").parquet(
+        os.path.join(path, "data")
     )
-    return scored.orderBy(F.desc("score"), id_col).limit(k)
+    meta = {
+        "id_col": id_col,
+        "num_cells": num_cells,
+        "seed": seed,
+        "centers": centers,
+    }
+    tmp = os.path.join(path, ".centroids.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "centroids.json"))
+    return centers
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]], dict]:
+    """Open a persisted IVF index: (indexed corpus with ``_cell`` as a
+    PARTITION column, centroid matrix, metadata)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        meta = json.load(fh)
+    indexed = spark.read.parquet(os.path.join(path, "data"))
+    return indexed, meta["centers"], meta
+
+
+def ivf_topk_persisted(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    query_vec_col: str = "qv",
+    nprobe: int = 8,
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index. The
+    ``_cell IN (probes)`` filter is a PartitionFilter — Spark plans a
+    scan over only the probed cells' files (asserted in
+    tests/test_ivf.py via inputFiles), so query cost is
+    ~ |corpus| * nprobe / num_cells I/O, independent of index size."""
+    indexed, centers, meta = ivf_read(spark, path)
+    qv = query.select(query_vec_col).first()[0]
+    probe = probe_cells(centers, qv, nprobe)
+    return _rank_in_cells(indexed, qv, probe, k, meta["id_col"])
