@@ -292,13 +292,16 @@ def ivf_write(
     vec_col: str = "embedding",
     num_cells: int = 64,
     seed: int = 42,
+    extra_meta: dict | None = None,
 ) -> list[list[float]]:
     """Build the IVF index ONCE and persist it: the corpus is written
     ``partitionBy(_cell)`` (the inverted file — each cell is its own
     parquet directory) and the centroid matrix lands in a JSON sidecar.
     At 100 TB this is the only sane shape: the index build is a single
     batch job, and every subsequent query scans just the probed cells'
-    files via partition pruning instead of re-clustering the corpus."""
+    files via partition pruning instead of re-clustering the corpus.
+    ``extra_meta`` (e.g. a corpus fingerprint for staleness detection)
+    is merged into the sidecar."""
     import json
     import os
 
@@ -311,6 +314,7 @@ def ivf_write(
         "num_cells": num_cells,
         "seed": seed,
         "centers": centers,
+        **(extra_meta or {}),
     }
     tmp = os.path.join(path, ".centroids.json.tmp")
     with open(tmp, "w") as fh:
@@ -341,9 +345,11 @@ def ivf_topk_persisted(
 ) -> DataFrame:
     """Approximate top-k against a persisted IVF index. The
     ``_cell IN (probes)`` filter is a PartitionFilter — Spark plans a
-    scan over only the probed cells' files (asserted in
-    tests/test_ivf.py via inputFiles), so query cost is
-    ~ |corpus| * nprobe / num_cells I/O, independent of index size."""
+    scan over only the probed cells' files (asserted in tests/
+    test_ivf.py::test_persisted_index_prunes_partitions via the
+    executed plan's PartitionFilters + the files actually touched), so
+    query cost is ~ |corpus| * nprobe / num_cells I/O, independent of
+    index size."""
     indexed, centers, meta = ivf_read(spark, path)
     qv = query.select(query_vec_col).first()[0]
     probe = probe_cells(centers, qv, nprobe)

@@ -262,29 +262,83 @@ def ns_simsearch_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def _ivf_cache_root() -> str:
+    """User-private cache root for persisted IVF indexes. Overridable
+    via SPARK_GRAFT_IVF_DIR; the default is a per-uid mode-0700 dir so
+    a world-shared tempdir path can't be pre-created/poisoned by
+    another user on a shared machine."""
+    import os
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_IVF_DIR") or os.path.join(
+        tempfile.gettempdir(), f"hybrid-cdc-demo-spark-ivf-{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    os.chmod(root, 0o700)
+    return root
+
+
+def corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Cheap content fingerprint of the corpus parquet (relative file
+    names + sizes + mtimes). Stored in centroids.json so a regenerated
+    corpus at the same path invalidates the index instead of silently
+    serving stale top-k results."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+    else:
+        files = [path]
+    h = hashlib.sha256()
+    for f in files:
+        st = os.stat(f)
+        h.update(
+            f"{os.path.relpath(f, path)}:{st.st_size}:{st.st_mtime_ns};".encode()
+        )
+    return h.hexdigest()[:16]
+
+
 def ivf_index_path(sf_dir: str, num_cells: int = 16, seed: int = 42) -> str:
     """Deterministic per-corpus location for the persisted IVF index
     (build-once; queries reuse it across invocations)."""
     import hashlib
     import os
-    import tempfile
 
     key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"hybrid_cdc_demo_spark-ivf-{key}-c{num_cells}-s{seed}",
-    )
+    return os.path.join(_ivf_cache_root(), f"{key}-c{num_cells}-s{seed}")
 
 
 def ensure_ivf_index(spark, sf_dir: str, num_cells: int = 16, seed: int = 42) -> str:
-    """Build the persisted IVF index if absent (the warmup/one-time
-    index job); no-op when it already exists."""
+    """Build the persisted IVF index if absent OR stale (the warmup /
+    one-time index job); no-op when the stored corpus fingerprint still
+    matches the parquet on disk. Rebuild-on-mismatch is asserted in
+    tests/test_ivf.py::test_stale_index_rebuilt_on_corpus_change."""
+    import json
     import os
 
     path = ivf_index_path(sf_dir, num_cells, seed)
-    if not os.path.exists(os.path.join(path, "centroids.json")):
-        emb = load_table(spark, sf_dir, "embeddings")
-        S.ivf_write(emb, path, num_cells=num_cells, seed=seed)
+    fp = corpus_fingerprint(sf_dir)
+    meta_path = os.path.join(path, "centroids.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("corpus_fingerprint") == fp:
+            return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    S.ivf_write(
+        emb,
+        path,
+        num_cells=num_cells,
+        seed=seed,
+        extra_meta={"corpus_fingerprint": fp},
+    )
     return path
 
 
@@ -294,7 +348,9 @@ def ns_simsearch_ivf(spark, sf_dir):
     ONCE into partitionBy(_cell) parquet (ensure_ivf_index — the bench
     warmup builds it untimed, exactly like a production index job);
     each query then probes the nprobe nearest cells through partition
-    pruning, so per-query cost excludes the index build."""
+    pruning, so per-query cost excludes the index build. nprobe=10/16
+    holds recall >= 0.9 even on the isotropic synthetic embeddings
+    (tests/test_ivf.py::test_persisted_recall_vs_brute_force)."""
     path = ensure_ivf_index(spark, sf_dir, num_cells=16, seed=42)
     emb = load_table(spark, sf_dir, "embeddings")
     emb_d = emb.select(
@@ -305,7 +361,7 @@ def ns_simsearch_ivf(spark, sf_dir):
         emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
         .select(F.col("emb").alias("qv"))
     )
-    out = S.ivf_topk_persisted(spark, path, qdf, k=10, nprobe=6)
+    out = S.ivf_topk_persisted(spark, path, qdf, k=10, nprobe=10)
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
