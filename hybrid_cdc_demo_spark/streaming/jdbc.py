@@ -139,18 +139,32 @@ def offset_upsert_sql(offset_table: str = "cdc_offsets") -> str:
     ``last_event_timestamp_micros`` only advances (src/cdc/offset.py:76-83
     rejects timestamp regressions): a later batch that carries older
     events — file-reorder under maxFilesPerTrigger=1 — must not move
-    the offset clock backwards. Two-arg ``MAX`` is the sqlite/ClickHouse
-    spelling; on Postgres the dialect swaps in ``GREATEST``."""
+    the offset clock backwards. The running max is spelled as a CASE
+    expression — the one ANSI form every target dialect parses
+    (two-arg ``MAX`` is sqlite/ClickHouse-only; ``GREATEST`` is
+    Postgres-only; this module's claim of Postgres-grammar parity
+    would otherwise be false).
+
+    ``events_replicated_count`` accumulates COLLAPSED rows applied
+    (upserts + deletes after the latest-per-key collapse) — identical
+    in both txn scopes. This deliberately diverges from the
+    reference's raw-event count (offset.py increments per event seen):
+    the collapsed count is the number of state changes the warehouse
+    actually performed, which is the meaningful replication measure
+    once a batch is collapsed before apply."""
+    t = offset_table
     return (
-        f"INSERT INTO {offset_table} "
+        f"INSERT INTO {t} "
         "(table_name, keyspace_name, destination, batch_id, "
         "last_event_timestamp_micros, events_replicated_count) "
         "VALUES (?, ?, ?, ?, ?, ?) "
         "ON CONFLICT (table_name, keyspace_name, destination) DO UPDATE SET "
         "batch_id = excluded.batch_id, "
-        f"last_event_timestamp_micros = MAX({offset_table}.last_event_timestamp_micros, "
-        "excluded.last_event_timestamp_micros), "
-        f"events_replicated_count = {offset_table}.events_replicated_count "
+        "last_event_timestamp_micros = CASE "
+        f"WHEN excluded.last_event_timestamp_micros > {t}.last_event_timestamp_micros "
+        "THEN excluded.last_event_timestamp_micros "
+        f"ELSE {t}.last_event_timestamp_micros END, "
+        f"events_replicated_count = {t}.events_replicated_count "
         "+ excluded.events_replicated_count"
     )
 
@@ -313,7 +327,9 @@ class JdbcUpsertSink:
             n_up, n_del, max_ts = self._apply_rows(
                 conn.cursor(), projected.toLocalIterator()
             )
-            self._commit_offset(conn, batch_id, max_ts, n_up)
+            # same counter semantics as partition scope: collapsed rows
+            # applied (upserts + deletes), see offset_upsert_sql
+            self._commit_offset(conn, batch_id, max_ts, n_up + n_del)
             conn.commit()  # the exactly-once point
             return n_up + n_del
         except Exception:

@@ -76,9 +76,12 @@ class PipelineConfig:
     #: payload columns outside the registered schema, evolve the
     #: registry (ADD/widening need no restart — payload stays JSON in
     #: the frame schema) or divert the batch to the DLQ when the drift
-    #: is incompatible. Masking classification is resolved at pipeline
-    #: construction, so an ADDed PII-named column takes effect at the
-    #: next supervised restart.
+    #: is incompatible. On `evolved` the pipeline rebinds its cached
+    #: validation/masking expressions and RE-MASKS the evolving batch
+    #: before fan-out, so an ADDed PII-named column is masked from the
+    #: batch that introduces it onward — no restart, no unmasked
+    #: window (tests/test_streaming.py::
+    #: test_pii_column_added_mid_stream_is_masked).
     auto_evolve: bool = True
 
     @property
@@ -205,6 +208,15 @@ class CDCPipeline:
             )
         )
 
+    def refresh_plan_expressions(self) -> None:
+        """Rebind the cached validation + masking expressions to the
+        CURRENT registry state (O11-O14 after §7.3.2 evolution). The
+        expressions are unbound Columns, so this is a driver-side
+        rebuild — no stream restart; the streaming frame schema never
+        changed (payload stays a JSON string)."""
+        self._checks = self._build_checks()
+        self._masked_payload = self._build_masked_payload()
+
     def split_valid(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Stage 1+2: corrupt / contract-violating rows out (O7/O8)."""
         flagged = batch.withColumn("__valid", self._checks)
@@ -316,6 +328,21 @@ class CDCPipeline:
                     outcome.get("changes", []),
                     outcome.get("version"),
                 )
+                if outcome["action"] in ("evolved", "discovered"):
+                    # Rebind the construction-time cached expressions
+                    # to the evolved registry and re-mask THIS batch:
+                    # the masking projection was applied before drift
+                    # detection, so without the re-mask a PII-named
+                    # column ADDed in this very batch would reach the
+                    # sinks raw (the reference's restart-only window —
+                    # closed here because the expressions are unbound
+                    # Columns, one driver-side rebuild away).
+                    self.refresh_plan_expressions()
+                    remasked = self.mask(
+                        valid.drop("key_hash", "columns_masked")
+                    ).persist()
+                    valid.unpersist()
+                    valid = remasked
                 if outcome["action"] == "incompatible":
                     # reference semantics: incompatible change diverts
                     # the table's events to the DLQ, sinks untouched

@@ -411,6 +411,7 @@ class AppendSink:
         # per-batch segment dir + overwrite = idempotent under replay
         seg = self.data_path / f"seg-{batch_id:012d}"
         out.write.mode("overwrite").parquet(str(seg))
+        self._persist_schema(out)
         n, max_ts = _segment_stats(seg)
         self.ledger.commit(
             batch_id,
@@ -425,12 +426,47 @@ class AppendSink:
     def flush(self) -> None:
         """Append log has no background work to wait for."""
 
+    def _persist_schema(self, df: DataFrame) -> None:
+        """Record the FULL projected batch schema once (first write),
+        so an empty log reads back with the same columns AND types a
+        populated one would — a consumer selecting a payload column
+        works before batch 1, and non-string keys keep their type.
+        Nullability is normalized to parquet-read semantics (all
+        nullable) so empty and populated reads have EQUAL schemas."""
+        sidecar = self.path / "_schema.json"
+        if sidecar.exists():
+            return
+        from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+        def nullable(dt):
+            if isinstance(dt, StructType):
+                return StructType(
+                    [StructField(f.name, nullable(f.dataType), True) for f in dt]
+                )
+            if isinstance(dt, ArrayType):
+                return ArrayType(nullable(dt.elementType), True)
+            if isinstance(dt, MapType):
+                return MapType(dt.keyType, nullable(dt.valueType), True)
+            return dt
+
+        tmp = self.path / "._schema.json.tmp"
+        tmp.write_text(nullable(df.schema).json())
+        os.replace(tmp, sidecar)
+
     def read_raw(self) -> DataFrame:
         segs = sorted(self.data_path.glob("seg-*"))
         if not segs:
             # empty log reads as an empty table (the 'seg-*' glob
-            # would otherwise throw PATH_NOT_FOUND before first batch);
-            # schema = the columns read()/latest_per_key touch
+            # would otherwise throw PATH_NOT_FOUND before first batch).
+            # Prefer the persisted first-write schema; before ANY write
+            # fall back to the minimal dedup-view columns (the only
+            # contract read()/latest_per_key rely on).
+            sidecar = self.path / "_schema.json"
+            if sidecar.exists():
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromJson(json.loads(sidecar.read_text()))
+                return self.spark.createDataFrame([], schema)
             fields = ", ".join(
                 [f"`{k}` string" for k in self.key_cols]
                 + ["event_id string", "event_type string",

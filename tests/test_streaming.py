@@ -309,6 +309,72 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert sorted(r["event_id"] for r in out) == ["x", "y"]
 
 
+def test_pii_column_added_mid_stream_is_masked(spark, tmp_path):
+    """§7.3.2 + O11-O14: a PII-named column ADDed mid-stream must be
+    masked from the batch that introduces it — the registry evolves,
+    the pipeline rebinds its cached masking expressions, and NO window
+    of raw values reaches any sink (reference scenario
+    tests/integration/test_add_column.py:17-77 + data-model.md:119-166,
+    where the same ADD required a supervised restart)."""
+    import time as _time
+
+    src = tmp_path / "commitlog"
+    src.mkdir()
+
+    def envelope(i, uid, columns):
+        return {
+            "event_id": f"e{i}",
+            "event_type": "INSERT",
+            "table_name": "users",
+            "keyspace": "ecommerce",
+            "partition_key": {"user_id": uid},
+            "clustering_key": {},
+            "columns": json.dumps(columns),
+            "timestamp_micros": 1_000_000 + i,
+            "ttl_seconds": None,
+            "captured_at": "2024-01-01T00:00:00Z",
+        }
+
+    # batch 1: the registered schema; batch 2: +ssn (unregistered PII)
+    waves = [
+        [envelope(0, "u1", {"user_id": "u1", "email": "a@x.com", "age": 30})],
+        [
+            envelope(
+                1,
+                "u2",
+                {"user_id": "u2", "email": "b@x.com", "ssn": "123-45-6789"},
+            )
+        ],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(waves):
+        seg = src / f"seg-{i}.json"
+        with seg.open("w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(seg, (now - 60 + i * 10, now - 60 + i * 10))  # force order
+
+    p = _pipeline(spark, tmp_path, max_files_per_trigger=1)
+    assert "ssn" not in p.registry.latest("ecommerce", "users").columns
+    p.run_available()
+
+    # the registry evolved in-run — no restart happened
+    evolved = p.registry.latest("ecommerce", "users")
+    assert evolved.columns.get("ssn") == "text"
+    assert any(e["action"] == "evolved" for e in p.evolution.audit)
+
+    expected_ssn = mask_pii_value("123-45-6789")
+    for name, sink in p.sinks.items():
+        read = sink.read_raw if name == "clickhouse" else sink.read
+        rows = read().filter(F.col("columns").contains("u2")).collect()
+        assert rows, name
+        for r in rows:
+            masked = json.loads(r["columns_masked"])
+            assert masked["ssn_masked"] == expected_ssn, name
+            assert expected_ssn != "123-45-6789"
+            assert "123-45-6789" not in (r["columns_masked"] or ""), name
+
+
 def test_continuous_trigger_and_graceful_stop(spark, tmp_path):
     """O3/O38: processingTime trigger polls for new segments; stop()
     drains the in-flight batch and flushes compactions."""
