@@ -91,6 +91,30 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def run_streaming_bench(
+    spark, runs: int = 3, n_events: int = 50000
+) -> dict[str, float]:
+    """Three consecutive full replays after one small untimed warmup
+    replay (first-touch codegen/JIT of the pipeline plan costs ~0.5 s
+    on whichever batch runs it first — a fixed compile cost, not a
+    per-batch execution cost). p99 is reported as the WORST of the
+    three runs, so a sub-1 s claim holds across consecutive runs
+    rather than on one lucky draw."""
+    run_streaming_replay(spark, n_events=2000)  # untimed warmup
+    results = [run_streaming_replay(spark, n_events=n_events) for _ in range(runs)]
+    p99s = [r["streaming_batch_p99_sec"] for r in results]
+    return {
+        "streaming_events_per_sec": round(
+            sum(r["streaming_events_per_sec"] for r in results) / runs, 1
+        ),
+        "streaming_batch_p99_sec": max(p99s),
+        "streaming_p99_runs": p99s,
+        "streaming_wall_sec": round(
+            sum(r["streaming_wall_sec"] for r in results) / runs, 3
+        ),
+    }
+
+
 def run_streaming_replay(spark, n_events: int = 50000) -> dict[str, float]:
     """S6 pipeline replay: envelope fixtures → validate/mask/merge into
     all three sink personalities; reports events/s and per-batch p99
@@ -159,7 +183,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings = run_queries(spark, sf_dir)
-    streaming = run_streaming_replay(spark)
+    streaming = run_streaming_bench(spark)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     result = {
         "metric": "total_query_sec",

@@ -90,17 +90,32 @@ def log_sink_error(destination: str, error_type: str, attempts: int) -> None:
 
 class span:
     """Minimal tracing span (reference OpenTelemetry usage,
-    tracing.py:72/103): logs duration on exit; nests by name."""
+    tracing.py:72/103): logs duration on exit; nests by name.
+
+    When tracing is initialized (observability.tracing.init_tracing)
+    the same span ALSO records into the active tracer — one code site,
+    two backends (log line + OTel-compatible span tree), zero cost
+    when tracing was never opted into."""
 
     def __init__(self, name: str, **fields: Any):
         self.name = name
         self.fields = fields
+        self._traced = None
 
     def __enter__(self):
         self._t0 = time.perf_counter()
+        from hybrid_cdc_demo_spark.observability.tracing import current_tracer
+
+        tracer = current_tracer()
+        if tracer is not None:
+            self._traced = tracer.span(self.name, **self.fields)
+            self._traced.__enter__()
         return self
 
     def __exit__(self, exc_type, exc, tb):
+        if self._traced is not None:
+            self._traced.__exit__(exc_type, exc, tb)
+            self._traced = None
         _emit(
             "span",
             logging.DEBUG if exc_type is None else logging.WARNING,

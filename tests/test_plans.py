@@ -97,6 +97,46 @@ def test_whole_stage_codegen_covers_relational_path(spark):
     assert "*(" in plan and "HashAggregate" in plan
 
 
+def test_ngram_jaccard_slice_pushes_down(spark):
+    """The bounded-slice predicate (doc_id < 100) must reach the
+    parquet scan — at 100 TB this is the difference between reading
+    one row group and reading the corpus."""
+    plan = plan_of(QUERIES["ns_dedup_ngram_jaccard"](spark, SF))
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert pushed and any("doc_id" in ln for ln in pushed), plan
+
+
+def test_text_analysis_has_no_python_udf(spark):
+    """The text family's claim is 'all builtin column expressions,
+    zero UDFs' — no Python/Arrow eval node may appear in the plan
+    (a Python worker roundtrip per batch would be the 100 TB
+    bottleneck)."""
+    for name in ("ns_text_stats", "ns_text_quality", "ns_text_fingerprint",
+                 "ns_text_langid", "ns_tokens_bpeish", "q26_text_token_stats"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_pii_masking_stays_jvm_side(spark):
+    """SHA-256 PII masking is builtin sha2 — the q22 plan must contain
+    no Python eval (HMAC/PHI is the ONLY sanctioned pandas_udf and
+    only enters when a PHI column exists)."""
+    plan = plan_of(QUERIES["q22_masking_sha256"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_brute_force_topk_broadcasts_query_side(spark):
+    """Cosine top-k must broadcast the 1-row query frame (map-side
+    scoring on every executor) and rank via TakeOrderedAndProject —
+    no shuffle of the corpus, no global sort."""
+    plan = plan_of(QUERIES["q27_cosine_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_streaming_uses_stateful_dedup_operator(spark):
     """S5 must plan a streaming dedup-within-watermark state operator
     when applied to a real stream (batch emulation aside)."""
