@@ -1161,3 +1161,323 @@ def q33(spark, sf_dir):
         .select("event_id", F.col("u_value").alias("last_update_value"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q34-Q41: wider TPC-H forms (Q3/Q6/Q14/Q17/Q18/Q19 faithful; Q9/Q16
+# adapted — the testdata has no partsupp table, so supply-cost terms are
+# dropped and supplier attribution comes from lineitem itself)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - CAST(l_discount AS DECIMAL(3,2))
+                                AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-06-01'
+      AND l_shipdate  > DATE '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q34(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): segment filter broadcast-prunes
+    customers, both date filters push to their scans, top-10 via
+    TakeOrderedAndProject (no global sort materialized)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    amount = _dec("l_extendedprice") * (
+        (F.lit(1) - _dec("l_discount", _DEC_FRAC)).cast(_DEC_FRAC)
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q35_tpch_q6",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q35(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-agg —
+    every predicate reaches the parquet scan, single partial+final
+    aggregate, zero joins. The canonical pushdown litmus test."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    amount = _dec("l_extendedprice") * _dec("l_discount", _DEC_FRAC)
+    return li.agg(F.round(F.sum(amount), 2).cast("double").alias("revenue"))
+
+
+@query(
+    "q36_tpch_q14",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(1 - CAST(l_discount AS DECIMAL(3,2))
+                                    AS DECIMAL(3,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           * 100.0
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(1 - CAST(l_discount AS DECIMAL(3,2))
+                            AS DECIMAL(3,2))) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-09-01'
+      AND l_shipdate <  DATE '1996-10-01'
+    """,
+)
+def q36(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): part is the small side — broadcast
+    join, conditional aggregation in one pass. Both sums are exact
+    decimals cast to double; the final division is a single IEEE op so
+    the unrounded quotient is bitwise-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    amount = _dec("l_extendedprice") * (
+        (F.lit(1) - _dec("l_discount", _DEC_FRAC)).cast(_DEC_FRAC)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", amount).otherwise(
+        F.lit(0).cast(_DEC_PRICE)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.sum(promo).cast("double")
+                * F.lit(100.0)
+                / F.sum(amount).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q37_tpch_q17",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < 0.2 * (
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q37(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated AVG
+    subquery becomes one grouped aggregate joined back — two passes
+    over the brand's lineitems, not a per-row subquery. The per-part
+    mean is an exact decimal sum divided by the count in double, so
+    the 0.2x threshold is bit-identical across engines."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = branded.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    return (
+        branded.join(F.broadcast(per_part), branded.l_partkey == per_part._pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q38_tpch_q18",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    ORDER BY total_qty DESC, o_orderkey LIMIT 100
+    """,
+)
+def q38(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): aggregate-then-filter
+    (HAVING) over the order grain, top-100 via TakeOrderedAndProject.
+    At scale the groupBy key is the join key, so the orders join and
+    the aggregate share one shuffle partitioning."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("_sq", 2).cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q39_tpch_q19",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - CAST(l_discount AS DECIMAL(3,2))
+                                AS DECIMAL(3,2))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+    """,
+)
+def q39(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicate): the OR
+    of brand/size/quantity conjuncts evaluates post-join; Catalyst
+    still pushes the derivable single-side bounds (brand IN, size/
+    quantity ranges) to the scans. Part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    amount = _dec("l_extendedprice") * (
+        (F.lit(1) - _dec("l_discount", _DEC_FRAC)).cast(_DEC_FRAC)
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 20)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q40_tpch_q9_shape",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(1 - CAST(l_discount AS DECIMAL(3,2))
+                                AS DECIMAL(3,2))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+)
+def q40(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation x year; the
+    testdata has no partsupp, so the supply-cost term is dropped).
+    part/supplier/nation broadcast; the one big shuffle is the
+    lineitem-orders join, then the group-by reuses its output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    amount = _dec("l_extendedprice") * (
+        (F.lit(1) - _dec("l_discount", _DEC_FRAC)).cast(_DEC_FRAC)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q41_tpch_q16_shape",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#2' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q41(spark, sf_dir):
+    """TPC-H Q16 shape (supplier relationship count; supplier linkage
+    comes from lineitem since the testdata has no partsupp). COUNT
+    DISTINCT expands to a two-level aggregate — partial dedup
+    map-side, so the shuffle carries (group, suppkey) pairs, not raw
+    lineitems."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
