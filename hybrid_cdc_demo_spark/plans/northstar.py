@@ -365,6 +365,46 @@ def ns_simsearch_ivf(spark, sf_dir):
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
+@query(
+    "ns_simsearch_ivf_fullprobe",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS raw_score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, ROUND(raw_score, 4) AS score
+    FROM scored ORDER BY raw_score DESC, vec_id LIMIT 10
+    """,
+)
+def ns_simsearch_ivf_fullprobe(spark, sf_dir):
+    """Persisted-IVF read path, HASH-VERIFIED: probing every cell
+    (nprobe == num_cells) degrades IVF gracefully to exact search, so
+    the result must equal brute-force cosine top-k — the same DuckDB
+    oracle as q27. This pins the whole persisted path (ivf_write
+    round-trip, sidecar centroids, _cell partition scan, in-cell
+    ranking) to an exact ground truth, complementing the recall-based
+    tests of the approximate nprobe<cells configuration."""
+    path = ensure_ivf_index(spark, sf_dir, num_cells=16, seed=42)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    min_id = emb_d.agg(F.min("vec_id").alias("mid"))
+    qdf = (
+        emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
+        .select(F.col("emb").alias("qv"))
+    )
+    out = S.ivf_topk_persisted(spark, path, qdf, k=10, nprobe=16)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
 @query("ns_embedding_neardup")
 def ns_embedding_neardup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")

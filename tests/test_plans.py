@@ -137,6 +137,44 @@ def test_brute_force_topk_broadcasts_query_side(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_tpch_q6_is_pure_scan_filter_agg(spark):
+    """Q6 must plan as scan → filter → partial agg → final agg with
+    every predicate in the scan's DataFilters and only the 4 needed
+    columns read — no join, no wide shuffle. The canonical pushdown
+    litmus test."""
+    plan = plan_of(QUERIES["q35_tpch_q6"](spark, SF))
+    assert "Join" not in plan
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in scan, col
+    assert "l_orderkey" not in scan  # column pruning
+    assert "l_shipdate" in scan and "l_discount" in scan
+
+
+def test_tpch_topk_avoids_global_sort(spark):
+    """Q3 and Q18 rank with LIMIT — the plan must use
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    full Exchange rangepartitioning + Sort of the aggregate output."""
+    for name in ("q34_tpch_q3", "q38_tpch_q18"):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "rangepartitioning" not in plan, name
+
+
+def test_tpch_q9_shape_broadcasts_all_dimensions(spark):
+    """Q9-shape joins lineitem against part/supplier/nation/orders:
+    every dimension must broadcast (no shuffle for the join inputs)
+    and the p_name LIKE filter must reach the part scan, so the only
+    hash exchange in the plan is the final group-by."""
+    plan = plan_of(QUERIES["q40_tpch_q9_shape"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    part_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "p_name" in ln
+    ]
+    assert part_scans and any("red" in ln for ln in part_scans)
+
+
 def test_streaming_uses_stateful_dedup_operator(spark):
     """S5 must plan a streaming dedup-within-watermark state operator
     when applied to a real stream (batch emulation aside)."""
