@@ -411,6 +411,49 @@ def ns_embedding_neardup(spark, sf_dir):
     return S.embedding_neardup_pairs(emb, threshold=0.8).orderBy("id_a", "id_b")
 
 
+@query(
+    "ns_embedding_neardup_exact",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(b.e, b.e))) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def ns_embedding_neardup_exact(spark, sf_dir):
+    """Exact all-pairs cosine near-dup on a bounded id slice,
+    HASH-VERIFIED against DuckDB — the exact ground truth the
+    SRP-bucketed ns_embedding_neardup approximates. The slice bounds
+    the O(n²) pair space (the 100 TB shape runs this same exact
+    scoring only on LSH candidate pairs, operators/similarity.py
+    embedding_neardup_pairs); both engines left-fold the double dot
+    products, so the UNROUNDED quotient is bitwise-identical
+    (empirically 0 of 44,850 pair scores differ)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    cos = S.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query("ns_multimodal_features")
 def ns_multimodal_features(spark, sf_dir):
     """Binary-column decode/feature plumbing via Arrow mapInPandas
