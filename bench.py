@@ -79,6 +79,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     warmup(spark, sf_dir)
     warmup_plans(spark)
+    spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         start = time.perf_counter()
@@ -88,6 +89,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             timings[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
+        # each query is an independent workload: drop any DataFrames it
+        # persisted so a later query neither reuses them (canonicalized-
+        # plan cache hits) nor pays their memory pressure
+        spark.catalog.clearCache()
     return timings
 
 
