@@ -108,6 +108,9 @@ def run_streaming_bench(
     run_streaming_replay(spark, n_events=2000)  # untimed warmup
     results = [run_streaming_replay(spark, n_events=n_events) for _ in range(runs)]
     p99s = [r["streaming_batch_p99_sec"] for r in results]
+    # BASELINE.md's single-destination target (>= 1000 ev/s) is a
+    # different workload than the 3-sink fan-out — measure it directly
+    single = run_streaming_replay(spark, n_events=n_events, sinks=("postgres",))
     return {
         "streaming_events_per_sec": round(
             sum(r["streaming_events_per_sec"] for r in results) / runs, 1
@@ -117,13 +120,25 @@ def run_streaming_bench(
         "streaming_wall_sec": round(
             sum(r["streaming_wall_sec"] for r in results) / runs, 3
         ),
+        "streaming_single_sink_events_per_sec": single[
+            "streaming_events_per_sec"
+        ],
+        # SC-009: time from pipeline start to the first batch applied
+        # (worst observed across runs; target < 30 s)
+        "streaming_cold_start_sec": max(
+            r["streaming_cold_start_sec"] for r in [*results, single]
+        ),
     }
 
 
-def run_streaming_replay(spark, n_events: int = 50000) -> dict[str, float]:
+def run_streaming_replay(
+    spark, n_events: int = 50000, sinks: tuple[str, ...] | None = None
+) -> dict[str, float]:
     """S6 pipeline replay: envelope fixtures → validate/mask/merge into
-    all three sink personalities; reports events/s and per-batch p99
-    (BASELINE.md targets: ≥1000 events/s, p99 < 1 s)."""
+    all three sink personalities (or the ``sinks`` subset); reports
+    events/s, per-batch p99, and cold-start-to-first-batch
+    (BASELINE.md targets: ≥1000 events/s single / ≥800 multi,
+    p99 < 1 s, cold start < 30 s)."""
     from hybrid_cdc_demo_spark.schema.evolution import SchemaRegistry, TableSchema
     from hybrid_cdc_demo_spark.sources.cdc import generate_change_events
     from hybrid_cdc_demo_spark.streaming.pipeline import CDCPipeline, PipelineConfig
@@ -155,26 +170,35 @@ def run_streaming_replay(spark, n_events: int = 50000) -> dict[str, float]:
         max_files_per_trigger=1,
     )
     pipeline = CDCPipeline(spark, cfg, reg)
+    if sinks is not None:
+        pipeline.sinks = {
+            name: sink for name, sink in pipeline.sinks.items() if name in sinks
+        }
 
     batch_secs: list[float] = []
+    first_batch_done: list[float] = []
     orig = pipeline.process_batch
 
     def timed(df, bid):
         t0 = time.perf_counter()
         out = orig(df, bid)
         batch_secs.append(time.perf_counter() - t0)
+        if not first_batch_done:
+            first_batch_done.append(time.perf_counter())
         return out
 
     pipeline.process_batch = timed
     start = time.perf_counter()
     pipeline.run_available()
     wall = time.perf_counter() - start
+    cold = (first_batch_done[0] - start) if first_batch_done else -1.0
     batch_secs.sort()
     p99 = batch_secs[int(len(batch_secs) * 0.99) - 1] if batch_secs else 0.0
     return {
         "streaming_events_per_sec": round(n_events / wall, 1),
         "streaming_batch_p99_sec": round(p99, 3),
         "streaming_wall_sec": round(wall, 3),
+        "streaming_cold_start_sec": round(cold, 3),
     }
 
 
