@@ -298,6 +298,66 @@ def simhash_candidates(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+# --- Near-dup clustering (connected components) ------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: returns
+    ``(id, component)`` where component = the minimum node id reachable
+    from ``id``. This is the stage that turns pairwise dedup verdicts
+    into groups (keep one canonical doc per component) — pairs alone
+    under-delete when A~B and B~C but A!~C.
+
+    Min-label propagation: every round each node takes the minimum
+    label of its closed neighborhood — one shuffle join (messages along
+    edges) plus one shuffle agg per round, with ``localCheckpoint``
+    truncating lineage so round N's plan doesn't replay rounds 1..N-1.
+    Rounds needed = graph diameter; near-dup graphs are clique-ish
+    clusters with tiny diameters, so 2-4 rounds in practice. The
+    O(log² n)-round large-star/small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) is the
+    published upgrade path if a pathological chain-shaped graph ever
+    dominates. Per-round cost is |E| shuffle bytes — no all-pairs
+    blowup, no driver-side graph state (the convergence check ships one
+    LIMIT 1 count, not data)."""
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        msgs = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "component"
+        )
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # --- n-gram Jaccard (exact, for candidate pairs or small inputs) -------------
 
 

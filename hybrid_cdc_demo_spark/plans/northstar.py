@@ -94,6 +94,77 @@ def ns_dedup_ngram(spark, sf_dir):
 
 
 @query(
+    "ns_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id AS id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id < 100
+    ), grams AS (
+      SELECT id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(t) - 2, 1)),
+               i -> substring(t, i, 3))) AS gs
+      FROM norm
+    ), inv AS (
+      SELECT id, unnest(gs) AS g FROM grams
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN (SELECT id, len(gs) AS s FROM grams) sa ON sa.id = id_a
+      JOIN (SELECT id, len(gs) AS s FROM grams) sb ON sb.id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), walk(id, reach) AS (
+      SELECT id, id FROM norm
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ), comp AS (
+      SELECT id, MIN(reach) AS component FROM walk GROUP BY id
+    )
+    SELECT id AS doc_id,
+           CAST(component AS BIGINT) AS component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp ORDER BY doc_id
+    """,
+)
+def ns_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS, hash-verified: the exact trigram-Jaccard
+    pairs (the already-oracle-checked ns_dedup_ngram_jaccard edge set)
+    closed under transitivity via min-label-propagation connected
+    components (operators.dedup.connected_components), vs DuckDB's
+    recursive-CTE transitive closure. Pairs alone under-delete when
+    A~B~C but A!~C; this is the grouping stage every production dedup
+    pipeline runs before picking one canonical doc per cluster."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, round_digits=None
+    )
+    comp = D.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
+    )
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "ns_text_stats",
     oracle="""
     SELECT doc_id,
@@ -243,6 +314,132 @@ def ns_corpus_curation(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ns_corpus_mix",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, lang,
+             CAST(LENGTH(text) AS DOUBLE) AS n,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(LENGTH(text) AS DOUBLE) AS pr,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> list_contains(['the','a','an','and','of','in','to','is','it','that'], t))) AS DOUBLE)
+               / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS sr
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             (LEAST(n / 200.0, 1.0)
+              + (1.0 - LEAST(pr * 5, 1.0))
+              + (1.0 - LEAST(ABS(sr - 0.4), 1.0))) / 3 AS quality
+      FROM sig
+    ), ranked AS (
+      SELECT doc_id, lang, quality,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS INTEGER) AS rk
+      FROM scored
+    )
+    SELECT doc_id, lang, quality, rk
+    FROM ranked WHERE rk <= 20 ORDER BY lang, rk
+    """,
+)
+def ns_corpus_mix(spark, sf_dir):
+    """Stratified corpus sampling for training-data mixing: top-20
+    docs per language by quality score — the per-stratum window rank
+    is exactly how a production mix selects its best docs per source/
+    language bucket. Ordering key is the UNROUNDED quality double
+    (already bitwise-verified by ns_text_quality), tie-broken by
+    doc_id, so both engines rank identically. One shuffle
+    (partitionBy lang); at 100 TB the same plan holds — rank within
+    partition never materializes the full sorted corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            T.quality_score("text", round_digits=None).alias("quality"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "ns_vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def ns_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k (tokenizer/vocab-building stat): explode
+    normalized tokens → count → top 100. Catalyst plans this as
+    partial (map-side) aggregation + one shuffle on token +
+    TakeOrdered — the canonical word-count shape that scales linearly;
+    skewed head tokens are absorbed by the map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
+@query(
+    "ns_source_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / CAST(SUM(total_tokens) OVER () AS DOUBLE) AS token_share
+    FROM per ORDER BY source, lang
+    """,
+)
+def ns_source_mix(spark, sf_dir):
+    """Training-mix weights: per (source, language) doc/token counts
+    and each cell's share of total tokens — the table a data-mixing
+    config is written from. The unbounded window runs on the already-
+    aggregated (source × lang) frame — a few rows, not the corpus —
+    so the global-sum window is safe at any scale. token_share is an
+    unrounded long/long→double quotient (bitwise-identical across
+    engines)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text").cast("long")).alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / F.sum("total_tokens").over(w).cast("double")
+        ).alias("token_share"),
+    ).orderBy("source", "lang")
 
 
 @query("ns_simsearch_lsh")  # recall-tested vs brute force in tests/

@@ -93,3 +93,40 @@ def test_ngram_jaccard_pairs(spark, corpus):
     found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
     assert found[(0, 1)] == 1.0
     assert (0, 2) in found
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, C~D (no direct A~D edge): all four must land in one
+    component labeled by the minimum id — the transitivity that
+    pairwise dedup output alone misses."""
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in D.connected_components(nodes, edges).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+
+
+def test_connected_components_two_clusters_and_singletons(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    edges = spark.createDataFrame(
+        [(5, 6), (0, 1), (1, 2)], ["id_a", "id_b"]
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in D.connected_components(nodes, edges).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5}
+
+
+def test_connected_components_no_edges(spark):
+    nodes = spark.createDataFrame([(3,), (7,)], ["id"])
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    out = {
+        r["id"]: r["component"]
+        for r in D.connected_components(nodes, edges).collect()
+    }
+    assert out == {3: 3, 7: 7}
