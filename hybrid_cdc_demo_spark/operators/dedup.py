@@ -325,34 +325,45 @@ def connected_components(
     "Connected Components in MapReduce and Beyond", SoCC 2014) is the
     published upgrade path if a pathological chain-shaped graph ever
     dominates. Per-round cost is |E| shuffle bytes — no all-pairs
-    blowup, no driver-side graph state (the convergence check ships one
-    LIMIT 1 count, not data)."""
-    sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .localCheckpoint(eager=True)
+    blowup, no driver-side graph state.
+
+    Per-round job shape is deliberately lean: the edge pipeline is
+    checkpointed ONCE (the symmetrized view is two cheap scans of that
+    checkpoint, not two runs of the upstream pair computation), each
+    round materializes a single frame carrying (old, new) labels, and
+    the convergence check is a map-only LIMIT 1 count over that
+    already-materialized checkpoint — no extra join job per round."""
+    pair = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+    sym = pair.unionAll(
+        pair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
-        msgs = sym.join(labels.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"), "component"
-        )
-        new_labels = (
-            labels.unionAll(msgs)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
+        msgs = sym.join(
+            labels.select(
+                F.col("id").alias("src"), F.col("component").alias("_lbl")
+            ),
+            "src",
+        ).select(F.col("dst").alias("id"), "_lbl")
+        upd = (
+            labels.join(
+                msgs.groupBy("id").agg(F.min("_lbl").alias("_msg")), "id", "left"
+            )
+            .select(
+                "id",
+                "component",
+                F.least(
+                    "component", F.coalesce("_msg", "component")
+                ).alias("_new"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("_new") < F.col("component")).limit(1).count()
+        labels = upd.select("id", F.col("_new").alias("component"))
         if changed == 0:
             break
     return labels
