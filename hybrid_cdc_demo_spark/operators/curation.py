@@ -1,0 +1,128 @@
+"""Training-corpus curation operators: deterministic splits, sequence
+packing, and cross-split contamination checks.
+
+The reference pipeline feeds analytics warehouses (SURVEY.md §0); these
+operators are part of the LLM-training-data extension surface the
+project north star adds on top (BASELINE.json). All three are pure
+DataFrame expressions — no UDFs, no driver-side loops — so Catalyst
+keeps them whole-stage-codegen'd and they scale by partitioning alone.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from hybrid_cdc_demo_spark.operators.dedup import word_shingles
+
+__all__ = ["hash_split", "pack_sequences", "ngram_contamination"]
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    split_col: str = "split",
+    train_hex_max: str = "c",
+    val_hex_max: str = "e",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent id
+    hash — the standard way a training pipeline splits a corpus so the
+    assignment is reproducible across runs, machines, and engines.
+
+    The first hex digit of sha256(id) buckets rows 16 ways; digits
+    ``0..train_hex_max`` → train, ``..val_hex_max`` → val, rest → test
+    (defaults: 13/16 ≈ 81%, 2/16 = 12.5%, 1/16 ≈ 6%). A single hex-char
+    string comparison is portable ANSI SQL, so the DuckDB oracle
+    reproduces the exact assignment.
+
+    100 TB posture: one narrow projection, no shuffle — the split column
+    is computed where the row already lives.
+    """
+    h = F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 1)
+    split = (
+        F.when(h <= train_hex_max, F.lit("train"))
+        .when(h <= val_hex_max, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(split_col, split)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    partition_col: str | None = None,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Next-fit sequence packing: walk documents in ``order_col`` order
+    and assign each to the bin of its *preceding* cumulative token
+    count, so bins fill to ``budget`` tokens before the next one opens
+    (a document larger than the budget gets a bin of its own). This is
+    the deterministic, shuffle-minimal form of the packing step that
+    prepares fixed-length training sequences.
+
+    ``bin = floor((cumsum - tokens) / budget)`` over a running-sum
+    window — exactly expressible in ANSI SQL, so the assignment is
+    oracle-checkable bit-for-bit.
+
+    100 TB posture: the running sum is windowed *within*
+    ``partition_col`` (source / shard / date), never globally — pass a
+    partition column at scale so no single ordered partition holds the
+    corpus. One shuffle on the partition key; a downstream groupBy
+    (partition, bin) reuses that partitioning.
+    """
+    part = [partition_col] if partition_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    bin_id = F.floor(
+        (cum - F.col(token_col)) / F.lit(float(budget))
+    ).cast("long")
+    return df.withColumn(bin_col, bin_id)
+
+
+def ngram_contamination(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    split_col: str = "split",
+    n: int = 5,
+    probe_split: str = "test",
+    against_split: str = "train",
+    hashed: bool = False,
+) -> DataFrame:
+    """Cross-split contamination: for each ``probe_split`` document,
+    count its distinct word n-grams that also appear anywhere in
+    ``against_split`` — the decontamination check run before an eval
+    set is trusted (a train/test 5-gram collision usually means a
+    near-duplicate leaked across the split).
+
+    Returns ``(id_col, n_hits)`` for contaminated probe docs only.
+
+    ``hashed=True`` joins on ``xxhash64(ngram)`` instead of the ngram
+    string — the 100 TB form (8-byte shuffle keys instead of ~40-byte
+    strings; collision odds are negligible at 2^-64 per pair). The
+    string form is kept as default because it is exactly reproducible
+    in the DuckDB oracle; tests assert both forms agree.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.col(split_col),
+        F.explode(word_shingles(text_col, n)).alias("_g"),
+    )
+    key = F.xxhash64("_g").alias("_k") if hashed else F.col("_g").alias("_k")
+    against = (
+        grams.filter(F.col(split_col) == against_split).select(key).distinct()
+    )
+    probe = grams.filter(F.col(split_col) == probe_split).select(
+        id_col, key
+    )
+    return (
+        probe.join(against, "_k")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )

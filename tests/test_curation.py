@@ -1,0 +1,112 @@
+"""Corpus-curation operators (operators/curation.py): deterministic
+split, sequence packing, contamination — semantics + plan-shape tests.
+(The exact-oracle hash checks run in the test_oracle_parity sweep.)"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hybrid_cdc_demo_spark.operators import curation as C
+from hybrid_cdc_demo_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_hash_split_total_and_determinism(docs):
+    split = C.hash_split(docs, "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    # train gets 13/16 of hex space; loose bounds that hold at any sf
+    frac = counts["train"] / sum(counts.values())
+    assert 0.70 < frac < 0.92
+    # same input -> bit-identical assignment (content-independent hash)
+    again = C.hash_split(docs, "doc_id")
+    assert split.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")
+    ).count() == 0
+
+
+def test_hash_split_no_shuffle(docs):
+    plan = C.hash_split(docs, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_budget_and_coverage(docs):
+    toks = docs.select(
+        "source", "doc_id", F.length("text").cast("long").alias("n_tok")
+    )
+    packed = C.pack_sequences(
+        toks, "n_tok", "doc_id", budget=500, partition_col="source"
+    )
+    # every doc assigned exactly one bin
+    assert packed.count() == toks.count()
+    bins = (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.sum("n_tok").alias("tot"),
+            F.max("n_tok").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    for r in bins:
+        # next-fit invariant: the cum-before-last stays inside the bin's
+        # budget window, so total minus the last (<= largest) doc is
+        # under budget; only a single oversized doc can blow past it
+        if r["n"] > 1:
+            assert r["tot"] - r["mx"] < 500
+    # each source starts at bin 0 and bin ids are monotone in doc order
+    # (a doc larger than the budget may legitimately skip a window)
+    per_src = packed.groupBy("source").agg(F.min("bin_id").alias("lo")).collect()
+    assert all(r["lo"] == 0 for r in per_src)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    non_monotone = packed.withColumn(
+        "prev", F.lag("bin_id").over(w)
+    ).filter(F.col("prev").isNotNull() & (F.col("bin_id") < F.col("prev")))
+    assert non_monotone.count() == 0
+
+
+def test_pack_sequences_single_shuffle(docs):
+    """The window cumsum and the per-bin aggregation share the source
+    partitioning — the whole pack-and-count plan needs ONE exchange."""
+    toks = docs.select(
+        "source", "doc_id", F.length("text").cast("long").alias("n_tok")
+    )
+    packed = C.pack_sequences(
+        toks, "n_tok", "doc_id", budget=500, partition_col="source"
+    )
+    agg = packed.groupBy("source", "bin_id").agg(F.sum("n_tok").alias("t"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_contamination_detects_planted_dup(spark):
+    rows = [
+        # identical long text in train (id 1: sha256("1") starts '6')
+        # and test (id 20: sha256("20") starts 'f')
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (20, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    split = C.hash_split(df, "doc_id")
+    assert {r["split"] for r in split.filter("doc_id = 20").collect()} == {"test"}
+    hits = C.ngram_contamination(split, "text", "doc_id", n=5).collect()
+    assert len(hits) == 1 and hits[0]["doc_id"] == 20
+    # 10 tokens -> 6 distinct 5-grams, all contaminated
+    assert hits[0]["n_hits"] == 6
+
+
+def test_contamination_hashed_matches_string(docs):
+    split = C.hash_split(docs, "doc_id")
+    s = C.ngram_contamination(split, "text", "doc_id", n=5, hashed=False)
+    h = C.ngram_contamination(split, "text", "doc_id", n=5, hashed=True)
+    assert s.exceptAll(h).count() == 0 and h.exceptAll(s).count() == 0
