@@ -185,3 +185,31 @@ def test_streaming_uses_stateful_dedup_operator(spark):
     dd = W.stateful_dedup(stream, id_col="event_id", ts_col="timestamp")
     explained = dd._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" in explained or "Deduplicate" in explained
+
+
+def test_tpch_q7_q8_broadcast_dimensions(spark):
+    """Q7/Q8 join lineitem+orders against nation/supplier/customer/
+    part/region dims: every dimension side must broadcast so the only
+    sort-merge/shuffle join (if any) is fact⋈fact, and the date filter
+    must push to the fact scan."""
+    for name, min_bhj in (("q42_tpch_q7", 3), ("q43_tpch_q8", 4)):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+        fact = [ln for ln in scans if "l_extendedprice" in ln]
+        assert fact, name
+
+
+def test_tpch_q13_two_level_aggregate(spark):
+    """Q13's count-of-counts must keep the priority filter in the
+    outer-join condition (customers with zero surviving orders still
+    appear) and plan exactly one wide shuffle on custkey — the regroup
+    on c_count operates on a tiny frame."""
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    df = QUERIES["q44_tpch_q13"](spark, SF)
+    plan = plan_of(df)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    # outer-join semantics: every customer appears in exactly one bucket
+    assert sum(rows.values()) == load_table(spark, SF, "customer").count()
+    assert "HashAggregate" in plan
