@@ -113,6 +113,41 @@ def apply_masking(df: DataFrame, rules: MaskingRules | None = None) -> DataFrame
     return df.select([mask_expr(name, rules) for name in df.columns])
 
 
+#: Free-text PII patterns, applied in order (email before the id/phone
+#: shapes so an address's digits aren't half-eaten by the phone rule;
+#: SSN before phone because an SSN also matches the looser phone shape).
+#: The regex subset used (char classes, counted repeats, \b, \s) parses
+#: identically under Java regex (Spark) and RE2 (DuckDB oracle).
+TEXT_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_text_pii(col: Column | str) -> Column:
+    """Redact PII *inside free text* (document bodies, message payloads)
+    — the scrub a training corpus runs before ingestion, complementing
+    the column-level masking above (which assumes PII lives in its own
+    named field; prose doesn't). Chained builtin ``regexp_replace`` —
+    JVM-side, no UDF, safe in any hot path."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, token in TEXT_PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def scrub_text_pii_value(value: str | None) -> str | None:
+    """Driver-side twin of scrub_text_pii (same patterns via ``re``)."""
+    import re
+
+    if value is None:
+        return None
+    for _, pattern, token in TEXT_PII_PATTERNS:
+        value = re.sub(pattern, token, value)
+    return value
+
+
 # Pure-Python reference semantics (for unit-test vectors and driver-side
 # use, identical digests to the reference implementation):
 def mask_pii_value(value: str | None) -> str | None:

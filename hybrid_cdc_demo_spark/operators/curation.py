@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, Window
 
 from hybrid_cdc_demo_spark.operators.dedup import word_shingles
 
-__all__ = ["hash_split", "pack_sequences", "ngram_contamination"]
+__all__ = [
+    "hash_split",
+    "pack_sequences",
+    "ngram_contamination",
+    "stratified_sample",
+]
 
 
 def hash_split(
@@ -45,6 +50,34 @@ def hash_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn(split_col, split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic stratified sample: the k rows per stratum with the
+    smallest sha256(id) — a uniform-at-random draw (the hash is
+    uniform over ids) that is reproducible across runs and engines,
+    unlike ``df.sample`` whose output depends on partitioning. The
+    standard way a pipeline takes an inspectable fixed dev subset per
+    language/source bucket.
+
+    100 TB posture: one shuffle on the stratum key; row_number within
+    each stratum never materializes a global sort. For heavily skewed
+    strata, pre-filter by a hash-prefix range to cap the per-stratum
+    sort input before ranking.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.sha2(F.col(id_col).cast("string"), 256), id_col
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
 
 
 def pack_sequences(

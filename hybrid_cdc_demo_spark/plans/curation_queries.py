@@ -9,6 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from hybrid_cdc_demo_spark.functions import text as T
+from hybrid_cdc_demo_spark.functions.masking import scrub_text_pii
 from hybrid_cdc_demo_spark.operators import curation as C
 from hybrid_cdc_demo_spark.plans.catalog import query
 from hybrid_cdc_demo_spark.sources.tables import load_table
@@ -121,3 +122,90 @@ def ns_contamination(spark, sf_dir):
     return C.ngram_contamination(
         split, "text", "doc_id", n=5
     ).orderBy("doc_id")
+
+
+@query(
+    "ns_sample_stratified",
+    oracle="""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+      FROM documents)
+    WHERE rk <= 5 ORDER BY lang, rk
+    """,
+)
+def ns_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sample (operators.curation.
+    stratified_sample): 5 docs per lang by smallest sha256(doc_id) —
+    a reproducible uniform draw, hash-checked row-for-row against the
+    oracle (df.sample could never be: its output depends on
+    partitioning). One shuffle on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        C.stratified_sample(docs, "lang", "doc_id", k=5)
+        .select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "ns_pii_scrub",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (415) 555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' (SSN 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ').' AS raw
+      FROM documents
+    )
+    , scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<ID>', 'g'),
+               '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g') AS s
+      FROM planted
+    )
+    SELECT doc_id, sha256(s) AS scrubbed_fp,
+           CAST(len(s) - len(regexp_replace(s, '<', '', 'g')) AS INTEGER)
+             AS n_redactions
+    FROM scrubbed ORDER BY doc_id
+    """,
+)
+def ns_pii_scrub(spark, sf_dir):
+    """Free-text PII scrub (functions.masking.scrub_text_pii) over a
+    deterministically PII-planted corpus — the synthetic documents
+    carry no emails/phones/SSNs, so the query plants one of each per
+    doc (derived from doc_id) and the oracle replays the identical
+    construction + redaction; the scrubbed-text fingerprint hash-checks
+    every replacement byte-for-byte. Chained builtin regexp_replace:
+    JVM-side, no UDF, column-pruned scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (415) 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" (SSN 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(")."),
+    )
+    planted = docs.select("doc_id", raw.alias("raw"))
+    scrubbed = planted.select(
+        "doc_id", scrub_text_pii("raw").alias("s")
+    )
+    return (
+        scrubbed.select(
+            "doc_id",
+            F.sha2("s", 256).alias("scrubbed_fp"),
+            (
+                F.length("s") - F.length(F.regexp_replace("s", "<", ""))
+            ).cast("int").alias("n_redactions"),
+        )
+        .orderBy("doc_id")
+    )

@@ -110,3 +110,15 @@ def test_contamination_hashed_matches_string(docs):
     s = C.ngram_contamination(split, "text", "doc_id", n=5, hashed=False)
     h = C.ngram_contamination(split, "text", "doc_id", n=5, hashed=True)
     assert s.exceptAll(h).count() == 0 and h.exceptAll(s).count() == 0
+
+
+def test_stratified_sample_deterministic_and_uniformish(docs):
+    s1 = C.stratified_sample(docs, "lang", "doc_id", k=5)
+    s2 = C.stratified_sample(docs, "lang", "doc_id", k=5)
+    a = s1.select("lang", "doc_id", "rk")
+    assert a.exceptAll(s2.select("lang", "doc_id", "rk")).count() == 0
+    per = s1.groupBy("lang").count().collect()
+    assert all(r["count"] == 5 for r in per)
+    # sample ids differ across strata (not the same head-of-table rows)
+    ids = [r["doc_id"] for r in s1.collect()]
+    assert len(set(ids)) == len(ids)

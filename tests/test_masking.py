@@ -66,3 +66,41 @@ def test_masking_is_single_projection(spark):
     df = spark.createDataFrame([("a@b.c", 1)], ["email", "x"])
     plan = apply_masking(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_scrub_text_pii_planted_vectors(spark):
+    """Free-text scrubber redacts emails, SSNs, and phone shapes while
+    leaving surrounding prose untouched; Spark output equals the
+    driver-side twin (same patterns, Java regex vs `re`)."""
+    from hybrid_cdc_demo_spark.functions.masking import (
+        scrub_text_pii,
+        scrub_text_pii_value,
+    )
+
+    cases = [
+        "mail me at jane.doe+x@sub.example.org today",
+        "ssn is 123-45-6789 ok",
+        "call +1 (415) 555-0142 now",
+        "plain text with no pii at all",
+        "multi: a@b.co and 987-65-4321 and 415 555 0100 end",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], ["i", "t"])
+    out = {
+        r["i"]: r["s"]
+        for r in df.select("i", scrub_text_pii("t").alias("s")).collect()
+    }
+    for i, t in enumerate(cases):
+        assert out[i] == scrub_text_pii_value(t), t
+    assert "<EMAIL>" in out[0] and "jane" not in out[0]
+    assert out[1] == "ssn is <ID> ok"
+    assert "<PHONE>" in out[2] and "415" not in out[2]
+    assert out[3] == cases[3]
+    assert "<EMAIL>" in out[4] and "<ID>" in out[4] and "<PHONE>" in out[4]
+
+
+def test_scrub_text_pii_null_safe(spark):
+    from hybrid_cdc_demo_spark.functions.masking import scrub_text_pii
+
+    df = spark.createDataFrame([(1, None)], "i int, t string")
+    assert df.select(scrub_text_pii("t").alias("s")).collect()[0]["s"] is None
