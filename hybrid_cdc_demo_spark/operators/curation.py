@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from hybrid_cdc_demo_spark.operators.dedup import word_shingles
+from hybrid_cdc_demo_spark.operators.partitioning import spread
 
 __all__ = [
     "hash_split",
@@ -142,7 +143,10 @@ def ngram_contamination(
     string form is kept as default because it is exactly reproducible
     in the DuckDB oracle; tests assert both forms agree.
     """
-    grams = df.select(
+    # the shingle explode is the CPU-heavy stage — spread first so a
+    # single-row-group local input doesn't serialize it on one core
+    # (no-op on a well-partitioned production input)
+    grams = spread(df).select(
         F.col(id_col),
         F.col(split_col),
         F.explode(word_shingles(text_col, n)).alias("_g"),
