@@ -1665,3 +1665,71 @@ def q44(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@query(
+    "s9_interval_join_outer",
+    oracle="""
+    SELECT a.event_id AS left_id, b.event_id AS right_id
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_id <> b.event_id
+    ORDER BY left_id, right_id NULLS FIRST
+    """,
+)
+def s9(spark, sf_dir):
+    """Batch replay of the LEFT OUTER stream-stream interval join
+    (windows.interval_join_outer): every event emits, paired with
+    same-user events in the next 5 minutes or null if none — the
+    missing-follow-up detection shape. In streaming form the outer row
+    emits once the watermark passes; this batch form is the verifiable
+    equivalent (same join condition, same schema)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("u2"),
+        F.col("ts").alias("b_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (a.u == b.u2)
+            & (b.b_ts >= a.a_ts)
+            & (b.b_ts <= a.a_ts + F.expr("INTERVAL 5 minutes"))
+            & (F.col("left_id") != F.col("right_id")),
+            "left",
+        )
+        .select("left_id", "right_id")
+        .orderBy("left_id", F.col("right_id").asc_nulls_first())
+    )
+
+
+@query(
+    "s10_stream_enrichment",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id
+    """,
+)
+def s10(spark, sf_dir):
+    """Batch replay of stream-static dimension enrichment
+    (windows.enrich_with_dimension): each event joined to its customer
+    attributes via a broadcast dimension — stateless in streaming form
+    (no watermark/state store), shuffle-free on the stream side. The
+    batch form runs the identical broadcast join."""
+    from hybrid_cdc_demo_spark.streaming.windows import enrich_with_dimension
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        enrich_with_dimension(ev, cust, "user_id", "c_custkey", how="inner")
+        .select("event_id", "user_id", "c_name", "c_mktsegment")
+        .orderBy("event_id")
+    )

@@ -114,6 +114,56 @@ def interval_join(
     return lw.join(rw, cond)
 
 
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    interval: str = "5 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like interval_join, but
+    a left row with no partner still emits (right side null) once the
+    watermark passes its interval — the shape used to detect *missing*
+    follow-up events (order with no payment, click with no conversion).
+    Outer emission REQUIRES the watermark + time-range condition:
+    without them Spark cannot ever conclude "no match will come" and
+    rejects the query. State stays bounded exactly as in the inner
+    form."""
+    import pyspark.sql.functions as F
+
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {interval}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {interval}"))
+    )
+    return lw.join(rw, cond, "leftOuter")
+
+
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each streaming row to a
+    broadcast dimension table — the canonical CDC enrichment (event →
+    customer/account attributes). Stream-static joins are STATELESS in
+    Spark (no watermark, no state store); broadcasting the dimension
+    keeps the stream side shuffle-free, so throughput is unchanged at
+    any scale where the dimension fits an executor (~GBs). For larger
+    dimensions, drop the broadcast hint and pre-bucket both sides."""
+    import pyspark.sql.functions as F
+
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], how
+    )
+
+
 def running_totals_with_state(
     stream: DataFrame,
     key_col: str = "user_id",

@@ -120,3 +120,89 @@ def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
     assert final["u1"] == (3, 17.0)  # 2 events batch1 + 1 in batch2
     assert final["u2"] == (1, 1.0)
     assert final["u3"] == (1, 4.0)
+
+
+def test_stream_stream_interval_join_outer_emits_unmatched(spark, tmp_path):
+    """Left rows with no partner must still emit (null right side) once
+    the watermark passes their interval — the missing-follow-up shape.
+    A late file advances the watermark far enough to flush them."""
+    clicks = [
+        {"user": "u1", "ts": "2024-01-01T10:00:00Z", "page": "a"},
+        {"user": "u3", "ts": "2024-01-01T10:05:00Z", "page": "c"},  # no buy
+    ]
+    buys = [
+        {"user": "u1", "ts": "2024-01-01T10:03:00Z", "amount": 5.0},
+        # watermark pushers on both sides, far past the join window
+        {"user": "zz", "ts": "2024-01-01T12:00:00Z", "amount": 0.0},
+    ]
+    closer = [{"user": "zz", "ts": "2024-01-01T12:00:00Z", "page": "x"}]
+    _write_jsonl(tmp_path / "c" / "f1.json", clicks)
+    _write_jsonl(tmp_path / "b" / "f1.json", buys)
+    _write_jsonl(tmp_path / "c" / "f2.json", closer)
+
+    left = (
+        spark.readStream.schema("user string, ts timestamp, page string")
+        .json(str(tmp_path / "c"))
+    )
+    right = (
+        spark.readStream.schema("user string, ts timestamp, amount double")
+        .json(str(tmp_path / "b"))
+        .withColumnRenamed("ts", "buy_ts")
+    )
+    joined = W.interval_join_outer(
+        left, right, key="user", left_ts="ts", right_ts="buy_ts",
+        watermark="1 minutes", interval="5 minutes",
+    ).select(left["user"], "page", "amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_outer_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["user"], r["amount"])
+        for r in spark.sql("SELECT user, amount FROM ssjoin_outer_test").collect()
+    }
+    assert ("u1", 5.0) in rows
+    assert ("u3", None) in rows  # unmatched left emitted with null right
+
+
+def test_stream_static_enrichment_is_stateless_broadcast(spark, tmp_path):
+    """Stream-static dimension enrichment: rows join to the broadcast
+    dim without any state store, and unmatched stream rows pass
+    through (left join) — the canonical CDC enrichment."""
+    events = [
+        {"user": "u1", "ts": "2024-01-01T10:00:00Z", "v": 1.0},
+        {"user": "u9", "ts": "2024-01-01T10:01:00Z", "v": 2.0},  # no dim row
+    ]
+    _write_jsonl(tmp_path / "ev" / "f.json", events)
+    dim = spark.createDataFrame(
+        [("u1", "GOLD"), ("u2", "SILVER")], ["cust", "tier"]
+    )
+    stream = (
+        spark.readStream.schema("user string, ts timestamp, v double")
+        .json(str(tmp_path / "ev"))
+    )
+    enriched = W.enrich_with_dimension(stream, dim, "user", "cust").select(
+        "user", "tier", "v"
+    )
+    # stateless: the streaming plan has no state-store operator
+    analyzed = enriched._jdf.queryExecution().analyzed().toString()
+    assert "StateStore" not in analyzed
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["user"], r["tier"], r["v"])
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    assert rows == {("u1", "GOLD", 1.0), ("u9", None, 2.0)}
