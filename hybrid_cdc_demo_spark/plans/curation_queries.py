@@ -209,3 +209,35 @@ def ns_pii_scrub(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ns_length_quantiles",
+    oracle="""
+    SELECT lang,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.5)  AS p50,
+           quantile_cont(n_chars, 0.9)  AS p90
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def ns_length_quantiles(spark, sf_dir):
+    """Per-language document-length quantiles — the distribution stat a
+    curation pass reads before setting min/max-length filters. Spark's
+    exact `percentile` and DuckDB's `quantile_cont` both interpolate
+    lower + frac*(upper-lower) over the sorted values, so the doubles
+    hash-match bitwise (verified at sf0.001/sf0.01). At 100 TB swap in
+    approx_percentile — same plan shape, sketch-mergeable, no global
+    sort; the exact form here is the oracle-checkable ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.expr("percentile(n_chars, array(0.25, 0.5, 0.9))").alias("_q"))
+        .select(
+            "lang",
+            F.col("_q")[0].alias("p25"),
+            F.col("_q")[1].alias("p50"),
+            F.col("_q")[2].alias("p90"),
+        )
+        .orderBy("lang")
+    )
