@@ -166,6 +166,25 @@ def embedding_neardup_pairs(
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 
+def cell_assign_expr(centers: list[list[float]]) -> F.Column:
+    """Nearest-centroid assignment for a ``_v`` double-array column:
+    one nested literal + transform + argmin — the expression tree is
+    CONSTANT-size in num_cells (per-center expressions would cost
+    thousands of driver roundtrips to build, and a running
+    when(best)-chain even nests exponentially — driver OOM). Squared
+    L2 metric (monotone with cosine for normalized embeddings)."""
+    centers_lit = F.lit([[float(x) for x in c] for c in centers])
+    dists = F.transform(
+        centers_lit,
+        lambda c: F.aggregate(
+            F.zip_with("_v", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def ivf_index(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -192,23 +211,7 @@ def ivf_index(
         F.col(id_col), _as_double_array(vec_col).alias("_v")
     ).persist()
 
-    def assign_expr(centers: list[list[float]]) -> F.Column:
-        # one nested literal + transform + argmin: the expression tree
-        # is CONSTANT-size in num_cells (per-center expressions would
-        # cost thousands of driver roundtrips to build, and a running
-        # when(best)-chain even nests exponentially — driver OOM)
-        centers_lit = F.lit([[float(x) for x in c] for c in centers])
-        dists = F.transform(
-            centers_lit,
-            # squared L2 (monotone with cosine for normalized
-            # embeddings; standard IVF metric)
-            lambda c: F.aggregate(
-                F.zip_with("_v", c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    assign_expr = cell_assign_expr
 
     # seed centers: deterministic sample (hash-ordered, corpus-spread)
     seeds = (
@@ -321,6 +324,50 @@ def ivf_write(
         json.dump(meta, fh)
     os.replace(tmp, os.path.join(path, "centroids.json"))
     return centers
+
+
+def ivf_append(
+    spark,
+    path: str,
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a persisted IVF index WITHOUT a
+    rebuild: new rows are assigned to the EXISTING centroids (the
+    standard IVF maintenance model — FAISS's add(), Milvus segment
+    ingestion) and appended into the matching ``_cell=`` partition
+    directories, so queries see them through the same partition-pruned
+    scan immediately. Centroids are frozen; a drifted corpus
+    eventually warrants a rebuild (monitor per-cell counts in the
+    sidecar), but per-batch ingestion cost stays O(batch), never
+    O(index).
+
+    Intended for explicitly managed index paths (built via
+    :func:`ivf_write`). Indexes managed by ``ensure_ivf_index`` are
+    derived views of a source corpus dir — appending to those is
+    overwritten by the next fingerprint-mismatch rebuild, by design.
+
+    Returns the number of rows appended. The sidecar's
+    ``appended_rows`` counter is updated atomically (tmp + rename).
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        meta = json.load(fh)
+    id_col = meta["id_col"]
+    data = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    assigned = data.withColumn("_cell", cell_assign_expr(meta["centers"]))
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("_cell").parquet(
+        os.path.join(path, "data")
+    )
+    meta["appended_rows"] = int(meta.get("appended_rows", 0)) + int(n)
+    tmp = os.path.join(path, ".centroids.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "centroids.json"))
+    return int(n)
 
 
 def ivf_read(spark, path: str) -> tuple[DataFrame, list[list[float]], dict]:

@@ -194,3 +194,62 @@ def test_stale_index_rebuilt_on_corpus_change(spark, tmp_path, monkeypatch):
         meta2 = json.load(fh)
     assert meta2["corpus_fingerprint"] != meta1["corpus_fingerprint"]
     assert spark.read.parquet(os.path.join(path2, "data")).count() == 90
+
+
+def test_ivf_append_is_visible_and_exact(spark, tmp_path):
+    """Incremental ingestion: build on a prefix of the corpus, append
+    the rest, then a full probe (nprobe == cells -> exact search) must
+    equal brute-force top-k over the WHOLE corpus — proving appended
+    vectors are ranked identically to originally-indexed ones."""
+    from hybrid_cdc_demo_spark.operators.similarity import (
+        ivf_append,
+        ivf_topk_persisted,
+        ivf_write,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf_app")
+    ivf_write(base, path, num_cells=8, seed=42)
+    n = ivf_append(spark, path, extra)
+    assert n == extra.count() and n > 0
+
+    q = _query_df(spark, emb)
+    got = [
+        r["vec_id"]
+        for r in ivf_topk_persisted(spark, path, q, k=10, nprobe=8).collect()
+    ]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    assert got == exact
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        meta = json.load(fh)
+    assert meta["appended_rows"] == n
+
+
+def test_ivf_append_reuses_existing_cells(spark, tmp_path):
+    """Appends go into the existing cell partition dirs under the
+    frozen centroids — no new cells appear, so partition pruning and
+    probe cost are unchanged after ingestion."""
+    from hybrid_cdc_demo_spark.operators.similarity import (
+        ivf_append,
+        ivf_read,
+        ivf_write,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf_app2")
+    ivf_write(base, path, num_cells=8, seed=42)
+    cells_before = {
+        d for d in os.listdir(os.path.join(path, "data")) if d.startswith("_cell=")
+    }
+    ivf_append(spark, path, extra)
+    cells_after = {
+        d for d in os.listdir(os.path.join(path, "data")) if d.startswith("_cell=")
+    }
+    assert cells_after.issubset(cells_before)
+    indexed, _, _ = ivf_read(spark, path)
+    assert indexed.count() == emb.count()
