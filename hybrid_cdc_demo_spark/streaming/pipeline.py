@@ -66,7 +66,17 @@ class PipelineConfig:
     #: scheduling overhead for microseconds of work each; at a real
     #: 1000-executor deployment this is the `spark.sql.shuffle.partitions`
     #: you tune to trigger-interval row counts, not total data size.
+    #: This value is the CAP: per batch the pipeline adapts DOWN from
+    #: it using the previous batch's observed row count (see
+    #: rows_per_shuffle_partition), so a small steady trigger runs
+    #: 1-partition jobs while a surge climbs back to the cap.
     shuffle_partitions: int = 4
+    #: target rows per shuffle partition for the adaptive sizing —
+    #: partitions = clamp(ceil(prev_batch_rows / this), 1, cap). Local
+    #: micro-batches of a few thousand rows want ONE partition (task
+    #: scheduling dominates compute); production triggers with
+    #: millions of rows scale up to the cap.
+    rows_per_shuffle_partition: int = 4096
     #: trigger mode (O3): None → availableNow (drain + stop, the
     #: deterministic test/replay mode); "Ns" → processingTime
     #: continuous polling, the reference's poll_interval_seconds
@@ -135,6 +145,25 @@ class CDCPipeline:
         self._in_scope = (F.col("keyspace") == c.keyspace) & (
             F.col("table_name") == c.table
         )
+        #: previous batch's valid-row count, feeding the adaptive
+        #: shuffle-partition sizing (None until the first batch lands)
+        self._last_batch_rows: int | None = None
+
+    def _batch_partitions(self) -> int:
+        """Partitions for THIS batch's jobs: the cap until a batch has
+        been observed, then ceil(prev_rows / rows_per_shuffle_partition)
+        clamped to [1, cap]. A steady small trigger (the common CDC
+        case) runs 1-partition jobs — task scheduling dominates compute
+        at that size — while a surge climbs back to the cap on the
+        next trigger."""
+        if self._last_batch_rows is None:
+            return self.config.shuffle_partitions
+        import math
+
+        want = math.ceil(
+            self._last_batch_rows / max(1, self.config.rows_per_shuffle_partition)
+        )
+        return max(1, min(self.config.shuffle_partitions, want))
 
     # -- transform stages (pure DataFrame → DataFrame, unit-testable) --
 
@@ -262,13 +291,12 @@ class CDCPipeline:
         # cloned session (confs latched at query start — start() sizes
         # them); for direct calls this is the caller's session
         session = batch.sparkSession
+        parts = self._batch_partitions()
         prev_parts = session.conf.get("spark.sql.shuffle.partitions")
-        session.conf.set(
-            "spark.sql.shuffle.partitions", str(self.config.shuffle_partitions)
-        )
+        session.conf.set("spark.sql.shuffle.partitions", str(parts))
         # narrow (no shuffle) so every downstream job over the cached
         # batch runs batch-sized task counts, not source-split counts
-        batch = batch.coalesce(self.config.shuffle_partitions).persist()
+        batch = batch.coalesce(parts).persist()
         valid = None
         try:
             # O6 scope filter runs FIRST: corrupt rows parse to null
@@ -315,6 +343,7 @@ class CDCPipeline:
                 F.sum(drift_flag.cast("int")).alias("drift"),
             ).collect()[0]
             stats = {"batch_id": batch_id, "valid": counts["n"]}
+            self._last_batch_rows = int(counts["n"] or 0)
 
             if counts["drift"]:
                 outcome = self.evolution.observe_batch(
