@@ -308,12 +308,25 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: returns
     ``(id, component)`` where component = the minimum node id reachable
     from ``id``. This is the stage that turns pairwise dedup verdicts
     into groups (keep one canonical doc per component) — pairs alone
     under-delete when A~B and B~C but A!~C.
+
+    Size-gated execution: when the edge set fits comfortably on the
+    driver (``count() <= driver_threshold``, default 100k edges ≈ a few
+    MB), a driver-side union-find computes the labels in one pass —
+    spinning diameter-many Spark job rounds over a 100-node candidate
+    graph is pure scheduling overhead. Above the threshold the
+    distributed min-label propagation below runs unchanged; the edge
+    count is already known (one cheap count on the checkpointed pairs),
+    so the gate adds no extra job. The LSH pipeline's candidate graphs
+    shrink with the dedup threshold, not the corpus, so even 100 TB
+    corpora often land in the fast path — but correctness never
+    depends on it.
 
     Min-label propagation: every round each node takes the minimum
     label of its closed neighborhood — one shuffle join (messages along
@@ -336,6 +349,37 @@ def connected_components(
     pair = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)
+    if pair.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pair.collect():
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                # union by min so the final label IS the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        spark = nodes.sparkSession
+        if parent:
+            comp = [(k, find(k)) for k in list(parent)]
+            lookup = F.broadcast(
+                spark.createDataFrame(comp, ["id", "_c"])
+            )
+            return nodes.select(F.col(id_col).alias("id")).join(
+                lookup, "id", "left"
+            ).select(
+                "id", F.coalesce("_c", F.col("id")).alias("component")
+            )
+        return nodes.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("component")
+        )
     sym = pair.unionAll(
         pair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -130,3 +130,47 @@ def test_connected_components_no_edges(spark):
         for r in D.connected_components(nodes, edges).collect()
     }
     assert out == {3: 3, 7: 7}
+
+
+def test_connected_components_paths_agree(spark):
+    """The size-gated driver union-find and the distributed min-label
+    propagation must produce identical labels — same random graph run
+    through both paths (driver_threshold=0 forces the distributed
+    loop)."""
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edge_rows = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+    ]
+    edges = spark.createDataFrame(edge_rows, ["id_a", "id_b"])
+    fast = {
+        r["id"]: r["component"]
+        for r in D.connected_components(nodes, edges).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in D.connected_components(
+            nodes, edges, driver_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    # labels are component minima in both
+    for i, c in fast.items():
+        assert c <= i
+
+
+def test_connected_components_distributed_path_chain(spark):
+    """Distributed path correctness on the transitive chain (the gate
+    must not be load-bearing for semantics)."""
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    out = {
+        r["id"]: r["component"]
+        for r in D.connected_components(
+            nodes, edges, driver_threshold=0
+        ).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
