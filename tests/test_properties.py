@@ -157,3 +157,92 @@ def test_exact_dedup_matches_set_semantics(texts):
     spark = get_spark()
     df = spark.createDataFrame([(t,) for t in texts], ["text"])
     assert exact_dedup(df, ["text"]).count() == len(set(texts))
+
+
+# --- curation invariants (pure-python twins of the column exprs) ------------
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=200),
+    budget=st.integers(min_value=1, max_value=2048),
+)
+def test_pack_sequences_formula_invariants(tokens, budget):
+    """Next-fit packing (floor((cum - t) / budget)) — the Python twin
+    of operators.curation.pack_sequences' window expression: bins are
+    monotone in document order, every doc gets exactly one bin, and a
+    multi-doc bin never exceeds budget before its last doc."""
+    import math
+
+    cum = 0
+    bins = []
+    for t in tokens:
+        bins.append(math.floor(cum / budget))
+        cum += t
+    assert len(bins) == len(tokens)
+    assert bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+    # per-bin totals minus their last doc stay under budget
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for t, b in zip(tokens, bins):
+        per[b].append(t)
+    for docs in per.values():
+        if len(docs) > 1:
+            assert sum(docs[:-1]) < budget
+
+
+_PII_SNIPPETS = st.sampled_from(
+    [
+        "bob.smith+tag@mail.example.org",
+        "123-45-6789",
+        "+1 (415) 555-0142",
+        "987 654 3210",
+        "x@y.co",
+    ]
+)
+
+
+@given(
+    parts=st.lists(
+        st.one_of(st.text(max_size=40), _PII_SNIPPETS), min_size=0, max_size=8
+    )
+)
+@settings(deadline=None)
+def test_scrub_text_pii_idempotent_and_exhaustive(parts):
+    """The free-text scrubber is deterministic, idempotent (replacement
+    tokens can never combine with surrounding text into a new match —
+    '<' is outside every pattern's character classes), and exhaustive:
+    no email/SSN pattern survives in the output."""
+    import re
+
+    from hybrid_cdc_demo_spark.functions.masking import (
+        TEXT_PII_PATTERNS,
+        scrub_text_pii_value,
+    )
+
+    text = " ".join(parts)
+    once = scrub_text_pii_value(text)
+    assert once == scrub_text_pii_value(text)
+    assert scrub_text_pii_value(once) == once
+    email_pat, ssn_pat = TEXT_PII_PATTERNS[0][1], TEXT_PII_PATTERNS[1][1]
+    assert re.search(email_pat, once) is None
+    assert re.search(ssn_pat, once) is None
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_hash_split_assignment_is_pure_function_of_id(doc_id):
+    """The split assignment depends only on sha256(id)'s first hex
+    char (0..c train, d..e val, f test) — the Python twin of
+    operators.curation.hash_split's CASE expression."""
+    h = hashlib.sha256(str(doc_id).encode()).hexdigest()[0]
+    split = "train" if h <= "c" else ("val" if h <= "e" else "test")
+    assert split in {"train", "val", "test"}
+    again = hashlib.sha256(str(doc_id).encode()).hexdigest()[0]
+    assert h == again
+    if h in "0123456789abc":
+        assert split == "train"
+    elif h in "de":
+        assert split == "val"
+    else:
+        assert h == "f" and split == "test"
