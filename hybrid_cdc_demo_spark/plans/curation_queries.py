@@ -241,3 +241,72 @@ def ns_length_quantiles(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ns_corpus_pipeline",
+    oracle=f"""
+    WITH canon AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
+        FROM documents) WHERE rn = 1
+    ), kept AS (
+      SELECT doc_id, {_SPLIT_CASE} AS split,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+      FROM canon
+      WHERE LENGTH(text) >= 100
+        AND (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')))
+            * 1.0 / LENGTH(text) <= 0.1
+    ), packed AS (
+      SELECT split, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM kept
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT FLOOR((cum - n_tok) / 256.0)) AS BIGINT) AS n_bins
+    FROM packed GROUP BY split ORDER BY split
+    """,
+)
+def ns_corpus_pipeline(spark, sf_dir):
+    """The COMPLETE training-data pipeline as one Catalyst plan: exact
+    dedup (canonical = min doc_id per text) → quality gates (length +
+    punctuation density) → deterministic train/val/test hash split →
+    next-fit packing into 256-token bins per split → per-split corpus
+    stats. Every stage is the operator already hash-verified in
+    isolation; composed, the optimizer pipelines them into three
+    shuffles total (dedup window on text, pack window on split, final
+    agg reuses the split partitioning). The same plan shape holds at
+    100 TB — no stage materializes driver-side state."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    canon = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = (
+        canon.filter(
+            (T.char_count("text") >= 100) & (T.punct_ratio("text") <= 0.1)
+        )
+        .select(
+            "doc_id", T.bpe_ish_token_count("text").cast("long").alias("n_tok")
+        )
+    )
+    split = C.hash_split(kept, "doc_id")
+    packed = C.pack_sequences(
+        split, "n_tok", "doc_id", budget=256, partition_col="split"
+    )
+    return (
+        packed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.countDistinct("bin_id").cast("long").alias("n_bins"),
+        )
+        .orderBy("split")
+    )
