@@ -150,3 +150,56 @@ def winnowing_fingerprint(text: Column | str, k: int = 8, window: int = 4) -> Co
         lambda i: F.array_min(F.slice(hashes, i + 1, window)),
     )
     return F.array_distinct(win_mins)
+
+
+def words_lower(text: Column | str) -> Column:
+    """Lowercased whitespace tokens — the shared input of the
+    repetition / novelty signals below."""
+    c = F.col(text) if isinstance(text, str) else text
+    return tokens(F.lower(c))
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Array of space-joined word n-grams over the lowercased tokens;
+    empty array when the document has fewer than ``n`` words. Built
+    with sequence+transform (JVM-side, no explode) so callers decide
+    whether to stay per-row or explode into an inverted index."""
+    w = words_lower(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_word_frac(text: Column | str) -> Column:
+    """Fraction of word occurrences that are repeats of an earlier
+    word — the Gopher-style within-document repetition signal (public
+    rule family: MassiveText quality heuristics)."""
+    w = words_lower(text)
+    n = F.size(w).cast("double")
+    return (F.size(w) - F.size(F.array_distinct(w))).cast("double") / n
+
+
+def top_word_frac(text: Column | str) -> Column:
+    """Occurrences of the single most frequent word / total words.
+    O(distinct × tokens) per row, all inside codegen — documents are
+    short relative to executor budgets, and no shuffle is involved."""
+    w = words_lower(text)
+    counts = F.transform(
+        F.array_distinct(w), lambda d: F.size(F.filter(w, lambda x: x == d))
+    )
+    return F.array_max(counts).cast("double") / F.size(w).cast("double")
+
+
+def dup_ngram_frac(text: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that are duplicates of an earlier
+    n-gram in the same document; 0.0 when the document is too short
+    to have any."""
+    g = word_ngrams(text, n)
+    frac = (F.size(g) - F.size(F.array_distinct(g))).cast("double") / F.size(
+        g
+    ).cast("double")
+    return F.when(F.size(g) > 0, frac).otherwise(F.lit(0.0))

@@ -661,3 +661,154 @@ def ns_multimodal_features(spark, sf_dir):
     return feats.orderBy("media_id").select(
         "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / novelty quality filters + embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ns_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS dup_word_frac,
+           CAST(list_max(list_transform(list_distinct(toks),
+                  d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS top_word_frac,
+           CASE WHEN len(bigrams) = 0 THEN 0.0
+                ELSE CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+                     / CAST(len(bigrams) AS DOUBLE) END AS dup_bigram_frac
+    FROM b ORDER BY doc_id
+    """,
+)
+def ns_repetition(spark, sf_dir):
+    """Within-document repetition signals (the public Gopher/MassiveText
+    quality-rule family): duplicate-word fraction, most-frequent-word
+    fraction, duplicate-bigram fraction. Pure per-row array
+    expressions — zero shuffles, zero UDFs, embarrassingly parallel at
+    any corpus size; ratios emitted unrounded (single IEEE divisions,
+    bitwise-equal across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.orderBy("doc_id").select(
+        "doc_id",
+        T.dup_word_frac("text").alias("dup_word_frac"),
+        T.top_word_frac("text").alias("top_word_frac"),
+        T.dup_ngram_frac("text", 2).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "ns_ngram_novelty",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+      FROM w
+    ), a AS (
+      SELECT doc_id, gram,
+             MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+      FROM g
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM a GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def ns_ngram_novelty(spark, sf_dir):
+    """Cross-document n-gram novelty: per document, the fraction of its
+    distinct word trigrams that FIRST appear in it (min doc_id over the
+    corpus) — the inverted-index cousin of dedup, used to score how
+    much new text a document adds to a corpus. Scale shape: one
+    shuffle on gram for the window-min (the canonical inverted-index
+    build; partial map-side dedup via array_distinct BEFORE the
+    explode keeps the shuffled stream at distinct-grams-per-doc), one
+    shuffle for the per-doc regroup. novelty = int-sum / int-count in
+    one IEEE division — hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.word_ngrams("text", 3))).alias("gram"),
+    )
+    from pyspark.sql import Window
+
+    first = F.min("doc_id").over(Window.partitionBy("gram"))
+    return (
+        grams.withColumn("first_doc", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            (
+                F.sum(
+                    F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ns_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(list_sum(list_transform(v,
+                       x -> CAST(floor(x / scale) AS BIGINT))) AS BIGINT)
+           END AS qsum
+    FROM s ORDER BY vec_id
+    """,
+)
+def ns_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column (the standard
+    ANN memory-compression step: per-vector scale = max|x|/127, code =
+    floor(x/scale)). Per-row transform/aggregate only — no shuffle, no
+    UDF; at 100 TB this is the map stage that shrinks a float32 vector
+    store 4× before indexing. Verified exactly: scale is one IEEE
+    division of a float-widened max, codes use floor (identical in
+    both engines, unlike round's half-up vs half-even), and the
+    checksum is an integer fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    df = emb.select("vec_id", v.alias("v")).withColumn(
+        "scale",
+        F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    qsum = F.aggregate(
+        F.transform("v", lambda x: F.floor(x / F.col("scale"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        df.select(
+            "vec_id",
+            "scale",
+            F.when(F.col("scale") == 0, F.lit(0).cast("long"))
+            .otherwise(qsum)
+            .alias("qsum"),
+        )
+        .orderBy("vec_id")
+    )
