@@ -70,3 +70,48 @@ def test_quality_score_ranges(spark):
     )
     out = {r["id"]: r["q"] for r in df.select("id", T.quality_score("text").alias("q")).collect()}
     assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),                # all unique
+            (2, "a a a a"),                # one word repeated
+            (3, "x y x y x y"),            # repeated bigram "x y"
+            (4, "word"),                   # too short for bigrams
+        ],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            T.dup_word_frac("text").alias("dw"),
+            T.top_word_frac("text").alias("tw"),
+            T.dup_ngram_frac("text", 2).alias("db"),
+        ).collect()
+    }
+    assert out[1]["dw"] == 0.0 and out[1]["tw"] == 0.25 and out[1]["db"] == 0.0
+    # "a a a a": 3 bigrams, 1 distinct -> dup 2/3
+    assert out[2]["dw"] == 0.75 and out[2]["tw"] == 1.0
+    assert abs(out[2]["db"] - 2 / 3) < 1e-12
+    # "x y x y x y": 6 words, 2 distinct -> dup 4/6; bigrams: 5 total,
+    # 2 distinct ("x y","y x") -> dup 3/5
+    assert abs(out[3]["dw"] - 4 / 6) < 1e-12
+    assert abs(out[3]["db"] - 3 / 5) < 1e-12
+    # single word: no bigrams -> 0.0, not null/error
+    assert out[4]["db"] == 0.0 and out[4]["dw"] == 0.0 and out[4]["tw"] == 1.0
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "one")], ["id", "text"])
+    out = {
+        r["id"]: r["g"]
+        for r in df.select("id", T.word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert out[1] == [] and out[2] == []
+    out2 = {
+        r["id"]: r["g"]
+        for r in df.select("id", T.word_ngrams("text", 2).alias("g")).collect()
+    }
+    assert out2[1] == ["one two"] and out2[2] == []
