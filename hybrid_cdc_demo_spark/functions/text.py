@@ -159,12 +159,11 @@ def words_lower(text: Column | str) -> Column:
     return tokens(F.lower(c))
 
 
-def word_ngrams(text: Column | str, n: int = 3) -> Column:
-    """Array of space-joined word n-grams over the lowercased tokens;
-    empty array when the document has fewer than ``n`` words. Built
-    with sequence+transform (JVM-side, no explode) so callers decide
-    whether to stay per-row or explode into an inverted index."""
-    w = words_lower(text)
+def ngram_array(w: Column, n: int = 3) -> Column:
+    """Array of space-joined word n-grams over a precomputed token
+    array; empty array when the document has fewer than ``n`` words.
+    Built with sequence+transform (JVM-side, no explode) so callers
+    decide whether to stay per-row or explode into an inverted index."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
@@ -174,32 +173,56 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    return ngram_array(words_lower(text), n)
+
+
+def dup_frac(arr: Column) -> Column:
+    """Fraction of array elements that repeat an earlier element —
+    the Gopher-style within-document repetition signal (public rule
+    family: MassiveText quality heuristics); 0.0 on empty arrays."""
+    frac = (F.size(arr) - F.size(F.array_distinct(arr))).cast("double") / F.size(
+        arr
+    ).cast("double")
+    return F.when(F.size(arr) > 0, frac).otherwise(F.lit(0.0))
+
+
+def max_run_frac(w: Column) -> Column:
+    """Occurrences of the single most frequent element / total
+    elements. Sort the array, then one aggregate() fold tracks the
+    longest equal-run — O(n log n) per row with a constant-size
+    expression tree. (The naive transform(distinct, d ->
+    size(filter(w, x==d))) nests higher-order lambdas, which drops
+    out of codegen and re-evaluates the inner array per element —
+    quadratic AND interpreted.)"""
+    s = F.array_sort(w)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(s, init, step)["best"]
+    return best.cast("double") / F.size(w).cast("double")
+
+
 def dup_word_frac(text: Column | str) -> Column:
-    """Fraction of word occurrences that are repeats of an earlier
-    word — the Gopher-style within-document repetition signal (public
-    rule family: MassiveText quality heuristics)."""
-    w = words_lower(text)
-    n = F.size(w).cast("double")
-    return (F.size(w) - F.size(F.array_distinct(w))).cast("double") / n
+    return dup_frac(words_lower(text))
 
 
 def top_word_frac(text: Column | str) -> Column:
-    """Occurrences of the single most frequent word / total words.
-    O(distinct × tokens) per row, all inside codegen — documents are
-    short relative to executor budgets, and no shuffle is involved."""
-    w = words_lower(text)
-    counts = F.transform(
-        F.array_distinct(w), lambda d: F.size(F.filter(w, lambda x: x == d))
-    )
-    return F.array_max(counts).cast("double") / F.size(w).cast("double")
+    return max_run_frac(words_lower(text))
 
 
 def dup_ngram_frac(text: Column | str, n: int = 2) -> Column:
     """Fraction of word n-grams that are duplicates of an earlier
     n-gram in the same document; 0.0 when the document is too short
     to have any."""
-    g = word_ngrams(text, n)
-    frac = (F.size(g) - F.size(F.array_distinct(g))).cast("double") / F.size(
-        g
-    ).cast("double")
-    return F.when(F.size(g) > 0, frac).otherwise(F.lit(0.0))
+    return dup_frac(word_ngrams(text, n))

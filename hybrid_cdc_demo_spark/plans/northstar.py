@@ -698,13 +698,19 @@ def ns_repetition(spark, sf_dir):
     fraction, duplicate-bigram fraction. Pure per-row array
     expressions — zero shuffles, zero UDFs, embarrassingly parallel at
     any corpus size; ratios emitted unrounded (single IEEE divisions,
-    bitwise-equal across engines)."""
+    bitwise-equal across engines). The token array is projected ONCE
+    and the three signals read the materialized column — tokenizing
+    per-signal would re-split the text three times."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.orderBy("doc_id").select(
-        "doc_id",
-        T.dup_word_frac("text").alias("dup_word_frac"),
-        T.top_word_frac("text").alias("top_word_frac"),
-        T.dup_ngram_frac("text", 2).alias("dup_bigram_frac"),
+    return (
+        docs.select("doc_id", T.words_lower("text").alias("w"))
+        .select(
+            "doc_id",
+            T.dup_frac(F.col("w")).alias("dup_word_frac"),
+            T.max_run_frac(F.col("w")).alias("top_word_frac"),
+            T.dup_frac(T.ngram_array(F.col("w"), 2)).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -741,9 +747,9 @@ def ns_ngram_novelty(spark, sf_dir):
     shuffle for the per-doc regroup. novelty = int-sum / int-count in
     one IEEE division — hash-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
+    grams = docs.select("doc_id", T.words_lower("text").alias("w")).select(
         "doc_id",
-        F.explode(F.array_distinct(T.word_ngrams("text", 3))).alias("gram"),
+        F.explode(F.array_distinct(T.ngram_array(F.col("w"), 3))).alias("gram"),
     )
     from pyspark.sql import Window
 
