@@ -1733,3 +1733,58 @@ def s10(spark, sf_dir):
         .select("event_id", "user_id", "c_name", "c_mktsegment")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q45_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q45(spark, sf_dir):
+    """PIVOT: per-user event counts spread into one column per event
+    type. The value list is EXPLICIT — with it, Spark pivots in a
+    single groupBy pass (one shuffle); without it Catalyst first runs
+    a distinct-values job, a scale anti-pattern. Missing combinations
+    fill 0 to match the oracle's COUNT(CASE...) semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = ev.groupBy("user_id").pivot("event_type", kinds).count().na.fill(0)
+    return out.select(
+        "user_id", *[F.col(k).cast("long").alias(k) for k in kinds]
+    ).orderBy("user_id")
+
+
+@query(
+    "q46_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS c,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q46(spark, sf_dir):
+    """CUBE: all grouping-set combinations of (returnflag, linestatus)
+    — the q18 rollup plus the per-linestatus-only sets. Spark expands
+    grouping sets map-side (Expand node) so it stays one shuffle;
+    quantity is summed in the exact-decimal domain before the double
+    cast (same convention as q03)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("c"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
