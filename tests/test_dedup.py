@@ -174,3 +174,33 @@ def test_connected_components_distributed_path_chain(spark):
         ).collect()
     }
     assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5}
+
+
+def test_minhash_slots_are_independent_estimators(spark):
+    """Regression: the Kirsch-Mitzenmacher masks (62-bit h1, 32-bit h2)
+    made i*h2 ~2^38 against h1 gaps of ~2^57 — every slot picked the
+    same argmin(h1) shingle, so the matching-slot fraction was a 0/1
+    coin instead of an estimator of Jaccard. With per-slot rehash the
+    fraction must concentrate near the true Jaccard, and the slots of
+    one signature must not be one arithmetic progression."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    variant = " ".join(f"tok{i}" if i % 5 else f"alt{i}" for i in range(40))
+    df = spark.createDataFrame([(0, base), (1, variant)], ["doc_id", "text"])
+    sigs = {
+        r["_id"]: r["signature"]
+        for r in D.minhash_signatures(df, "text", "doc_id", 128, 3).collect()
+    }
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in df.select(
+            "doc_id", D.word_shingles("text", 3).alias("s")
+        ).collect()
+    }
+    true_j = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
+    est = sum(a == b for a, b in zip(sigs[0], sigs[1])) / 128
+    assert 0.0 < true_j < 1.0
+    assert abs(est - true_j) < 0.15, (est, true_j)
+    # degenerate signatures were an arithmetic progression (same argmin
+    # element winning every slot): constant second difference
+    diffs = [b - a for a, b in zip(sigs[0], sigs[0][1:])]
+    assert len(set(diffs)) > 1
