@@ -127,29 +127,49 @@ def fingerprint(text: Column | str) -> Column:
     return F.sha2(normalized_text(text), 256)
 
 
+def let1(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and bind it as a lambda variable
+    inside ``fn``. Higher-order functions run interpreted and
+    re-evaluate expressions captured in lambda BODIES per element —
+    binding through a one-element array makes the value a cheap bound
+    reference instead (the HOF's argument is evaluated once)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def rolling_hashes(text: Column | str, k: int = 8) -> Column:
     """Array of 64-bit hashes of the k-char windows of the normalized
     text (rolling-hash shingles). Used for winnowing-style
     fingerprints and character-shingle dedup; xxhash64 keeps it
-    JVM-side instead of a literal polynomial loop."""
-    norm = normalized_text(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
-        lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+    JVM-side instead of a literal polynomial loop. The normalized
+    text is let-bound so the per-window substr reads a bound value
+    rather than re-normalizing per element."""
+    return let1(
+        normalized_text(text),
+        lambda norm: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+        ),
     )
 
 
 def winnowing_fingerprint(text: Column | str, k: int = 8, window: int = 4) -> Column:
     """Winnowing document fingerprint: min rolling-hash per window of
     ``window`` consecutive k-gram hashes, deduplicated (public
-    winnowing algorithm, Schleimer/Wilkerson/Aiken 2003)."""
-    hashes = rolling_hashes(text, k)
-    n = F.size(hashes)
-    win_mins = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    winnowing algorithm, Schleimer/Wilkerson/Aiken 2003). The hash
+    array is let-bound — capturing it raw re-ran the whole rolling-
+    hash computation per window, which did not finish in minutes at
+    sf0.1 and is sub-second let-bound."""
+    return let1(
+        rolling_hashes(text, k),
+        lambda hashes: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0))
+                ),
+                lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+            )
+        ),
     )
-    return F.array_distinct(win_mins)
 
 
 def words_lower(text: Column | str) -> Column:
