@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from hybrid_cdc_demo_spark.functions.text import normalized_text
+from hybrid_cdc_demo_spark.functions.text import let1, normalized_text
 from hybrid_cdc_demo_spark.operators.partitioning import spread
 
 
@@ -168,16 +168,20 @@ def minhash_lsh_candidates(
 
 def pair_combinations(ids: F.Column) -> F.Column:
     """All (a<b) pairs from an id array, as array<struct<a,b>> — pure
-    higher-order functions, no UDF."""
-    sorted_ids = F.array_sort(ids)
-    return F.flatten(
-        F.transform(
-            sorted_ids,
-            lambda x, i: F.transform(
-                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    higher-order functions, no UDF. The sorted array is let-bound so
+    the inner slice reads a bound value instead of re-sorting per
+    element (lambda-captured expressions re-evaluate per element)."""
+    return let1(
+        F.array_sort(ids),
+        lambda sorted_ids: F.flatten(
+            F.transform(
+                sorted_ids,
+                lambda x, i: F.transform(
+                    F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        ),
     )
 
 
@@ -444,17 +448,21 @@ def ngram_jaccard_pairs(
     ``round_digits=None`` emits the raw IEEE quotient — integer/integer
     division is correctly rounded and bitwise-identical across engines,
     whereas ROUND() on a near-boundary double is not (oracle parity)."""
-    grams = spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
+    gram_expr = let1(
+        # let-bound: the per-gram substr reads the normalized text as a
+        # bound value instead of re-normalizing per element
+        normalized_text(text_col),
+        lambda norm: F.array_distinct(
             F.transform(
                 F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length(normalized_text(text_col)) - (n - 1), F.lit(1)),
+                    F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))
                 ),
-                lambda i: normalized_text(text_col).substr(i, F.lit(n)),
+                lambda i: norm.substr(i, F.lit(n)),
             )
-        ).alias("_grams"),
+        ),
+    )
+    grams = spread(df).select(
+        F.col(id_col).alias("_id"), gram_expr.alias("_grams")
     ).persist()  # consumed by sizes + both inverted-index branches
     sizes = grams.select("_id", F.size("_grams").alias("_sz"))
     inv = grams.select("_id", F.explode("_grams").alias("_g"))
