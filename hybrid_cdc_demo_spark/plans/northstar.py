@@ -818,3 +818,51 @@ def ns_embedding_quantize(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "ns_group_normalize",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, value,
+             MIN(value) OVER (PARTITION BY user_id) AS mn,
+             MAX(value) OVER (PARTITION BY user_id) AS mx
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CASE WHEN mx = mn THEN 0.0
+                ELSE (value - mn) / (mx - mn) END AS value_norm
+    FROM b ORDER BY user_id, event_id
+    """,
+)
+def ns_group_normalize(spark, sf_dir):
+    """Per-group feature normalization via grouped-map applyInPandas —
+    the third leg of the declared UDF surface (SURVEY.md §2d: scalar
+    pandas_udf = HMAC, applyInPandasWithState = running totals,
+    mapInPandas = frame/media decode, grouped-map = this). Each user's
+    events arrive as one Arrow batch; min-max scaling is deliberately
+    chosen over z-score because min/max + one IEEE division is
+    bitwise-reproducible against the SQL oracle (stddev accumulation
+    order is not). Scale shape: one hash shuffle on the group key,
+    Arrow-vectorized per-group work, no driver involvement — the
+    canonical grouped-map plan. A window-function formulation would
+    also express THIS op; the operator exists to carry the per-group
+    Python escape hatch for logic SQL genuinely cannot express."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mn, mx = pdf["value"].min(), pdf["value"].max()
+        if mx == mn:
+            pdf["value_norm"] = 0.0
+        else:
+            pdf["value_norm"] = (pdf["value"] - mn) / (mx - mn)
+        return pdf[["user_id", "event_id", "value_norm"]]
+
+    out = ev.groupBy("user_id").applyInPandas(
+        norm, "user_id long, event_id long, value_norm double"
+    )
+    return out.orderBy("user_id", "event_id")
