@@ -123,17 +123,11 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame,
-    bands: int = 16,
-    max_bucket: int = 200,
-) -> DataFrame:
-    """Banded LSH: equal band-hash ⇒ candidate pair (id_a < id_b).
-
-    ``max_bucket`` drops degenerate buckets (skew guard): a bucket of
-    size B contributes B² pairs, so unbounded buckets are the one way
-    this plan can blow up at scale.
-    """
+def band_rows(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """(_id, band, band_hash) — one row per LSH band of each signature.
+    Shared by the batch candidate join below and the streaming
+    incremental dedup (streaming/dedup_stream.py), so both sides
+    bucket identically."""
     rows_per_band = F.size("signature") / bands
     band_hashes = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -151,9 +145,23 @@ def minhash_lsh_candidates(
             )
         ),
     )
-    sig = signatures.select(
+    return signatures.select(
         "_id", F.posexplode(band_hashes).alias("band", "band_hash")
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 16,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Banded LSH: equal band-hash ⇒ candidate pair (id_a < id_b).
+
+    ``max_bucket`` drops degenerate buckets (skew guard): a bucket of
+    size B contributes B² pairs, so unbounded buckets are the one way
+    this plan can blow up at scale.
+    """
+    sig = band_rows(signatures, bands)
     bucketed = sig.groupBy("band", "band_hash").agg(
         F.collect_list("_id").alias("ids"), F.count("*").alias("n")
     )
