@@ -198,6 +198,36 @@ class DedupStreamSink:
         self.ledger.commit(batch_id, {"pairs": int(n_pairs)})
         return int(n_pairs)
 
+    def compact(self) -> None:
+        """Fold the per-batch store partitions into one base partition
+        (``_batch=-1``): the band store is scanned every trigger, so
+        thousands of tiny ``_batch`` partitions would make file
+        listing the dominant cost (the same small-file problem the LSM
+        sinks solve with background merges). Committed batches are
+        replay-proof via the ledger — a replayed id short-circuits
+        before the store is read — so folding their partitions is
+        safe, and ``-1`` is never a live batch id so the current
+        batch's history-exclusion filter keeps working. Driver-side,
+        between triggers (not concurrent with write_batch)."""
+        import shutil
+
+        for name in ("pairs", "bands", "sigs"):
+            df = self._read_store(name)
+            if df is None:
+                continue
+            cols = [c for c in df.columns if c != "_batch"]
+            tmp = self._dir(name + "__compacting")
+            (
+                df.select(*cols)
+                .withColumn("_batch", F.lit(-1))
+                .write.mode("overwrite")
+                .partitionBy("_batch")
+                .parquet(tmp)
+            )
+            final = self._dir(name)
+            shutil.rmtree(final, ignore_errors=True)
+            os.replace(tmp, final)
+
     # -- query side --------------------------------------------------------
     def pairs(self) -> DataFrame:
         """All near-dup pairs found so far (id_new, id_old, est_jaccard)."""

@@ -107,3 +107,34 @@ def test_streaming_end_to_end(spark, tmp_path):
     for a, b in found:
         assert not (a >= 4 and b >= 4)
     assert sink.signatures().count() == len(rows)
+
+
+def test_compaction_preserves_state_and_matching(spark, tmp_path):
+    """compact() folds the per-batch partitions into _batch=-1 without
+    losing pairs/signatures, and later batches still match against the
+    compacted history."""
+    sink = DedupStreamSink(spark, str(tmp_path / "dd5"), threshold=0.5)
+    sink.write_batch(_docs(spark, [(0, BASE), (1, BASE)]), 0)
+    sink.write_batch(_docs(spark, [(4, _unrelated(4))]), 1)
+    before_pairs = {
+        (r["id_new"], r["id_old"]) for r in sink.pairs().collect()
+    }
+    before_sigs = sink.signatures().count()
+    sink.compact()
+    assert {
+        (r["id_new"], r["id_old"]) for r in sink.pairs().collect()
+    } == before_pairs
+    assert sink.signatures().count() == before_sigs
+    # one base partition only
+    import os as _os
+
+    parts = [
+        d
+        for d in _os.listdir(str(tmp_path / "dd5" / "bands"))
+        if d.startswith("_batch=")
+    ]
+    assert parts == ["_batch=-1"]
+    # new batch still pairs against compacted history
+    sink.write_batch(_docs(spark, [(2, BASE.replace("quick", "slow"))]), 2)
+    found = {(r["id_new"], r["id_old"]) for r in sink.pairs().collect()}
+    assert (2, 0) in found and (2, 1) in found
