@@ -54,9 +54,13 @@ def warmup(spark, sf_dir: str) -> None:
     # query probes — the one-time index job, untimed like any other
     # production index build; the timed query then measures the
     # partition-pruned probe, not KMeans + partitionBy write.
-    from hybrid_cdc_demo_spark.plans.northstar import ensure_ivf_index
+    from hybrid_cdc_demo_spark.plans.northstar import (
+        ensure_ivf_index,
+        ensure_ivf_sq8_index,
+    )
 
     ensure_ivf_index(spark, sf_dir, num_cells=16, seed=42)
+    ensure_ivf_sq8_index(spark, sf_dir, num_cells=16, seed=42)
 
 
 def warmup_plans(spark) -> None:

