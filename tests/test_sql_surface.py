@@ -41,6 +41,24 @@ SQL_EQUIVALENTS = {
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3
     """,
+    "q45_pivot": """
+        SELECT user_id,
+               COALESCE(click, 0) AS click, COALESCE(error, 0) AS error,
+               COALESCE(purchase, 0) AS purchase, COALESCE(signup, 0) AS signup,
+               COALESCE(view, 0) AS view
+        FROM (SELECT user_id, event_type FROM events)
+        PIVOT (COUNT(*) FOR event_type IN
+               ('click' AS click, 'error' AS error, 'purchase' AS purchase,
+                'signup' AS signup, 'view' AS view))
+        ORDER BY user_id
+    """,
+    "q46_cube": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+                 AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
 }
 
 
