@@ -1749,10 +1749,13 @@ def s10(spark, sf_dir):
 )
 def q45(spark, sf_dir):
     """PIVOT: per-user event counts spread into one column per event
-    type. The value list is EXPLICIT — with it, Spark pivots in a
-    single groupBy pass (one shuffle); without it Catalyst first runs
-    a distinct-values job, a scale anti-pattern. Missing combinations
-    fill 0 to match the oracle's COUNT(CASE...) semantics."""
+    type. The value list is EXPLICIT — without it Catalyst first runs
+    a distinct-values JOB over the fact table, a scale anti-pattern.
+    The plan is the standard two-phase aggregate (partial (user,type)
+    counts below the first Exchange, pivotfirst regroup on user above
+    it — the second shuffle carries at most one row per (user,type)).
+    Missing combinations fill 0 to match the oracle's COUNT(CASE...)
+    semantics."""
     ev = load_table(spark, sf_dir, "events")
     kinds = ["click", "error", "purchase", "signup", "view"]
     out = ev.groupBy("user_id").pivot("event_type", kinds).count().na.fill(0)

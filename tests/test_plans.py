@@ -213,3 +213,55 @@ def test_tpch_q13_two_level_aggregate(spark):
     # outer-join semantics: every customer appears in exactly one bucket
     assert sum(rows.values()) == load_table(spark, SF, "customer").count()
     assert "HashAggregate" in plan
+
+
+def test_repetition_signals_are_shuffle_free(spark):
+    """ns_repetition's signal computation is a pure per-row map — the
+    only Exchange allowed is the final deterministic orderBy's range
+    partitioning, never a hash shuffle."""
+    df = QUERIES["ns_repetition"](spark, SF)
+    plan = plan_of(df)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_quantize_is_shuffle_free(spark):
+    df = QUERIES["ns_embedding_quantize"](spark, SF)
+    assert "Exchange hashpartitioning" not in plan_of(df)
+
+
+def test_novelty_plans_two_hash_shuffles(spark):
+    """ns_ngram_novelty = inverted-index window-min (one hash shuffle
+    on gram) + per-doc regroup (one hash shuffle on doc_id). More
+    shuffles = a plan regression; fewer = the semantics broke."""
+    df = QUERIES["ns_ngram_novelty"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_pivot_plans_two_phase_aggregate(spark):
+    """With an explicit value list the pivot needs no distinct-values
+    pre-job; the plan is the two-phase aggregate Catalyst emits —
+    partial (user, type) counts below a hash Exchange, then the
+    pivotfirst regroup on user (second Exchange carries <= one row
+    per (user, type))."""
+    df = QUERIES["q45_pivot"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "pivotfirst" in plan
+    assert "partial_count" in plan  # map-side combine before shuffle 1
+
+
+def test_cube_expands_mapside(spark):
+    """CUBE grouping sets expand map-side (Expand node) with partial
+    aggregation below the single hash Exchange."""
+    df = QUERIES["q46_cube"](spark, SF)
+    plan = plan_of(df)
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    before_exchange = plan.split("Exchange")[-1]
+    assert "partial_" in before_exchange
+
+
+def test_winnowing_is_shuffle_free(spark):
+    df = QUERIES["ns_winnowing"](spark, SF)
+    assert "Exchange hashpartitioning" not in plan_of(df)
