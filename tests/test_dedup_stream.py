@@ -5,8 +5,6 @@ exactly-once."""
 
 import os
 
-import pyspark.sql.functions as F
-
 from hybrid_cdc_demo_spark.streaming.dedup_stream import DedupStreamSink
 
 BASE = (
