@@ -1791,3 +1791,313 @@ def q46(spark, sf_dir):
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "q47_tpch_q12_shape",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q47(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority split; the testdata has
+    no l_shipmode/l_commitdate/l_receiptdate, so the group key is
+    l_linestatus and "late" is ship-lag > 60 days after order date).
+    The distinctive Q12 machinery is intact: a fact-fact join with a
+    conditional two-way CASE aggregation. The shipdate year-range
+    pushes to the lineitem scan; the 60-day lag predicate is cross-
+    table so it evaluates at the join — Catalyst keeps the single
+    orderkey shuffle and partial-aggregates above it."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 days")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q48_tpch_q21_shape",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'NATION_3'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q48(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting; "late" is
+    ship-lag > 90 days after order date — the testdata has no
+    commit/receipt dates). The whole point of Q21 survives the
+    adaptation: a correlated EXISTS (some OTHER supplier contributed
+    to the order) decorrelated to a LEFT SEMI join, and a correlated
+    NOT EXISTS (no OTHER supplier was ALSO late) decorrelated to a
+    LEFT ANTI join — both on the same orderkey, so all three legs
+    hash-partition on l_orderkey and AQE coalesces them into one
+    co-partitioned exchange chain; the nation dim broadcasts."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 days")
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    some_other = (F.col("x_orderkey") == F.col("l_orderkey")) & (
+        F.col("x_suppkey") != F.col("l_suppkey")
+    )
+    other_late = some_other & (
+        F.col("x_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 days")
+    )
+    return (
+        base.join(l2, some_other, "left_semi")
+        .join(l2, other_late, "left_anti")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q49_tpch_q2_shape",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supplycost
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT suppkey, partkey, supplycost, s_acctbal, s_name, n_name
+      FROM cost
+      JOIN supplier ON s_suppkey = suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           CAST(supplycost AS DOUBLE) AS supplycost
+    FROM part JOIN eu ON p_partkey = partkey
+    WHERE p_size = 3 AND p_type = 'LARGE'
+      AND supplycost = (SELECT MIN(e2.supplycost) FROM eu e2
+                        WHERE e2.partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q49(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier; the testdata has no
+    partsupp, so the part-supplier cost relation is derived as
+    MIN(extendedprice) per (partkey, suppkey) pair observed in
+    lineitem). The signature Q2 construct — a correlated MIN scalar
+    subquery per part — is decorrelated the way Catalyst would: a
+    per-part MIN aggregate over the region-scoped cost relation,
+    joined back on (partkey, min). Cost stays DECIMAL end-to-end so
+    the equality join and the emitted double are bit-exact. The
+    supplier/nation/region dims broadcast; the cost build is the one
+    partkey+suppkey shuffle and its output feeds both the per-part
+    MIN and the final join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(_dec("l_extendedprice")).alias("supplycost"))
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    eu = cost.join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+    min_cost = eu.groupBy(F.col("partkey").alias("m_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 3) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eu.join(
+            min_cost,
+            (F.col("partkey") == F.col("m_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q50_tpch_q11_shape",
+    oracle="""
+    WITH value_by_part AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1
+    )
+    SELECT partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM value_by_part
+    WHERE CAST(part_value AS DOUBLE) >
+          (SELECT CAST(SUM(part_value) AS DOUBLE) FROM value_by_part) * 0.001
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q50(spark, sf_dir):
+    """TPC-H Q11 shape (important stock; value per part = sum of
+    extendedprice supplied by one nation's suppliers — the testdata
+    has no partsupp availqty/supplycost). The Q11 signature is the
+    scalar subquery in HAVING: the global total is a one-row
+    aggregate of the SAME grouped relation, so the per-part values
+    compute once, the total reduces from them, and the threshold
+    compare is a broadcast nested-loop join of a single row — no
+    second scan of lineitem. Sums stay DECIMAL (associative) and the
+    threshold compare happens in IEEE double identically on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    value_by_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("part_value_dec"))
+    )
+    total = value_by_part.agg(
+        (F.sum("part_value_dec").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        value_by_part.withColumn(
+            "part_value", F.col("part_value_dec").cast("double")
+        )
+        .join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+@query(
+    "q51_tpch_q20_shape",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+        GROUP BY l_suppkey, l_partkey
+        HAVING 2 * SUM(CASE WHEN l_shipdate >= DATE '1998-01-01'
+                             AND l_shipdate <  DATE '1999-01-01'
+                            THEN CAST(l_quantity AS DECIMAL(12,2))
+                            ELSE CAST(0 AS DECIMAL(12,2)) END)
+             > SUM(CAST(l_quantity AS DECIMAL(12,2)))
+      )
+    ORDER BY s_name
+    """,
+)
+def q51(spark, sf_dir):
+    """TPC-H Q20 shape (part-promotion suppliers; availqty > half of
+    a year's shipments becomes: the 1998 shipments of a PROMO
+    (partkey, suppkey) pair exceed half the pair's all-time quantity
+    — same nested-IN-with-correlated-aggregate structure, partsupp
+    replaced by the observed pair relation). The inner IN chain
+    decorrelates to: broadcast part filter → one (suppkey, partkey)
+    shuffle with a conditional-CASE aggregate → HAVING → LEFT SEMI
+    join into the broadcast-joined supplier×nation dim. The half
+    comparison is written 2·year > total so it stays entirely in
+    exact DECIMAL arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    qty = _dec("l_quantity")
+    zero = F.lit(0).cast(_DEC_PRICE)
+    in_year = (F.col("l_shipdate") >= F.lit("1998-01-01")) & (
+        F.col("l_shipdate") < F.lit("1999-01-01")
+    )
+    promoted = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_year, qty).otherwise(zero)).alias("year_qty"),
+            F.sum(qty).alias("total_qty"),
+        )
+        .filter(F.lit(2) * F.col("year_qty") > F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(
+            promoted, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

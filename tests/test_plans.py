@@ -265,3 +265,45 @@ def test_cube_expands_mapside(spark):
 def test_winnowing_is_shuffle_free(spark):
     df = QUERIES["ns_winnowing"](spark, SF)
     assert "Exchange hashpartitioning" not in plan_of(df)
+
+
+def test_tpch_q12_shape_partial_aggregates_after_fact_join(spark):
+    """The orders⋈lineitem fact join must not broadcast either side
+    at scale intent (both are facts); the CASE counts partial-
+    aggregate before the group-by exchange."""
+    plan = plan_of(QUERIES["q47_tpch_q12_shape"](spark, SF))
+    below_group_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "partial_sum" in below_group_exchange
+
+
+def test_tpch_q21_shape_decorrelates_to_semi_and_anti(spark):
+    """The EXISTS / NOT EXISTS pair must compile to LeftSemi + LeftAnti
+    joins (no subquery re-execution per row), with the nation-scoped
+    supplier dim broadcast."""
+    plan = plan_of(QUERIES["q48_tpch_q21_shape"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q2_shape_broadcasts_dims_and_reuses_cost(spark):
+    """supplier/nation/region/part all broadcast; the (partkey,
+    suppkey) cost build is the only wide shuffle."""
+    plan = plan_of(QUERIES["q49_tpch_q2_shape"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q11_shape_reuses_value_exchange(spark):
+    """The per-part value aggregate feeds both the output rows and the
+    scalar total; exchange reuse must kick in so lineitem is scanned
+    and shuffled once, not twice."""
+    df = QUERIES["q50_tpch_q11_shape"](spark, SF)
+    df.collect()  # AQE finalizes reuse on execution
+    plan = plan_of(df)
+    assert "ReusedExchange" in plan or plan.count("Scan parquet") == 1
+
+
+def test_tpch_q20_shape_nested_in_is_semi_join(spark):
+    plan = plan_of(QUERIES["q51_tpch_q20_shape"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
