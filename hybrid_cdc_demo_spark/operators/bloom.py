@@ -1,0 +1,153 @@
+"""Distributed Bloom-filter membership — blocklist filtering at scale.
+
+The 100 TB problem this solves: removing corpus rows whose key appears
+in a blocklist (banned users, takedown URLs, test-set fingerprints for
+decontamination) without shuffling the corpus. A hash-relation
+broadcast caps out around the driver/executor memory for the raw keys;
+a Bloom filter of the same keys is ~10 bits/key (100M keys ≈ 125 MB),
+so the membership test stays a broadcast MAP over the corpus at sizes
+where a broadcast join is impossible. This is the exact-dedup design
+of Dolma's bloom-filter deduper and Spark's own injected runtime
+filters (`spark.sql.optimizer.runtime.bloomFilter.*` — which Catalyst
+only injects for joins it already plans; this operator offers the same
+trick as an explicit, reusable building block).
+
+Exactness contract: a Bloom filter has false positives, never false
+negatives, so ``blocklist_filter`` uses it purely as a pre-filter —
+rows whose probe says "definitely absent" pass through map-only; only
+the small maybe-present fraction is exact-verified with an anti-join
+against the real blocklist. The result equals a plain anti-join
+bit-for-bit (the DuckDB oracle for ns_blocklist_filter is exactly
+that), which is what makes the operator hash-checkable.
+
+Build path: per-partition numpy bitmaps via mapInPandas (one Arrow
+batch stream per partition, one 8·words-byte row out), OR-folded on
+the driver — a tree-reduce shape: the shuffle-free equivalent of
+bloom_filter_agg (not exposed to the public FunctionRegistry in this
+Spark build). Probe positions are computed JVM-side per key as
+``pmod(xxhash64(key, i), m)`` for k independent per-slot hashes (the
+same per-slot-rehash family as operators/dedup.py minhash — see
+PERF.md on why h1+i·h2 families degenerate), so Python only ever sees
+fixed-width int arrays, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
+
+
+def optimal_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln(p)/ln(2)^2 bits, k = m/n·ln(2)
+    hashes. Returns (num_bits rounded up to a whole 64-bit word,
+    num_hashes >= 1)."""
+    n = max(1, expected_items)
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def probe_positions(key, num_bits: int, num_hashes: int):
+    """Array column of the k bit positions for a key — JVM-side only:
+    one xxhash64 per slot (seeded by slot index via an appended lit),
+    pmod'd into the bit space. Works for any key type xxhash64
+    accepts (string, numeric, binary)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def build_bloom(
+    df: DataFrame, key: str, num_bits: int, num_hashes: int
+) -> np.ndarray:
+    """Distributed Bloom build: each partition folds its keys into a
+    local bitmap (numpy, np.bitwise_or.at so duplicate words in one
+    batch all land), emits one binary row, and the driver ORs the
+    partials — collect size is partitions × num_bits/8 bytes,
+    independent of row count. Returns the uint64 word array."""
+    num_words = num_bits // 64
+    pos_df = df.select(probe_positions(key, num_bits, num_hashes).alias("_pos"))
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        words = np.zeros(num_words, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pos = np.concatenate(pdf["_pos"].to_numpy()).astype(np.int64)
+            np.bitwise_or.at(
+                words,
+                pos >> 6,
+                np.left_shift(np.uint64(1), (pos & 63).astype(np.uint64)),
+            )
+        yield pd.DataFrame({"bitmap": [words.tobytes()]})
+
+    partials = pos_df.mapInPandas(fold, schema="bitmap binary").collect()
+    words = np.zeros(num_words, dtype=np.uint64)
+    for row in partials:
+        words |= np.frombuffer(row["bitmap"], dtype=np.uint64)
+    return words
+
+
+def might_contain(
+    spark, key, bitmap: np.ndarray, num_hashes: int
+):
+    """Boolean probe column: True iff every one of the key's k bits is
+    set. The bitmap ships once per executor as a Spark broadcast (a
+    literal binary would re-serialize into every task's expression
+    tree); the probe itself is a vectorized Arrow pandas_udf over the
+    JVM-computed position arrays — k is fixed per filter so the batch
+    stacks into an (n, k) int matrix and the bit test is three numpy
+    ops, no per-row Python."""
+    num_bits = len(bitmap) * 64
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @pandas_udf("boolean")
+    def _probe(pos: pd.Series) -> pd.Series:
+        words = bc.value
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.vstack(pos.to_numpy()).astype(np.int64)
+        bits = (words[mat >> 6] >> (mat & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    return _probe(probe_positions(key, num_bits, num_hashes))
+
+
+def blocklist_filter(
+    spark,
+    corpus: DataFrame,
+    key: str,
+    blocklist: DataFrame,
+    block_key: str,
+    expected_items: int,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Rows of ``corpus`` whose ``key`` does NOT appear in
+    ``blocklist[block_key]`` — exact anti-join semantics, Bloom-
+    accelerated. Definitely-absent rows (no false negatives) pass
+    through the map-only probe; only the maybe fraction — true hits
+    plus ~fpp of the rest — is exact-verified with an anti-join, so
+    the shuffle carries ~|hits| + fpp·|corpus| rows instead of the
+    whole corpus. At 100 TB the two probe branches are two map-only
+    passes over the scan (or one, if the caller persists the probed
+    frame); the blocklist side of the verify join is the only reread.
+    """
+    m, k = optimal_params(expected_items, fpp)
+    bitmap = build_bloom(blocklist, block_key, m, k)
+    probed = corpus.withColumn("_maybe", might_contain(spark, key, bitmap, k))
+    clean = probed.filter(~F.col("_maybe")).drop("_maybe")
+    suspects = probed.filter(F.col("_maybe")).drop("_maybe")
+    keys = blocklist.select(F.col(block_key).alias("_blk")).distinct()
+    verified = suspects.join(keys, F.col(key) == F.col("_blk"), "left_anti")
+    return clean.unionByName(verified)

@@ -933,3 +933,45 @@ def ns_winnowing(spark, sf_dir):
         .withColumn("n_fp", F.size("fp"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ns_blocklist_filter",
+    oracle="""
+    SELECT e.event_id, e.user_id
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id AND c.c_acctbal < 0)
+    ORDER BY e.event_id
+    """,
+)
+def ns_blocklist_filter(spark, sf_dir):
+    """Bloom-accelerated blocklist filtering (operators/bloom.py):
+    drop every event whose user is on the banned list (customers with
+    negative balance) WITHOUT shuffling the event stream — the
+    takedown/banned-id/decontamination membership pattern. The Bloom
+    bitmap (~10 bits per blocked key) broadcasts at sizes where a
+    hash-relation broadcast join cannot; definitely-absent rows pass
+    map-only, and only the maybe fraction (true hits + ~1% false
+    positives) is exact-verified with an anti-join — so the result is
+    bit-for-bit the plain NOT EXISTS the oracle runs. The blocklist
+    count (Bloom sizing input) is a driver-side aggregate over the
+    dim table — bounded metadata, same class as the IVF centroid
+    read."""
+    from hybrid_cdc_demo_spark.operators.bloom import blocklist_filter
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    banned = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    survivors = blocklist_filter(
+        spark,
+        events,
+        "user_id",
+        banned,
+        "c_custkey",
+        expected_items=banned.count(),
+    )
+    return survivors.orderBy("event_id")
