@@ -2101,3 +2101,36 @@ def q51(spark, sf_dir):
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@query(
+    "s11_incremental_agg",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def s11(spark, sf_dir):
+    """Batch equivalent of AggregateSink's maintained state (the
+    AggregatingMergeTree personality, streaming/sinks.py): per-key
+    running count/sum/min/max. The streaming form folds each
+    micro-batch into per-key partial states and merges at read —
+    O(batch) per trigger; this one-shot groupBy is the semantic
+    contract it must equal (asserted directly against the sink in
+    tests/test_aggregate_sink.py; hash-matched here). Sum goes
+    through exact DECIMAL so engine and oracle agree bitwise."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -488,6 +488,140 @@ class AppendSink:
         return deduped
 
 
+class AggregateSink:
+    """AggregatingMergeTree personality: maintain per-key aggregates
+    incrementally from an append stream. Each micro-batch is partially
+    aggregated (one batch-sized shuffle) and appended as a segment of
+    per-key PARTIAL states; reads merge base + segments by re-applying
+    the merge function per key; compaction folds segments into the
+    base. Works because every supported aggregate (sum, count, min,
+    max — avg derives as sum/count at read) is commutative and
+    associative, so partial states merge in any grouping/order — the
+    same algebra ClickHouse's AggregatingMergeTree and Spark's own
+    ObjectHashAggregate partial/final split rely on. The sibling of
+    AppendSink's ReplacingMergeTree (latest-wins) read view: that one
+    keeps one row per key, this one keeps a running fold per key.
+
+    Why it matters at 100 TB: the naive alternative recomputes
+    groupBy(all history) every trigger — O(table) per batch. Here a
+    batch costs O(batch) and the stored state is one row per key, so
+    a year of events folds into a table the size of the key space.
+
+    Exactly-once composes the same way as UpsertSink: ledger skip on
+    replayed batchIds + overwrite-by-batchId segments + an idempotent
+    merge (re-merging the same segment twice is prevented by the
+    ledger, and a crash between segment write and ledger commit
+    rewrites the same segment)."""
+
+    name = "clickhouse_agg"
+
+    #: merge functions per spec kind: how two partial states combine
+    _MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        specs: dict[str, tuple[str, str]],
+        compact_every: int = 8,
+    ):
+        """``specs`` maps output column -> (input column, kind) with
+        kind in {sum, count, min, max}; count ignores its input."""
+        bad = {k for _, (_, k) in specs.items() if k not in self._MERGE}
+        if bad:
+            raise ValueError(f"unsupported aggregate kinds: {sorted(bad)}")
+        self.spark = spark
+        self.table = VersionedParquetTable(spark, os.path.join(path, "data"))
+        self.delta_path = Path(path) / "delta"
+        self.delta_path.mkdir(parents=True, exist_ok=True)
+        self.ledger = BatchLedger(os.path.join(path, "ledger"))
+        self.key_cols = key_cols
+        self.specs = specs
+        self.compact_every = compact_every
+        self._compact_pool = ThreadPoolExecutor(max_workers=1)
+        self._compact_future = None
+
+    def _segments(self) -> list[Path]:
+        return sorted(self.delta_path.glob("seg-*"))
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        """Fold one batch into per-key partial states. count becomes a
+        LONG sum-mergeable column; min/max/sum keep their input type."""
+        aggs = []
+        for out, (col, kind) in self.specs.items():
+            if kind == "count":
+                aggs.append(F.count(F.lit(1)).cast("long").alias(out))
+            else:
+                aggs.append(getattr(F, kind)(col).alias(out))
+        if "timestamp_micros" in batch.columns:
+            # carried for ledger stats / replication lag, max-mergeable
+            aggs.append(F.max("timestamp_micros").alias("timestamp_micros"))
+        return batch.groupBy(*self.key_cols).agg(*aggs)
+
+    def _merge(self, states: DataFrame) -> DataFrame:
+        aggs = [
+            self._MERGE[kind](out).alias(out)
+            for out, (_, kind) in self.specs.items()
+        ]
+        if "timestamp_micros" in states.columns:
+            aggs.append(F.max("timestamp_micros").alias("timestamp_micros"))
+        return states.groupBy(*self.key_cols).agg(*aggs)
+
+    def write_batch(self, batch: DataFrame, batch_id: int) -> int:
+        if self.ledger.is_committed(batch_id):
+            return 0
+        seg = self.delta_path / f"seg-{batch_id:012d}"
+        self._partial(batch).write.mode("overwrite").parquet(str(seg))
+        n, max_ts = _segment_stats(seg)
+        self.ledger.commit(
+            batch_id,
+            {
+                "destination": self.name,
+                "rows": n,
+                "last_event_timestamp_micros": max_ts,
+            },
+        )
+        if len(self._segments()) >= self.compact_every and (
+            self._compact_future is None or self._compact_future.done()
+        ):
+            self._compact_future = self._compact_pool.submit(self.compact)
+        return n
+
+    def flush(self) -> None:
+        if self._compact_future is not None:
+            self._compact_future.result()
+            self._compact_future = None
+
+    def _merged(self, segs: list[Path] | None = None) -> DataFrame | None:
+        base = self.table.read()
+        if segs is None:
+            segs = self._segments()
+        if segs:
+            deltas = (
+                self.spark.read.option("ignoreMissingFiles", "true")
+                .parquet(*[str(s) for s in segs])
+            )
+            base = deltas if base is None else base.unionByName(
+                deltas.select(*base.columns)
+            )
+        if base is None:
+            return None
+        return self._merge(base)
+
+    def compact(self) -> None:
+        segs = self._segments()
+        merged = self._merged(segs)
+        if merged is None:
+            return
+        self.table.write(merged)
+        for s in segs:
+            shutil.rmtree(s, ignore_errors=True)
+
+    def read(self) -> DataFrame | None:
+        return self._merged()
+
+
 class HypertableSink(UpsertSink):
     """TimescaleDB personality (O24): upsert + time-partitioned layout.
     partitionBy(time_bucket) on the compacted base is the hypertable
