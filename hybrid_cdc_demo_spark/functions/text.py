@@ -159,17 +159,23 @@ def winnowing_fingerprint(text: Column | str, k: int = 8, window: int = 4) -> Co
     array is let-bound — capturing it raw re-ran the whole rolling-
     hash computation per window, which did not finish in minutes at
     sf0.1 and is sub-second let-bound."""
-    return let1(
-        rolling_hashes(text, k),
-        lambda hashes: F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0))
-                ),
-                lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    def window_mins(hashes: Column) -> Column:
+        # Sliding-window min as a zip_with fold over `window` shifted
+        # views of the hash array: O(n·w) with arrays only in argument
+        # position, vs the slice-per-position formulation whose
+        # per-element allocations cost ~25% more interpreted work.
+        # Short docs (size < window): the later shifted slices come up
+        # empty, zip_with null-pads, and `least` ignores nulls — the
+        # min is over however many hashes exist, same as slicing.
+        n = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+        mins = F.slice(hashes, 1, n)
+        for j in range(1, window):
+            mins = F.zip_with(
+                mins, F.slice(hashes, j + 1, n), lambda x, y: F.least(x, y)
             )
-        ),
-    )
+        return F.array_distinct(mins)
+
+    return let1(rolling_hashes(text, k), window_mins)
 
 
 def words_lower(text: Column | str) -> Column:

@@ -20,6 +20,7 @@ from hybrid_cdc_demo_spark.functions import text as T
 from hybrid_cdc_demo_spark.operators import dedup as D
 from hybrid_cdc_demo_spark.operators import similarity as S
 from hybrid_cdc_demo_spark.operators.multimodal import documents_as_media, extract_features
+from hybrid_cdc_demo_spark.operators.partitioning import spread
 from hybrid_cdc_demo_spark.plans.catalog import query
 from hybrid_cdc_demo_spark.sources.tables import load_table
 
@@ -238,10 +239,14 @@ def ns_text_fingerprint(spark, sf_dir):
 
 @query("ns_text_langid")  # heuristic — validated against the lang column in tests/
 def ns_text_langid(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.orderBy("doc_id").select(
+    # spread: single-row-group local parquet scans as ONE partition;
+    # a no-op on production inputs with many row groups
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # project BEFORE the sort: the n-gram scoring then runs in the
+    # spread 32-partition stage; sorting 2 output columns is cheap
+    return docs.select(
         "doc_id", T.lang_id("text").alias("lang_pred")
-    )
+    ).orderBy("doc_id")
 
 
 @query(
@@ -751,7 +756,7 @@ def ns_repetition(spark, sf_dir):
     bitwise-equal across engines). The token array is projected ONCE
     and the three signals read the materialized column — tokenizing
     per-signal would re-split the text three times."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", T.words_lower("text").alias("w"))
         .select(
@@ -927,7 +932,7 @@ def ns_winnowing(spark, sf_dir):
     Per-row array expressions only (let-bound, functions/text.py), no
     shuffle; deterministic (xxhash64, fixed normalization) so the
     pinned contract can assert exact per-doc counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", T.winnowing_fingerprint("text").alias("fp"))
         .withColumn("n_fp", F.size("fp"))
