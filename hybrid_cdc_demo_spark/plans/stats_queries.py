@@ -1,0 +1,398 @@
+"""Statistical / analytical operator extensions: correlation and
+linear-regression aggregates, edit-distance dedup verification,
+TF-IDF term scoring, GROUPING SETS, UNPIVOT, fixed-width histograms,
+and batch sessionization — all registered into the same
+QUERIES/ORACLE_SQL hash-match contract as the rest of the inventory.
+
+Determinism strategy per the catalog conventions: moments accumulate
+in the exact DECIMAL domain (associative — shuffle order can't change
+the bits), then ONE final double expression (casts, *, /, sqrt are
+all correctly-rounded IEEE ops, so Spark and DuckDB agree bitwise as
+long as the expression shape matches). Transcendentals (ln for
+log-idf) are deliberately avoided: libm implementations differ in the
+last ulp across engines, so the TF-IDF score uses a linear inverse
+document frequency — a monotone surrogate that keeps the contract
+exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from hybrid_cdc_demo_spark.functions import text as T
+from hybrid_cdc_demo_spark.operators.partitioning import spread
+from hybrid_cdc_demo_spark.plans.catalog import query
+from hybrid_cdc_demo_spark.sources.tables import load_table
+
+
+@query(
+    "ns_regression_stats",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           (n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS intercept
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def ns_regression_stats(spark, sf_dir):
+    """Correlation + least-squares line (extendedprice ~ quantity) per
+    return flag. Spark's corr()/regr_slope() accumulate co-moments in
+    doubles, so their bits depend on partition merge order; instead the
+    five raw moments are summed EXACTLY in DECIMAL (one map-side
+    partial-aggregated shuffle — same plan shape as any groupBy), cast
+    once to double, and the textbook closed forms run as one
+    deterministic IEEE expression. Same scale posture as q03: the
+    shuffle carries one row per group, the moment math is free.
+    DECIMAL(12,2) inputs bound the x*y products at DECIMAL(25,4) and
+    their 6M-row sums well inside DECIMAL(38) — at larger SF widen the
+    intermediate or pre-aggregate per partition key range."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * syy - sy * sy
+    slope = cov_n / var_x_n
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        (cov_n / F.sqrt(var_x_n * var_y_n)).alias("corr_qty_price"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "ns_dedup_editdistance",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist,
+           1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+               / CAST(GREATEST(LENGTH(a.t), LENGTH(b.t)) AS DOUBLE) AS sim
+    FROM norm a JOIN norm b ON a.id < b.id
+    WHERE 1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+              / CAST(GREATEST(LENGTH(a.t), LENGTH(b.t)) AS DOUBLE) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def ns_dedup_editdistance(spark, sf_dir):
+    """Edit-distance near-dup verification: normalized Levenshtein
+    similarity 1 - dist/max(len) >= 0.8 over a bounded doc slice —
+    the character-level verify stage that catches small in-place edits
+    n-gram Jaccard dilutes. Exact integers + one IEEE division =
+    hash-exact. The all-pairs join here is bounded by the id slice; at
+    100 TB edit distance NEVER runs all-pairs — it verifies LSH/
+    minhash candidate pairs only (same composition as
+    ngram_jaccard_pairs over candidates), keeping the O(len^2)-per-
+    pair dynamic program off the full corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    norm = docs.select(
+        F.col("doc_id").alias("id"), T.normalized_text("text").alias("t")
+    )
+    a = norm.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
+    b = norm.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))
+    dist = F.levenshtein("ta", "tb")
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("ta"), F.length("tb")
+    ).cast("double")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", dist.cast("long").alias("dist"), sim.alias("sim")
+        )
+        .filter(F.col("sim") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "ns_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, token, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token) AS INTEGER) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token, score, rk FROM ranked
+    WHERE rk <= 5 ORDER BY doc_id, rk
+    """,
+)
+def ns_tfidf_topterms(spark, sf_dir):
+    """Per-document top-5 terms by TF-IDF — the term-weighting stat
+    behind keyword extraction and sparse retrieval. IDF is LINEAR
+    (n_docs/df as one exact-int-product → double division) rather than
+    log: ln() is libm-dependent across engines while the linear form
+    is hash-exact, and per-document top-k by a monotone-equivalent
+    score is the same selection wherever df ordering is preserved.
+    Scale shape: explode → two partial-aggregated shuffles (doc×token,
+    then token df) → df side joins back on token (broadcast here;
+    shuffle join at vocab scale) → per-doc window top-k never
+    materializes a global sort. Ties broken by token asc so both
+    engines rank identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("doc_id", "rk")
+    )
+
+
+@query(
+    "q52_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+           CAST(COUNT(*) AS BIGINT) AS c,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    ORDER BY g_rf, g_ls,
+             l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q52_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form q18 ROLLUP / q46 CUBE
+    specialize): all four set combinations plus GROUPING() indicator
+    columns, which disambiguate a NULL group value from a rolled-up
+    level. Spark expands the sets map-side (one Expand node, one
+    shuffle — same plan class as rollup/cube); the grouping-id columns
+    participate in the ORDER BY so both engines sort the levels
+    identically."""
+    out = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [
+                ["l_returnflag", "l_linestatus"],
+                ["l_returnflag"],
+                ["l_linestatus"],
+                [],
+            ],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("c"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("sum_qty"),
+        )
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "g_rf", "g_ls", "c", "sum_qty"
+    ).orderBy(
+        "g_rf",
+        "g_ls",
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
+    )
+
+
+@query(
+    "q53_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val FROM (
+      SELECT l_orderkey, l_linenumber, 'discount' AS metric,
+             l_discount AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'quantity', l_quantity FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    )
+    WHERE l_orderkey < 1000
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+)
+def q53_unpivot(spark, sf_dir):
+    """UNPIVOT / melt: wide per-line metrics into (metric, val) long
+    form — the inverse of q45's PIVOT and the standard reshape before
+    per-metric aggregation. Spark's unpivot is a zero-shuffle Expand
+    (each input row emits one row per value column map-side); the
+    filter stays pushed below it onto the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_discount", "l_quantity", "l_tax"],
+            "metric",
+            "val",
+        )
+        # column names -> the oracle's metric labels
+        .withColumn("metric", F.expr("substring(metric, 3)"))
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+@query(
+    "ns_value_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS INTEGER), 19)
+                  AS BIGINT) AS bucket,
+             o_totalprice
+      FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket * 25000.0 AS DOUBLE) AS lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ns_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of order values (20 buckets of 25k, top
+    bucket open). Binning is FLOOR of one IEEE division — deterministic
+    across engines, unlike data-dependent equi-depth bounds that would
+    need a quantile pass. Map-side: each row computes its own bucket,
+    the shuffle carries <= 20 aggregate rows — the histogram any
+    dashboard computes over an arbitrarily large fact table for the
+    cost of a scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("int"), F.lit(19)
+    ).cast("long")
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"),
+                2,
+            ).alias("total"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).cast("double").alias("lo"),
+            "n",
+            "total",
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "ns_session_assignment",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+    FROM marked ORDER BY user_id, event_id
+    """,
+)
+def ns_session_assignment(spark, sf_dir):
+    """Batch sessionization: a new session starts after a >30 min gap;
+    session_id = running count of session starts per user (lag +
+    conditional cumsum — the classic gaps-and-islands assignment; S3's
+    session_window is the streaming counterpart). One shuffle on
+    user_id serves both windows; the gap test is NTZ-interval
+    arithmetic (timezone-free — epoch conversions would read the
+    session timezone, which a foreign driver session doesn't pin) and
+    the output is all-integer = hash-exact. At 100 TB this is the
+    per-user linear pass every clickstream pipeline runs — state is
+    one row lookback, never the whole user history."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("new_session").over(run).cast("long").alias("session_id"),
+        )
+        .orderBy("user_id", "event_id")
+    )

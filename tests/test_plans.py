@@ -307,3 +307,59 @@ def test_tpch_q20_shape_nested_in_is_semi_join(spark):
     plan = plan_of(QUERIES["q51_tpch_q20_shape"](spark, SF))
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_unpivot_is_mapside_expand_with_pushdown(spark):
+    """UNPIVOT must compile to a single Expand node (each row emits one
+    row per value column, map-side — no shuffle, no union of N scans)
+    with the row filter still pushed to the parquet scan below it."""
+    plan = plan_of(QUERIES["q53_unpivot"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1
+    assert "LessThan(l_orderkey,1000)" in plan
+
+
+def test_grouping_sets_expand_mapside_single_shuffle(spark):
+    """GROUPING SETS must expand below the partial aggregate: one
+    Expand, partial_ aggregation before a single hash Exchange (the
+    ORDER BY adds a range exchange on <= |groups| rows)."""
+    plan = plan_of(QUERIES["q52_grouping_sets"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    before_exchange = plan.split("Exchange hashpartitioning")[1]
+    assert "partial_" in before_exchange
+
+
+def test_histogram_aggregates_mapside(spark):
+    """The fixed-width histogram computes buckets in the scan stage and
+    partial-aggregates before its single hash shuffle — the shuffle
+    carries <= n_buckets rows per partition."""
+    plan = plan_of(QUERIES["ns_value_histogram"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan.split("Exchange hashpartitioning")[1]
+
+
+def test_regression_moments_single_shuffle(spark):
+    """All five regression moments accumulate in ONE partial-aggregated
+    groupBy (single hash shuffle); the closed-form math is a driver-free
+    projection over one row per group."""
+    plan = plan_of(QUERIES["ns_regression_stats"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.split("Exchange hashpartitioning")[1].count("partial_sum") >= 5
+
+
+def test_session_assignment_single_shuffle_two_windows(spark):
+    """lag + running-sum share the same (user_id) partitioning: one
+    hash shuffle serves both window operators."""
+    plan = plan_of(QUERIES["ns_session_assignment"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_df_join_small_side_broadcast(spark):
+    """The document-frequency side (vocab-sized) must broadcast into
+    the tf relation at this SF; per-doc top-k must be a window filter,
+    not a global sort of the scored pairs."""
+    df = QUERIES["ns_tfidf_topterms"](spark, SF)
+    df.collect()  # AQE decides the join strategy on execution
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
