@@ -396,3 +396,111 @@ def ns_session_assignment(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "s12_snapshot_asof",
+    oracle="""
+    SELECT user_id, event_type, value FROM (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_id <= 5000
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def s12_snapshot_asof(spark, sf_dir):
+    """Time-travel semantic contract: table state AS OF a log prefix =
+    latest-wins over only the events up to the cutoff (q12 restricted
+    to the prefix). AppendSink.read_asof implements this on the actual
+    append log with file-level segment pruning — asserted equal to the
+    prefix recomputation in tests/test_time_travel.py; this entry pins
+    the same semantics to a DuckDB oracle. At 100 TB the AS OF read
+    costs the prefix's files only, never a scan-then-filter of the
+    full log."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 5000)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .orderBy("user_id")
+        .select("user_id", "event_type", "value")
+    )
+
+
+@query(
+    "q54_window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q54_window_distribution(spark, sf_dir):
+    """Distribution window functions: NTILE / PERCENT_RANK / CUME_DIST
+    per customer by order value — the percentile-bucket family every
+    scoring/stratification pipeline uses. All three are rank ratios
+    ((rank-1)/(n-1), rank/n — single IEEE divisions of exact ints), so
+    the doubles hash-match. One shuffle on o_custkey serves all three
+    functions (same window spec); the unique o_orderkey tiebreak makes
+    the frame deterministic in both engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q55_window_navigation",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(value) OVER w AS first_v,
+           LAST_VALUE(value) OVER w AS last_v,
+           NTH_VALUE(value, 2) OVER w AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id, event_id
+    """,
+)
+def q55_window_navigation(spark, sf_dir):
+    """Navigation window functions: FIRST_VALUE / LAST_VALUE /
+    NTH_VALUE over each user's full event history. The frame is an
+    EXPLICIT unbounded ROWS frame — LAST_VALUE under the default
+    RANGE-to-current frame is the classic wrong-answer trap (it would
+    return the current row), and an explicit frame also makes both
+    engines bit-identical. Values pass through unmodified (no
+    arithmetic), so determinism reduces to the unique (ts, event_id)
+    ordering."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.first("value").over(w).alias("first_v"),
+            F.last("value").over(w).alias("last_v"),
+            F.nth_value("value", 2).over(w).alias("second_v"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -487,6 +487,41 @@ class AppendSink:
             deduped = deduped.filter(F.col("event_type") != "DELETE")
         return deduped
 
+    def read_raw_asof(self, batch_id: int) -> DataFrame:
+        """Append log restricted to batches <= ``batch_id``. Pruning is
+        file-list level — segments are named by batch id, so an AS OF
+        read PLANS only the needed segment directories (asserted via
+        inputFiles in tests/test_time_travel.py); no filter runs over
+        newer data. This is the snapshot-isolation primitive Delta/
+        Iceberg call time travel; it falls out of the log-structured
+        layout for free."""
+        segs = [
+            s
+            for s in sorted(self.data_path.glob("seg-*"))
+            if int(s.name.split("-")[1]) <= batch_id
+        ]
+        if not segs:
+            # same empty-schema contract as read_raw
+            return self.read_raw().limit(0)
+        return (
+            self.spark.read.option("ignoreMissingFiles", "true")
+            .parquet(*[str(s) for s in segs])
+        )
+
+    def read_asof(self, batch_id: int) -> DataFrame:
+        """Table state AS OF the given committed batch (time travel):
+        the dedup view over the log prefix. Equals what ``read()``
+        returned right after ``batch_id`` committed — the reproducible-
+        training-snapshot / audit read every warehouse needs. The
+        upsert personality intentionally cannot offer this (compaction
+        folds history away, trading time travel for O(batch) merges);
+        the append log retains it, exactly like ClickHouse/Iceberg
+        keep parts until retention expires."""
+        deduped = latest_per_key(self.read_raw_asof(batch_id), self.key_cols)
+        if self.delete_policy == "tombstone":
+            deduped = deduped.filter(F.col("event_type") != "DELETE")
+        return deduped
+
 
 class AggregateSink:
     """AggregatingMergeTree personality: maintain per-key aggregates

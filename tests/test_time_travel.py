@@ -1,0 +1,78 @@
+"""AS OF (time travel) reads on the append-log sink: the dedup view
+over a log PREFIX must equal what read() returned right after that
+batch committed, and the scan must plan only the prefix's segment
+files (file-level pruning, not a post-hoc filter)."""
+
+import pyspark.sql.functions as F
+
+from hybrid_cdc_demo_spark.streaming.sinks import AppendSink, latest_per_key
+
+SCHEMA = (
+    "user_id long, event_id string, event_type string, "
+    "timestamp_micros long, columns string"
+)
+
+BATCHES = [
+    # batch 0: two users insert
+    [(1, "e0", "INSERT", 100, '{"v":"a"}'), (2, "e1", "INSERT", 110, '{"v":"b"}')],
+    # batch 1: user 1 updated, user 3 appears
+    [(1, "e2", "UPDATE", 200, '{"v":"a2"}'), (3, "e3", "INSERT", 210, '{"v":"c"}')],
+    # batch 2: user 2 deleted, user 1 updated again
+    [(2, "e4", "DELETE", 300, None), (1, "e5", "UPDATE", 310, '{"v":"a3"}')],
+]
+
+
+def _write_all(spark, path, policy="tombstone"):
+    sink = AppendSink(spark, path, ["user_id"], delete_policy=policy)
+    for bid, rows in enumerate(BATCHES):
+        sink.write_batch(spark.createDataFrame(rows, SCHEMA), batch_id=bid)
+    return sink
+
+
+def test_read_asof_equals_prefix_state(spark, tmp_path):
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    for upto in range(len(BATCHES)):
+        expected_raw = spark.createDataFrame(
+            [r for rows in BATCHES[: upto + 1] for r in rows], SCHEMA
+        )
+        expected = (
+            latest_per_key(expected_raw, ["user_id"])
+            .filter(F.col("event_type") != "DELETE")
+            .select("user_id", "event_id")
+        )
+        got = sink.read_asof(upto).select("user_id", "event_id")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, expected.collect())
+        ), f"as-of batch {upto}"
+
+
+def test_read_asof_full_log_equals_read(spark, tmp_path):
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    assert sorted(map(tuple, sink.read_asof(2).collect())) == sorted(
+        map(tuple, sink.read().collect())
+    )
+
+
+def test_read_asof_prunes_segment_files(spark, tmp_path):
+    """AS OF 0 must PLAN only seg-0's files — newer segments are
+    excluded at file-list level, never scanned-then-filtered."""
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    files = sink.read_raw_asof(0).inputFiles()
+    assert files, "prefix read planned no files"
+    assert all("seg-000000000000" in f for f in files), files
+
+
+def test_read_asof_before_first_batch_is_empty_with_schema(spark, tmp_path):
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    empty = sink.read_asof(-1)
+    assert empty.count() == 0
+    # full projected schema preserved (the _schema.json contract)
+    assert "columns" in empty.columns
+
+
+def test_read_asof_skip_policy_drops_deletes_from_log(spark, tmp_path):
+    """Under the reference-parity skip policy DELETEs never enter the
+    log, so user 2 survives every snapshot (documented divergence)."""
+    sink = _write_all(spark, str(tmp_path / "ch"), policy="skip")
+    users = {r["user_id"] for r in sink.read_asof(2).collect()}
+    assert users == {1, 2, 3}
