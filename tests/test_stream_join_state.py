@@ -6,6 +6,7 @@ import os
 import time
 
 import pyspark.sql.functions as F
+import pytest
 
 from hybrid_cdc_demo_spark.streaming import windows as W
 
@@ -206,3 +207,114 @@ def test_stream_static_enrichment_is_stateless_broadcast(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enrich_test").collect()
     }
     assert rows == {("u1", "GOLD", 1.0), ("u9", None, 2.0)}
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_merge_topk_semantics():
+    """The state merge is a pure function: value desc, id-asc tiebreak,
+    truncate to k — displacement across batches included."""
+    held = [(2, 30.0), (3, 20.0), (1, 10.0)]
+    out = W.merge_topk(held, [(5, 25.0), (6, 5.0)], k=3)
+    assert out == [(2, 30.0), (5, 25.0), (3, 20.0)]  # 10.0 displaced
+    # tie on value -> lower id first, deterministically
+    assert W.merge_topk([(4, 1.0)], [(7, 1.0)], k=3) == [(4, 1.0), (7, 1.0)]
+    assert W.merge_topk([], [], k=3) == []
+
+
+def test_transform_with_state_topk_plan(spark, tmp_path):
+    """State-v2 plan construction + schema resolution (these run
+    without the protobuf worker protocol): the analyzed plan must carry
+    a TransformWithState operator over the keyed stream."""
+    src = tmp_path / "ev"
+    _write_jsonl(src / "b1.json", [{"user_id": "u1", "event_id": 1, "value": 1.0}])
+    stream = (
+        spark.readStream.schema("user_id string, event_id long, value double")
+        .json(str(src))
+    )
+    topk = W.topk_per_key_with_state(stream, k=3)
+    assert topk.isStreaming
+    assert topk.schema.simpleString() == (
+        "struct<user_id:string,rank:int,event_id:bigint,value:double>"
+    )
+    analyzed = topk._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithState" in analyzed
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="state-v2 e2e needs the protobuf package (Python worker "
+    "protocol) which this container lacks; plan/schema/merge semantics "
+    "are covered unconditionally above",
+)
+def test_transform_with_state_topk_end_to_end(spark, tmp_path):
+    """Full run: final emission per key equals the batch window-rank
+    top-k over the same rows, with state carried ACROSS micro-batches."""
+    src = tmp_path / "ev"
+    now = time.time()
+    _write_jsonl(
+        src / "b1.json",
+        [
+            {"user_id": "u1", "event_id": 1, "value": 10.0},
+            {"user_id": "u1", "event_id": 2, "value": 30.0},
+            {"user_id": "u1", "event_id": 3, "value": 20.0},
+            {"user_id": "u2", "event_id": 4, "value": 1.0},
+        ],
+        mtime=now - 60,
+    )
+    _write_jsonl(
+        src / "b2.json",
+        [
+            {"user_id": "u1", "event_id": 5, "value": 25.0},
+            {"user_id": "u1", "event_id": 6, "value": 5.0},
+            {"user_id": "u2", "event_id": 7, "value": 1.0},
+        ],
+        mtime=now - 30,
+    )
+    stream = (
+        spark.readStream.schema("user_id string, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    topk = W.topk_per_key_with_state(stream, k=3)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            topk.writeStream.format("memory")
+            .queryName("twstate_topk")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    rows = spark.sql(
+        "SELECT * FROM twstate_topk ORDER BY user_id, rank"
+    ).collect()
+    final = {}
+    for r in rows:
+        final[(r["user_id"], r["rank"])] = (r["event_id"], r["value"])
+    assert final[("u1", 1)] == (2, 30.0)
+    assert final[("u1", 2)] == (5, 25.0)
+    assert final[("u1", 3)] == (3, 20.0)
+    assert final[("u2", 1)] == (4, 1.0)
+    assert final[("u2", 2)] == (7, 1.0)
+    assert ("u2", 3) not in final
