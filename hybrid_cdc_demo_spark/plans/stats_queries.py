@@ -504,3 +504,50 @@ def q55_window_navigation(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query("ns_sketch_cardinality")  # tolerance-tested in tests/test_sketches.py
+def ns_sketch_cardinality(spark, sf_dir):
+    """Mergeable-cardinality workflow on DataSketches HLL (Spark 4
+    hll_sketch_agg/hll_union_agg): per-event-type sketches of the
+    user_id domain, re-aggregated to the GLOBAL distinct count by
+    unioning the sketches — never re-scanning the fact table. This is
+    the 100 TB pattern q05's plain approx_count_distinct can't do:
+    sketches persist per partition/day, and any rollup (day→month→all)
+    is a cheap union over kilobyte states. No oracle: DuckDB's
+    estimator differs by construction; tolerance vs exact and
+    union-consistency are pinned in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("distinct_users")
+    )
+    total = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users")
+    ).select(F.lit("__total__").alias("event_type"), "distinct_users")
+    return per_est.unionByName(total).orderBy("event_type")
+
+
+@query("ns_quantile_sketch")  # tolerance-tested in tests/test_sketches.py
+def ns_quantile_sketch(spark, sf_dir):
+    """Approximate per-language length quantiles via the
+    percentile_approx sketch (KLL-family) — the streaming/mergeable
+    counterpart of ns_length_quantiles' exact interpolation. At 100 TB
+    the exact form needs a full sort per group; the sketch is one
+    map-side pass with kilobyte state per group and a bounded rank
+    error set by the accuracy knob."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs = F.percentile_approx("n_chars", F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.9)
+    ), F.lit(10000))
+    return (
+        docs.groupBy("lang")
+        .agg(qs.alias("q"))
+        .select(
+            "lang",
+            F.element_at("q", 1).cast("double").alias("p25"),
+            F.element_at("q", 2).cast("double").alias("p50"),
+            F.element_at("q", 3).cast("double").alias("p90"),
+        )
+        .orderBy("lang")
+    )

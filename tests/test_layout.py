@@ -101,3 +101,39 @@ def test_zorder_results_unchanged_by_layout(spark, lineitem, tmp_path):
         (F.col("l_orderkey") < 1000) & (F.col("l_partkey") < 500)
     )
     assert sorted(map(tuple, box.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining a date-partitioned fact to a FILTERED dim must plan a
+    dynamicpruning subquery on the fact's partition column: the fact
+    scan reads only partitions whose keys survive the dim filter,
+    discovered AT RUNTIME from the dim side — the mechanism that makes
+    star-schema joins over a 100 TB partitioned fact read only the
+    selected slice, without a literal partition predicate in the query."""
+    import pyspark.sql.functions as F
+
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    fact_path = str(tmp_path / "orders_by_month")
+    (
+        orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("month")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    months = sorted(r["month"] for r in fact.select("month").distinct().collect())
+    # a real dim TABLE (DPP requires a selective predicate on a
+    # broadcastable scan side, not an inline literal frame)
+    dim_path = str(tmp_path / "month_dim")
+    spark.createDataFrame(
+        [(m, i % 4 + 1) for i, m in enumerate(months)],
+        "month string, quarter int",
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    # dim filtered on an attribute; no literal month predicate on the fact
+    joined = fact.join(dim.filter(F.col("quarter") == 1), "month").groupBy(
+        "month"
+    ).count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
