@@ -551,3 +551,43 @@ def ns_quantile_sketch(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ns_scd2_history",
+    oracle="""
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM events
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def ns_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension Type 2 derivation: each key's event
+    history becomes versioned rows with [valid_from, valid_to) ranges —
+    valid_to = the NEXT change's timestamp (lead), null/is_current=1 on
+    the latest. This is the warehouse-side materialization of a CDC
+    stream when history must be queryable (the latest-wins merge q12
+    keeps only the end state; SCD2 keeps the full timeline for as-of
+    joins against it, q33). One shuffle on the key; the lead window is
+    a single pass — at 100 TB the same plan holds because each key's
+    timeline sorts within its partition, never globally."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.col("ts").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )

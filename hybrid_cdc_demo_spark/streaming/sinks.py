@@ -508,6 +508,29 @@ class AppendSink:
             .parquet(*[str(s) for s in segs])
         )
 
+    def changes_between(self, after_batch: int, upto_batch: int) -> DataFrame:
+        """Change-data-feed read: the raw change rows committed in
+        batches (after_batch, upto_batch] — what a downstream consumer
+        replays to incrementally catch up from one snapshot to another
+        (the Delta CDF / ClickHouse parts-in-range pattern). Planned by
+        file-level segment pruning like read_asof: only the requested
+        range's segment directories enter the scan. Rows keep their
+        event_type (INSERT/UPDATE/DELETE-tombstone) and ``_batch_id``
+        so the consumer can apply them in commit order; under the
+        ``skip`` delete policy DELETEs were never logged (reference
+        parity) and the feed cannot carry them."""
+        segs = [
+            s
+            for s in sorted(self.data_path.glob("seg-*"))
+            if after_batch < int(s.name.split("-")[1]) <= upto_batch
+        ]
+        if not segs:
+            return self.read_raw().limit(0)
+        return (
+            self.spark.read.option("ignoreMissingFiles", "true")
+            .parquet(*[str(s) for s in segs])
+        )
+
     def read_asof(self, batch_id: int) -> DataFrame:
         """Table state AS OF the given committed batch (time travel):
         the dedup view over the log prefix. Equals what ``read()``

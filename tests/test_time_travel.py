@@ -76,3 +76,42 @@ def test_read_asof_skip_policy_drops_deletes_from_log(spark, tmp_path):
     sink = _write_all(spark, str(tmp_path / "ch"), policy="skip")
     users = {r["user_id"] for r in sink.read_asof(2).collect()}
     assert users == {1, 2, 3}
+
+
+def test_changes_between_returns_exact_range(spark, tmp_path):
+    """CDF: (after, upto] must return exactly those batches' raw rows,
+    planned from only the range's segment files."""
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    feed = sink.changes_between(0, 2)
+    got = sorted(r["event_id"] for r in feed.collect())
+    assert got == ["e2", "e3", "e4", "e5"]  # batches 1 and 2 only
+    files = feed.inputFiles()
+    assert files and all(
+        "seg-000000000001" in f or "seg-000000000002" in f for f in files
+    )
+    # batch ids preserved for commit-order application
+    assert {r["_batch_id"] for r in feed.collect()} == {1, 2}
+
+
+def test_changes_between_empty_range(spark, tmp_path):
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    empty = sink.changes_between(2, 2)
+    assert empty.count() == 0
+    assert "columns" in empty.columns  # schema contract preserved
+
+
+def test_snapshot_plus_changes_equals_next_snapshot(spark, tmp_path):
+    """The CDF invariant that makes incremental consumers correct:
+    state(asof k) applied with changes (k, m] == state(asof m)."""
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    base = sink.read_asof(0).drop("_batch_id")
+    feed = sink.changes_between(0, 2).drop("_batch_id")
+    replayed = (
+        latest_per_key(base.unionByName(feed), ["user_id"])
+        .filter(F.col("event_type") != "DELETE")
+        .select("user_id", "event_id")
+    )
+    direct = sink.read_asof(2).select("user_id", "event_id")
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
