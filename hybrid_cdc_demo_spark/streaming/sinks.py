@@ -508,6 +508,33 @@ class AppendSink:
             .parquet(*[str(s) for s in segs])
         )
 
+    def as_stream(self, spark: SparkSession | None = None) -> DataFrame:
+        """The sink as a SOURCE: a readStream over the append log's
+        segment files, so a downstream pipeline (silver/gold layer,
+        incremental aggregate, index maintenance) tails this table
+        exactly as the pipeline tailed the commitlog — the multi-hop
+        (medallion) composition. The file source's checkpoint tracks
+        which segment files each consumer has seen, so every consumer
+        resumes independently; new ``seg-*`` directories land atomically
+        (overwrite-by-batchId) before their ledger commit, so a tailing
+        consumer never observes a torn batch. Schema comes from the
+        first-write sidecar — available before any consumer starts."""
+        spark = spark or self.spark
+        sidecar = self.path / "_schema.json"
+        if not sidecar.exists():
+            raise ValueError(
+                "as_stream needs at least one committed batch (the "
+                "_schema.json sidecar) to pin the source schema"
+            )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(sidecar.read_text()))
+        return (
+            spark.readStream.schema(schema)
+            .option("ignoreMissingFiles", "true")
+            .parquet(str(self.data_path / "seg-*"))
+        )
+
     def changes_between(self, after_batch: int, upto_batch: int) -> DataFrame:
         """Change-data-feed read: the raw change rows committed in
         batches (after_batch, upto_batch] — what a downstream consumer

@@ -30,6 +30,8 @@ PINNED_NO_ORACLE = {
     "ns_multimodal_features": "test_query_contracts.py::test_ns_multimodal_features_pinned",
     "ns_winnowing": "test_query_contracts.py::test_ns_winnowing_pinned",
     "ns_simsearch_ivf_sq8": "test_query_contracts.py::test_ns_simsearch_ivf_sq8_pinned",
+    "ns_sketch_cardinality": "test_sketches.py (tolerance vs exact + union consistency)",
+    "ns_quantile_sketch": "test_sketches.py (rank error vs exact quantiles)",
 }
 
 

@@ -115,3 +115,52 @@ def test_snapshot_plus_changes_equals_next_snapshot(spark, tmp_path):
     assert sorted(map(tuple, replayed.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_append_log_tails_as_stream_incrementally(spark, tmp_path):
+    """Multi-hop composition: the sink's log is a streaming SOURCE.
+    A downstream consumer drains the existing batches, then a LATER
+    write is picked up incrementally on the next trigger from the same
+    checkpoint (no reprocessing of old segments)."""
+    sink = _write_all(spark, str(tmp_path / "ch"))
+
+    downstream = sink.as_stream().groupBy("user_id").count()
+    ckpt = str(tmp_path / "ckpt_tail")
+
+    def drain():
+        q = (
+            downstream.writeStream.format("memory")
+            .queryName("tail_test")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = {r["user_id"]: r["count"] for r in spark.sql(
+        "SELECT * FROM tail_test").collect()}
+    assert first == {1: 3, 2: 2, 3: 1}  # all raw rows across 3 batches
+
+    sink.write_batch(
+        spark.createDataFrame(
+            [(3, "e6", "UPDATE", 400, '{"v":"c2"}')], SCHEMA
+        ),
+        batch_id=3,
+    )
+    drain()
+    second = {r["user_id"]: r["count"] for r in spark.sql(
+        "SELECT * FROM tail_test").collect()}
+    assert second == {1: 3, 2: 2, 3: 2}  # only the new segment ingested
+
+
+def test_as_stream_requires_schema_sidecar(spark, tmp_path):
+    from hybrid_cdc_demo_spark.streaming.sinks import AppendSink
+
+    fresh = AppendSink(spark, str(tmp_path / "empty"), ["user_id"])
+    try:
+        fresh.as_stream()
+        raise AssertionError("expected ValueError before first write")
+    except ValueError:
+        pass
