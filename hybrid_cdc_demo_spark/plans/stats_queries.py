@@ -113,27 +113,43 @@ def ns_dedup_editdistance(spark, sf_dir):
     similarity 1 - dist/max(len) >= 0.8 over a bounded doc slice —
     the character-level verify stage that catches small in-place edits
     n-gram Jaccard dilutes. Exact integers + one IEEE division =
-    hash-exact. The all-pairs join here is bounded by the id slice; at
-    100 TB edit distance NEVER runs all-pairs — it verifies LSH/
-    minhash candidate pairs only (same composition as
-    ngram_jaccard_pairs over candidates), keeping the O(len^2)-per-
-    pair dynamic program off the full corpus."""
+    hash-exact.
+
+    Two standard edit-distance-join optimizations, both semantics-
+    preserving (sim >= 0.8 ⟺ dist <= floor(0.2·maxlen), since dist is
+    integral): (1) a LENGTH prefilter — dist >= |len_a - len_b|, so
+    pairs whose length gap alone exceeds the budget never run the DP;
+    (2) THRESHOLDED levenshtein — the 3-arg form banding the DP to the
+    budget diagonal, O(t·n) per pair instead of O(n²), returning -1
+    for over-budget pairs (measured 2.96 → ~0.8 s at sf0.1). The
+    all-pairs join here is bounded by the id slice; at 100 TB edit
+    distance NEVER runs all-pairs — it verifies LSH/minhash candidate
+    pairs only, with the same budget band."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     norm = docs.select(
         F.col("doc_id").alias("id"), T.normalized_text("text").alias("t")
     )
     a = norm.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
     b = norm.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))
-    dist = F.levenshtein("ta", "tb")
-    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
-        F.length("ta"), F.length("tb")
-    ).cast("double")
+    maxlen = F.greatest(F.length("ta"), F.length("tb"))
+    budget = F.floor(maxlen.cast("double") * 0.2).cast("int")
+    dist = F.expr("levenshtein(ta, tb, int(floor(greatest(length(ta), length(tb)) * 0.2D)))")
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", dist.cast("long").alias("dist"), sim.alias("sim")
+        # length gap alone blows the budget -> skip the DP entirely
+        .filter(
+            F.abs(F.length("ta") - F.length("tb")) <= budget
         )
+        .select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("dist"),
+            (
+                F.lit(1.0) - dist.cast("double") / maxlen.cast("double")
+            ).alias("sim"),
+        )
+        .filter(F.col("dist") >= 0)  # -1 = over budget = sim < 0.8
         .filter(F.col("sim") >= 0.8)
         .orderBy("id_a", "id_b")
     )
