@@ -1,0 +1,177 @@
+"""format("commitlog") Python DataSource: batch parity with the
+binaryFile+mapInPandas path, per-file partition planning, and — the
+capability binaryFile cannot offer — streaming resume MID-FILE on a
+growing segment at the last complete frame boundary."""
+
+import struct
+
+from hybrid_cdc_demo_spark.sources.commitlog import (
+    read_commitlog_batch,
+    write_commitlog_segment,
+)
+from hybrid_cdc_demo_spark.sources.commitlog_source import (
+    register_commitlog_source,
+)
+
+
+def _ev(i, etype="INSERT"):
+    return {
+        "event_type": etype,
+        "event_id": f"e{i}",
+        "keyspace": "ecommerce",
+        "table_name": "users",
+        "columns": {"user_id": str(i)},
+    }
+
+
+def test_batch_read_matches_mapinpandas_path(spark, tmp_path):
+    seg_dir = tmp_path / "log"
+    write_commitlog_segment(
+        str(seg_dir / "CommitLog-1.log"), [_ev(1), _ev(2, "UPDATE")]
+    )
+    # second segment: one good frame then a truncated tail
+    write_commitlog_segment(
+        str(seg_dir / "CommitLog-2.log"),
+        [_ev(3, "DELETE"), _ev(4)],
+        truncate_tail_bytes=5,
+    )
+    register_commitlog_source(spark)
+    via_ds = spark.read.format("commitlog").load(str(seg_dir))
+    via_mip = read_commitlog_batch(spark, str(seg_dir))
+
+    def rows_of(df):
+        # binaryFile reports hadoop file: URIs, the DataSource plain
+        # paths — normalize the scheme for comparison
+        return sorted(
+            (r["commitlog_file"].removeprefix("file:"), r["byte_position"],
+             r["event_type"], r["payload_json"], r["parse_error"])
+            for r in df.collect()
+        )
+
+    got, want = rows_of(via_ds), rows_of(via_mip)
+    assert got == want
+    assert len(got) == 3  # truncated frame 4 not emitted
+
+
+def test_batch_plans_one_partition_per_segment(spark, tmp_path):
+    seg_dir = tmp_path / "log"
+    for i in range(3):
+        write_commitlog_segment(str(seg_dir / f"CommitLog-{i}.log"), [_ev(i)])
+    register_commitlog_source(spark)
+    df = spark.read.format("commitlog").load(str(seg_dir))
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_bad_op_byte_becomes_parse_error_row(spark, tmp_path):
+    seg_dir = tmp_path / "log"
+    payload = b"X" + b'{"event_id": "weird"}'
+    raw = struct.pack(">I", len(payload)) + payload
+    seg_dir.mkdir(parents=True)
+    (seg_dir / "CommitLog-1.log").write_bytes(raw)
+    register_commitlog_source(spark)
+    rows = spark.read.format("commitlog").load(str(seg_dir)).collect()
+    assert len(rows) == 1
+    assert rows[0]["parse_error"].startswith("unknown op byte")
+    assert rows[0]["event_type"] is None
+
+
+def test_stream_resumes_mid_file_on_growing_segment(spark, tmp_path):
+    """The reference's tail-a-growing-commitlog semantics: after the
+    first drain, MORE frames are appended to the SAME file (plus a
+    truncated tail); the next drain from the same checkpoint emits
+    only the delta's complete frames, and completing the tail later
+    emits exactly the remaining frame."""
+    seg_dir = tmp_path / "log"
+    seg = str(seg_dir / "CommitLog-1.log")
+    write_commitlog_segment(seg, [_ev(1), _ev(2)])
+    register_commitlog_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    seen = set()
+
+    def drain(name):
+        # parquet sink: supports checkpoint RECOVERY (memory-append
+        # does not), which is exactly what this test exercises
+        df = spark.readStream.format("commitlog").load(str(seg_dir))
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        fresh = [r for r in rows
+                 if (r["commitlog_file"], r["byte_position"]) not in seen]
+        seen.update((r["commitlog_file"], r["byte_position"]) for r in rows)
+        return fresh
+
+    first = drain("cl_t1")
+    assert sorted(r["event_id"] for r in _parsed(first)) == ["e1", "e2"]
+
+    # grow the SAME file: one complete frame + a truncated tail
+    with open(seg, "ab") as fh:
+        fh.write(_frame(_ev(3)))
+        fh.write(_frame(_ev(4))[:-3])
+    second = drain("cl_t2")
+    assert sorted(r["event_id"] for r in _parsed(second)) == ["e3"]
+
+    # complete the tail frame in place
+    with open(seg, "ab") as fh:
+        fh.write(_frame(_ev(4))[-3:])
+    third = drain("cl_t3")
+    assert sorted(r["event_id"] for r in _parsed(third)) == ["e4"]
+
+
+def test_stream_picks_up_new_files_alongside_growth(spark, tmp_path):
+    seg_dir = tmp_path / "log"
+    write_commitlog_segment(str(seg_dir / "CommitLog-1.log"), [_ev(1)])
+    register_commitlog_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    seen = set()
+
+    def drain(name):
+        # parquet sink: supports checkpoint RECOVERY (memory-append
+        # does not), which is exactly what this test exercises
+        df = spark.readStream.format("commitlog").load(str(seg_dir))
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out).collect()
+        fresh = [r for r in rows
+                 if (r["commitlog_file"], r["byte_position"]) not in seen]
+        seen.update((r["commitlog_file"], r["byte_position"]) for r in rows)
+        return fresh
+
+    drain("cl_n1")
+    write_commitlog_segment(str(seg_dir / "CommitLog-2.log"), [_ev(2)])
+    with open(str(seg_dir / "CommitLog-1.log"), "ab") as fh:
+        fh.write(_frame(_ev(3)))
+    rows = drain("cl_n2")
+    assert sorted(r["event_id"] for r in _parsed(rows)) == ["e2", "e3"]
+
+
+def _frame(ev: dict) -> bytes:
+    import json
+
+    op = {"INSERT": b"I", "UPDATE": b"U", "DELETE": b"D"}[ev["event_type"]]
+    body = {k: v for k, v in ev.items() if k != "event_type"}
+    payload = op + json.dumps(body).encode()
+    return struct.pack(">I", len(payload)) + payload
+
+
+def _parsed(rows):
+    import json
+
+    out = []
+    for r in rows:
+        if r["payload_json"]:
+            out.append(json.loads(r["payload_json"]))
+    return out
