@@ -82,6 +82,14 @@ class PipelineConfig:
     #: continuous polling, the reference's poll_interval_seconds
     #: (settings.py:90-92; its 0.1 s default ≙ "100 milliseconds")
     processing_interval: str | None = None
+    #: source format (O1/O2): "envelope" = JSONL envelope segments
+    #: (the fixture/test corpus); "commitlog" = binary length-prefixed
+    #: segments via the binaryFile + mapInPandas frame splitter;
+    #: "commitlog-ds" = the registered Python DataSource, whose
+    #: streaming offsets are (file, frame-aligned position) pairs —
+    #: the only variant that TAILS a growing segment mid-file, exactly
+    #: like the reference's reader (src/cdc/reader.py:81-98)
+    source_format: str = "envelope"
     #: schema drift handling (SURVEY §7.3.2): when a batch carries
     #: payload columns outside the registered schema, evolve the
     #: registry (ADD/widening need no restart — payload stays JSON in
@@ -461,6 +469,40 @@ class CDCPipeline:
 
     # -- entry points --------------------------------------------------
 
+    def _source_stream(self) -> DataFrame:
+        """O1/O2/O5 source selection per config.source_format. All three
+        converge on the same envelope columns, so every downstream
+        stage (validate, mask, fan-out) is source-agnostic; the binary
+        variants additionally carry (commitlog_file, byte_position)
+        lineage and parse_error rows the DLQ branch picks up."""
+        fmt = self.config.source_format
+        if fmt == "envelope":
+            return read_envelope_stream(
+                self.spark,
+                self.config.source_dir,
+                max_files_per_trigger=self.config.max_files_per_trigger,
+            )
+        from hybrid_cdc_demo_spark.sources.commitlog import (
+            envelope_from_frames,
+            read_commitlog_stream,
+        )
+
+        if fmt == "commitlog":
+            return envelope_from_frames(
+                read_commitlog_stream(self.spark, self.config.source_dir)
+            )
+        if fmt == "commitlog-ds":
+            from hybrid_cdc_demo_spark.sources.commitlog_source import (
+                register_commitlog_source,
+            )
+
+            register_commitlog_source(self.spark)
+            frames = self.spark.readStream.format("commitlog").load(
+                self.config.source_dir
+            )
+            return envelope_from_frames(frames)
+        raise ValueError(f"unknown source_format {fmt!r}")
+
     def start(self) -> StreamingQuery:
         # size micro-batch execution to batch volume BEFORE start: the
         # query clones the session and latches these confs, so a tiny
@@ -479,11 +521,7 @@ class CDCPipeline:
             "spark.sql.shuffle.partitions", str(self.config.shuffle_partitions)
         )
         conf.set("spark.sql.files.minPartitionNum", "1")
-        stream = read_envelope_stream(
-            self.spark,
-            self.config.source_dir,
-            max_files_per_trigger=self.config.max_files_per_trigger,
-        )
+        stream = self._source_stream()
         writer = stream.writeStream.foreachBatch(
             lambda df, bid: self.process_batch(df, bid)
         ).option("checkpointLocation", self.config.checkpoint_path)
