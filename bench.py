@@ -121,6 +121,16 @@ def run_streaming_bench(
     # BASELINE.md's single-destination target (>= 1000 ev/s) is a
     # different workload than the 3-sink fan-out — measure it directly
     single = run_streaming_replay(spark, n_events=n_events, sinks=("postgres",))
+    # the reference's NATIVE source format is the binary length-prefixed
+    # commitlog — measure the same pipeline over binary segments (frame
+    # split + envelope parse included in the timing; small untimed
+    # warmup first so the one-time mapInPandas worker/codegen spin-up
+    # isn't attributed to the steady-state rate, same policy as the
+    # envelope warmup replay)
+    run_streaming_replay(spark, n_events=2000, source_format="commitlog")
+    binary = run_streaming_replay(
+        spark, n_events=20000, source_format="commitlog"
+    )
     return {
         "streaming_events_per_sec": round(
             sum(r["streaming_events_per_sec"] for r in results) / runs, 1
@@ -133,6 +143,9 @@ def run_streaming_bench(
         "streaming_single_sink_events_per_sec": single[
             "streaming_events_per_sec"
         ],
+        "streaming_commitlog_events_per_sec": binary[
+            "streaming_events_per_sec"
+        ],
         # SC-009: time from pipeline start to the first batch applied
         # (worst observed across runs; target < 30 s)
         "streaming_cold_start_sec": max(
@@ -141,21 +154,69 @@ def run_streaming_bench(
     }
 
 
+def _generate_binary_commitlog(
+    src: str, n_events: int, n_files: int, seed: int = 42
+) -> None:
+    """Binary length-prefixed segments carrying the same envelope
+    payloads the JSONL fixtures use (reference-native format)."""
+    import json as _json
+    import random
+
+    from hybrid_cdc_demo_spark.sources.commitlog import write_commitlog_segment
+
+    rng = random.Random(seed)
+    per = n_events // n_files
+    for f in range(n_files):
+        events = []
+        for i in range(per):
+            gid = f * per + i
+            uid = rng.randrange(max(1, n_events // 10))
+            events.append(
+                {
+                    "event_type": rng.choice(
+                        ["INSERT", "INSERT", "INSERT", "UPDATE"]
+                    ),
+                    "event_id": f"b{gid}",
+                    "keyspace": "ecommerce",
+                    "table_name": "users",
+                    "partition_key": {"user_id": f"u{uid}"},
+                    "clustering_key": {},
+                    "columns": _json.dumps(
+                        {"user_id": f"u{uid}", "age": 20 + (gid % 60)}
+                    ),
+                    "timestamp_micros": 1_700_000_000_000_000 + gid,
+                    "ttl_seconds": None,
+                    "captured_at": "2024-01-01T00:00:00Z",
+                }
+            )
+        write_commitlog_segment(
+            os.path.join(src, f"CommitLog-{f:04d}.log"), events
+        )
+
+
 def run_streaming_replay(
-    spark, n_events: int = 50000, sinks: tuple[str, ...] | None = None
+    spark,
+    n_events: int = 50000,
+    sinks: tuple[str, ...] | None = None,
+    source_format: str = "envelope",
 ) -> dict[str, float]:
     """S6 pipeline replay: envelope fixtures → validate/mask/merge into
     all three sink personalities (or the ``sinks`` subset); reports
     events/s, per-batch p99, and cold-start-to-first-batch
     (BASELINE.md targets: ≥1000 events/s single / ≥800 multi,
-    p99 < 1 s, cold start < 30 s)."""
+    p99 < 1 s, cold start < 30 s). ``source_format='commitlog'``
+    replays the reference-native BINARY segments instead (frame split +
+    envelope parse inside the timed path)."""
     from hybrid_cdc_demo_spark.schema.evolution import SchemaRegistry, TableSchema
     from hybrid_cdc_demo_spark.sources.cdc import generate_change_events
     from hybrid_cdc_demo_spark.streaming.pipeline import CDCPipeline, PipelineConfig
 
     tmp = tempfile.mkdtemp(prefix="cdc-bench-")
     src = os.path.join(tmp, "commitlog")
-    generate_change_events(src, n_events=n_events, n_files=25, seed=42)
+    if source_format == "envelope":
+        generate_change_events(src, n_events=n_events, n_files=25, seed=42)
+    else:
+        _generate_binary_commitlog(src, n_events=n_events, n_files=25)
     reg = SchemaRegistry()
     reg.register(
         TableSchema(
@@ -178,6 +239,7 @@ def run_streaming_replay(
         source_dir=src,
         target_dir=os.path.join(tmp, "warehouse"),
         max_files_per_trigger=1,
+        source_format=source_format,
     )
     pipeline = CDCPipeline(spark, cfg, reg)
     if sinks is not None:
