@@ -515,9 +515,12 @@ class AppendSink:
         exactly as the pipeline tailed the commitlog — the multi-hop
         (medallion) composition. The file source's checkpoint tracks
         which segment files each consumer has seen, so every consumer
-        resumes independently; new ``seg-*`` directories land atomically
-        (overwrite-by-batchId) before their ledger commit, so a tailing
-        consumer never observes a torn batch. Schema comes from the
+        resumes independently. Atomicity granularity: each parquet part
+        FILE appears atomically (task-commit rename), so a consumer
+        never sees torn rows; a multi-file segment, however, can
+        surface across consecutive triggers — consumers needing
+        whole-batch alignment should read ledger-committed batch ids
+        via :meth:`changes_between` instead. Schema comes from the
         first-write sidecar — available before any consumer starts."""
         spark = spark or self.spark
         sidecar = self.path / "_schema.json"
