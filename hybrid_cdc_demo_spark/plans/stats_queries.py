@@ -689,3 +689,110 @@ def q57_datetime_fns_breadth(spark, sf_dir):
         F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
         F.add_months("o_orderdate", 3).alias("plus_3m"),
     )
+
+
+@query(
+    "ns_dq_violations",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_positive_qty,
+             CAST(SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 0.1,
+                                             FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_discount_range,
+             CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'),
+                                             FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_known_flag,
+             CAST(SUM(CASE WHEN NOT COALESCE(
+                         l_shipdate >= TIMESTAMP '1992-01-01', FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_ship_after_epoch
+      FROM lineitem
+    )
+    SELECT rule, n_violations, n_rows,
+           CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             AS violation_rate
+    FROM (
+      SELECT 'discount_range' AS rule, v_discount_range AS n_violations,
+             n_rows FROM base
+      UNION ALL
+      SELECT 'known_flag', v_known_flag, n_rows FROM base
+      UNION ALL
+      SELECT 'positive_qty', v_positive_qty, n_rows FROM base
+      UNION ALL
+      SELECT 'ship_after_epoch', v_ship_after_epoch, n_rows FROM base
+    ) ORDER BY rule
+    """,
+)
+def ns_dq_violations(spark, sf_dir):
+    """Data-quality gate summary (operators/quality.py): four named
+    rules over lineitem evaluated in ONE map-side aggregate — per-rule
+    violation counts + rates, the expectations report a production
+    pipeline publishes next to every dataset. Rules are unbound Column
+    predicates (the streaming envelope checks generalized); nulls
+    count as violations (conservative). One scan, a 1-row combine, an
+    explode of 4 structs — O(rules) output regardless of table size."""
+    from hybrid_cdc_demo_spark.operators.quality import violation_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {
+        "positive_qty": F.col("l_quantity") > 0,
+        "discount_range": F.col("l_discount").between(0, 0.1),
+        "known_flag": F.col("l_returnflag").isin("A", "N", "R"),
+        "ship_after_epoch": F.col("l_shipdate")
+        >= F.lit("1992-01-01").cast("timestamp_ntz"),
+    }
+    return violation_summary(li, rules)
+
+
+@query(
+    "ns_rolling_7day",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id,
+             datediff('day', DATE '2023-01-01', CAST(ts AS DATE)) AS day,
+             value
+      FROM events
+    )
+    SELECT user_id, event_id, day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_7d
+    FROM d
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def ns_rolling_7day(spark, sf_dir):
+    """Trailing-7-day rolling metrics per user via a RANGE frame over
+    integer day offsets — the time-series construct q14's ROWS frame
+    cannot express (a RANGE frame aggregates every row within the VALUE
+    window, handling same-day ties and gaps correctly). Day offsets are
+    tz-free integers (date-part of the NTZ timestamp minus a fixed
+    anchor), the sum accumulates in exact DECIMAL — hash-exact. One
+    shuffle on user_id; at 100 TB the frame state per row is the
+    trailing window only, never the full history."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        "event_id",
+        F.datediff(F.to_date("ts"), F.lit("2023-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_7d"),
+    ).orderBy("user_id", "event_id")

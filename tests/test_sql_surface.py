@@ -59,6 +59,26 @@ SQL_EQUIVALENTS = {
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
+    "q52_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS c,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+                 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls,
+                 l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "q53_unpivot": """
+        SELECT l_orderkey, l_linenumber, substring(metric, 3) AS metric, val
+        FROM (SELECT l_orderkey, l_linenumber, l_discount, l_quantity, l_tax
+              FROM lineitem WHERE l_orderkey < 1000)
+        UNPIVOT (val FOR metric IN (l_discount, l_quantity, l_tax))
+        ORDER BY l_orderkey, l_linenumber, metric
+    """,
 }
 
 
