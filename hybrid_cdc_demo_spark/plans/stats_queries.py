@@ -796,3 +796,65 @@ def ns_rolling_7day(spark, sf_dir):
         .cast("double")
         .alias("sum_7d"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "ns_reconcile_drift",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), replica AS (
+      -- a deterministically-perturbed replica: drops every 7th key,
+      -- corrupts the value of every 11th
+      SELECT user_id, event_type,
+             CASE WHEN user_id % 11 = 0 THEN value + 1.0 ELSE value END
+               AS value
+      FROM latest WHERE user_id % 7 <> 0
+    )
+    SELECT COALESCE(s.user_id, t.user_id) AS user_id,
+           CASE WHEN t.user_id IS NULL THEN 'missing_in_target'
+                WHEN s.user_id IS NULL THEN 'missing_in_source'
+                WHEN s.event_type <> t.event_type OR s.value <> t.value
+                THEN 'mismatch' END AS status
+    FROM latest s FULL OUTER JOIN replica t ON s.user_id = t.user_id
+    WHERE CASE WHEN t.user_id IS NULL THEN 'missing_in_target'
+               WHEN s.user_id IS NULL THEN 'missing_in_source'
+               WHEN s.event_type <> t.event_type OR s.value <> t.value
+               THEN 'mismatch' END IS NOT NULL
+    ORDER BY user_id
+    """,
+)
+def ns_reconcile_drift(spark, sf_dir):
+    """Source↔replica reconciliation (operators/reconcile.py): the
+    anti-entropy audit of a CDC deployment — latest-wins source state
+    vs a deterministically-perturbed replica (every 7th key dropped,
+    every 11th value corrupted), emitting exactly the drift rows with
+    their status. The operator compares one row FINGERPRINT per side
+    (sha2 of sorted-field JSON), so the full-outer join carries
+    (key, hash) only — one shuffle per side at any table width; the
+    oracle expresses the same diff with per-column predicates, and
+    the outputs hash-match because a fingerprint inequality is exactly
+    a value inequality on these columns."""
+    from hybrid_cdc_demo_spark.operators.reconcile import reconcile
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+    replica = latest.filter(F.col("user_id") % 7 != 0).withColumn(
+        "value",
+        F.when(F.col("user_id") % 11 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    return reconcile(
+        latest, replica, ["user_id"], ["event_type", "value"]
+    ).orderBy("user_id")
