@@ -79,3 +79,63 @@ def test_pipeline_end_to_end_on_binary_commitlog(spark, tmp_path, fmt):
     from hybrid_cdc_demo_spark.streaming.dlq import read_dlq
 
     assert read_dlq(spark, cfg.dlq_path).count() >= 1
+
+
+def test_two_pipelines_partition_a_shared_commitlog(spark, tmp_path):
+    """O6 both ways: two pipelines scoped to DIFFERENT tables tail the
+    SAME commitlog dir; each replicates exactly its own table's events
+    — together they partition the log with no overlap and no loss
+    (the reference runs one reader process per (keyspace, table) over
+    a shared commitlog, src/cdc/reader.py:186-188)."""
+    src = tmp_path / "sharedlog"
+    events = []
+    for i in range(6):
+        table = "users" if i % 2 == 0 else "orders"
+        events.append(
+            {
+                "event_id": f"e{i}",
+                "event_type": "INSERT",
+                "table_name": table,
+                "keyspace": "ecommerce",
+                "partition_key": {"user_id": f"k{i}"},
+                "clustering_key": {},
+                "columns": json.dumps({"user_id": f"k{i}"}),
+                "timestamp_micros": 1_000_000 + i,
+                "ttl_seconds": None,
+                "captured_at": "2024-01-01T00:00:00Z",
+            }
+        )
+    src.mkdir(parents=True)
+    with open(src / "seg-0.jsonl", "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+
+    def make(table, wh):
+        reg = SchemaRegistry()
+        reg.register(
+            TableSchema("ecommerce", table, {"user_id": "text"}, ["user_id"])
+        )
+        cfg = PipelineConfig(
+            source_dir=str(src),
+            target_dir=str(tmp_path / wh),
+            table=table,
+            max_files_per_trigger=None,
+        )
+        return CDCPipeline(spark, cfg, reg)
+
+    p_users = make("users", "wh_users")
+    p_orders = make("orders", "wh_orders")
+    p_users.run_available()
+    p_orders.run_available()
+
+    users_keys = {
+        json.loads(r["columns"])["user_id"]
+        for r in p_users.sinks["postgres"].read().collect()
+    }
+    orders_keys = {
+        json.loads(r["columns"])["user_id"]
+        for r in p_orders.sinks["postgres"].read().collect()
+    }
+    assert users_keys == {"k0", "k2", "k4"}
+    assert orders_keys == {"k1", "k3", "k5"}
+    assert users_keys.isdisjoint(orders_keys)
