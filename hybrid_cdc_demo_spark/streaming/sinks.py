@@ -453,30 +453,118 @@ class AppendSink:
         tmp.write_text(nullable(df.schema).json())
         os.replace(tmp, sidecar)
 
-    def read_raw(self) -> DataFrame:
-        segs = sorted(self.data_path.glob("seg-*"))
-        if not segs:
-            # empty log reads as an empty table (the 'seg-*' glob
-            # would otherwise throw PATH_NOT_FOUND before first batch).
-            # Prefer the persisted first-write schema; before ANY write
-            # fall back to the minimal dedup-view columns (the only
-            # contract read()/latest_per_key rely on).
-            sidecar = self.path / "_schema.json"
-            if sidecar.exists():
-                from pyspark.sql.types import StructType
+    def _log_entries(self) -> list[tuple[int, int, Path]]:
+        """Live log entries as (lo_batch, hi_batch, dir), SHADOWING
+        applied: a consolidated ``cseg-lo-hi`` dir (written by
+        :meth:`optimize`) supersedes every per-batch ``seg-X`` dir and
+        narrower cseg whose range it fully covers. Readers therefore
+        never double-count during optimize's crash window (consolidated
+        dir landed, originals not yet removed) — the originals are
+        simply ignored."""
+        entries: list[tuple[int, int, Path]] = []
+        for p in sorted(self.data_path.iterdir()):
+            name = p.name
+            if name.startswith("cseg-"):
+                lo_s, hi_s = name[len("cseg-"):].split("-")
+                entries.append((int(lo_s), int(hi_s), p))
+            elif name.startswith("seg-"):
+                b = int(name.split("-")[1])
+                entries.append((b, b, p))
+        # widest ranges win; protocol never creates partial overlaps
+        entries.sort(key=lambda e: (-(e[1] - e[0]), e[0]))
+        live: list[tuple[int, int, Path]] = []
+        for lo, hi, p in entries:
+            if any(klo <= lo and hi <= khi for klo, khi, _ in live):
+                continue
+            live.append((lo, hi, p))
+        live.sort(key=lambda e: e[0])
+        return live
 
-                schema = StructType.fromJson(json.loads(sidecar.read_text()))
-                return self.spark.createDataFrame([], schema)
-            fields = ", ".join(
-                [f"`{k}` string" for k in self.key_cols]
-                + ["event_id string", "event_type string",
-                   "timestamp_micros long", "_batch_id long"]
-            )
-            return self.spark.createDataFrame([], fields)
+    def _empty_frame(self) -> DataFrame:
+        """Empty log with the persisted first-write schema (or the
+        minimal dedup-view columns before any write)."""
+        sidecar = self.path / "_schema.json"
+        if sidecar.exists():
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(sidecar.read_text()))
+            return self.spark.createDataFrame([], schema)
+        fields = ", ".join(
+            [f"`{k}` string" for k in self.key_cols]
+            + ["event_id string", "event_type string",
+               "timestamp_micros long", "_batch_id long"]
+        )
+        return self.spark.createDataFrame([], fields)
+
+    def read_raw(self) -> DataFrame:
+        entries = self._log_entries()
+        if not entries:
+            return self._empty_frame()
         return (
             self.spark.read.option("ignoreMissingFiles", "true")
-            .parquet(*[str(s) for s in segs])
+            .parquet(*[str(p) for _, _, p in entries])
         )
+
+    def optimize(self, upto_batch: int | None = None, min_segments: int = 4) -> int:
+        """Small-file consolidation (Delta OPTIMIZE / ClickHouse merge
+        analogue): fold every live log entry with hi <= ``upto_batch``
+        (default: all) into ONE ``cseg-lo-hi`` directory. Without this
+        a week of 1 s triggers is ~600k segment dirs and file listing
+        dominates every read; after it the file count is bounded by
+        the optimize cadence.
+
+        Crash-safe by SHADOWING, no manifest: (1) write the
+        consolidated rows to a dot-tmp dir (invisible to readers),
+        (2) atomically rename it to ``cseg-lo-hi`` — from this instant
+        readers prefer it and ignore the covered originals
+        (:meth:`_log_entries`), (3) remove the originals. A crash
+        between (2) and (3) leaves harmless shadowed dirs that the
+        next optimize sweeps. Rows keep their ``_batch_id``, so
+        read_asof/changes_between stay EXACT inside a consolidated
+        range via row-level _batch_id filters on top of the file-level
+        range pruning. Returns the number of entries folded.
+
+        Concurrency caveat: a reader holding an ALREADY-PLANNED scan
+        over the original dirs while step (3) removes them sees those
+        rows vanish (ignoreMissingFiles) without its plan knowing
+        about the consolidation — run optimize from the maintenance
+        path (like UpsertSink's compact), not concurrently with
+        in-flight batch reads; plans built AFTER step (2) are always
+        complete."""
+        entries = self._log_entries()
+        # sweep shadowed garbage first (crash leftovers from a previous
+        # optimize: originals whose consolidation already landed) —
+        # they are invisible to readers and safe to drop any time
+        live_paths = {p for _, _, p in entries}
+        for p in self.data_path.iterdir():
+            if (
+                p.name.startswith(("seg-", "cseg-"))
+                and p not in live_paths
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+        if upto_batch is not None:
+            entries = [e for e in entries if e[1] <= upto_batch]
+        if len(entries) < min_segments:
+            return 0
+        lo = min(e[0] for e in entries)
+        hi = max(e[1] for e in entries)
+        final = self.data_path / f"cseg-{lo:012d}-{hi:012d}"
+        if len(entries) == 1 and entries[0][2] == final:
+            # already one consolidation covering the range — nothing to
+            # fold (a rewrite would only churn bytes)
+            return 0
+        df = self.spark.read.option("ignoreMissingFiles", "true").parquet(
+            *[str(p) for _, _, p in entries]
+        )
+        tmp = self.data_path / f".tmp-cseg-{lo:012d}-{hi:012d}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(str(tmp))
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+        for _, _, p in entries:
+            if p != final:
+                shutil.rmtree(p, ignore_errors=True)
+        return len(entries)
 
     def read(self) -> DataFrame:
         """Deduplicated view = ReplacingMergeTree final state (O23):
@@ -494,19 +582,20 @@ class AppendSink:
         inputFiles in tests/test_time_travel.py); no filter runs over
         newer data. This is the snapshot-isolation primitive Delta/
         Iceberg call time travel; it falls out of the log-structured
-        layout for free."""
-        segs = [
-            s
-            for s in sorted(self.data_path.glob("seg-*"))
-            if int(s.name.split("-")[1]) <= batch_id
-        ]
-        if not segs:
+        layout for free. A consolidated ``cseg`` range straddling the
+        cutoff is included file-level and restricted ROW-level on its
+        retained ``_batch_id`` column — still exact, still skipping
+        every wholly-newer entry."""
+        entries = [e for e in self._log_entries() if e[0] <= batch_id]
+        if not entries:
             # same empty-schema contract as read_raw
             return self.read_raw().limit(0)
-        return (
-            self.spark.read.option("ignoreMissingFiles", "true")
-            .parquet(*[str(s) for s in segs])
+        df = self.spark.read.option("ignoreMissingFiles", "true").parquet(
+            *[str(p) for _, _, p in entries]
         )
+        if any(hi > batch_id for _, hi, _ in entries):
+            df = df.filter(F.col("_batch_id") <= batch_id)
+        return df
 
     def as_stream(self, spark: SparkSession | None = None) -> DataFrame:
         """The sink as a SOURCE: a readStream over the append log's
@@ -535,7 +624,12 @@ class AppendSink:
         return (
             spark.readStream.schema(schema)
             .option("ignoreMissingFiles", "true")
-            .parquet(str(self.data_path / "seg-*"))
+            # matches both per-batch seg-* and consolidated cseg-* dirs;
+            # during optimize's crash window a late-starting consumer may
+            # see a shadowed original AND its consolidation — dedupe by
+            # event_id (latest_per_key / dropDuplicates) downstream, the
+            # same contract every at-least-once source carries
+            .parquet(str(self.data_path / "*seg-*"))
         )
 
     def changes_between(self, after_batch: int, upto_batch: int) -> DataFrame:
@@ -548,18 +642,25 @@ class AppendSink:
         event_type (INSERT/UPDATE/DELETE-tombstone) and ``_batch_id``
         so the consumer can apply them in commit order; under the
         ``skip`` delete policy DELETEs were never logged (reference
-        parity) and the feed cannot carry them."""
-        segs = [
-            s
-            for s in sorted(self.data_path.glob("seg-*"))
-            if after_batch < int(s.name.split("-")[1]) <= upto_batch
+        parity) and the feed cannot carry them. Consolidated ranges
+        overlapping the window are included file-level and restricted
+        row-level on ``_batch_id`` — exact at any consolidation state."""
+        entries = [
+            e
+            for e in self._log_entries()
+            if e[1] > after_batch and e[0] <= upto_batch
         ]
-        if not segs:
+        if not entries:
             return self.read_raw().limit(0)
-        return (
-            self.spark.read.option("ignoreMissingFiles", "true")
-            .parquet(*[str(s) for s in segs])
+        df = self.spark.read.option("ignoreMissingFiles", "true").parquet(
+            *[str(p) for _, _, p in entries]
         )
+        if any(lo <= after_batch or hi > upto_batch for lo, hi, _ in entries):
+            df = df.filter(
+                (F.col("_batch_id") > after_batch)
+                & (F.col("_batch_id") <= upto_batch)
+            )
+        return df
 
     def read_asof(self, batch_id: int) -> DataFrame:
         """Table state AS OF the given committed batch (time travel):

@@ -164,3 +164,90 @@ def test_as_stream_requires_schema_sidecar(spark, tmp_path):
         raise AssertionError("expected ValueError before first write")
     except ValueError:
         pass
+
+
+def test_optimize_folds_segments_preserving_all_reads(spark, tmp_path):
+    """OPTIMIZE consolidates per-batch dirs into one cseg while read(),
+    read_asof (incl. a cutoff INSIDE the consolidated range, via the
+    row-level _batch_id filter), and changes_between stay exact."""
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    before_read = sorted(map(tuple, sink.read().collect()))
+    before_asof1 = sorted(
+        map(tuple, sink.read_asof(1).select("user_id", "event_id").collect())
+    )
+    before_cdf = sorted(
+        r["event_id"] for r in sink.changes_between(0, 2).collect()
+    )
+
+    folded = sink.optimize(min_segments=2)
+    assert folded == 3
+    names = [p.name for p in (tmp_path / "ch" / "log").iterdir()]
+    assert names == ["cseg-000000000000-000000000002"]
+
+    assert sorted(map(tuple, sink.read().collect())) == before_read
+    assert (
+        sorted(
+            map(
+                tuple,
+                sink.read_asof(1).select("user_id", "event_id").collect(),
+            )
+        )
+        == before_asof1
+    )
+    assert (
+        sorted(r["event_id"] for r in sink.changes_between(0, 2).collect())
+        == before_cdf
+    )
+
+
+def test_optimize_shadowing_prevents_double_counting(spark, tmp_path):
+    """Crash window between consolidation-rename and original-removal:
+    both the cseg and its originals exist — readers must count each
+    row ONCE (shadowing), and the next optimize sweeps the leftovers."""
+    import shutil
+
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    log = tmp_path / "ch" / "log"
+    # simulate the crash window: build the consolidation but keep
+    # the originals by restoring them afterwards
+    backup = tmp_path / "backup"
+    shutil.copytree(log, backup)
+    sink.optimize(min_segments=2)
+    for seg in backup.iterdir():
+        shutil.copytree(seg, log / seg.name)
+    assert len(list(log.iterdir())) == 4  # cseg + 3 shadowed originals
+
+    raw = sink.read_raw()
+    assert raw.count() == 6  # not 12 — shadowed dirs ignored
+    # files planned come only from the consolidation
+    assert all("cseg-" in f for f in raw.inputFiles())
+
+    # the next optimize sweeps the shadowed leftovers
+    sink.optimize(min_segments=1)
+    assert [p.name for p in log.iterdir()] == [
+        "cseg-000000000000-000000000002"
+    ]
+    assert sink.read_raw().count() == 6
+
+
+def test_optimize_then_more_batches_reconsolidates_wider(spark, tmp_path):
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    sink.optimize(min_segments=2)
+    sink.write_batch(
+        spark.createDataFrame([(9, "e9", "INSERT", 900, '{"v":"z"}')], SCHEMA),
+        batch_id=3,
+    )
+    # cseg(0-2) + seg-3 -> cseg(0-3)
+    assert sink.optimize(min_segments=2) == 2
+    log = tmp_path / "ch" / "log"
+    assert [p.name for p in log.iterdir()] == [
+        "cseg-000000000000-000000000003"
+    ]
+    users = {r["user_id"] for r in sink.read().collect()}
+    assert users == {1, 3, 9}  # u2 deleted; all batches present
+
+
+def test_optimize_below_threshold_is_noop(spark, tmp_path):
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    assert sink.optimize(min_segments=10) == 0
+    assert len(list((tmp_path / "ch" / "log").iterdir())) == 3
