@@ -388,6 +388,7 @@ class AppendSink:
         path: str,
         key_cols: list[str],
         delete_policy: str = "skip",  # skip = reference parity | tombstone
+        optimize_every: int | None = 64,
     ):
         self.spark = spark
         self.path = Path(path)
@@ -397,6 +398,14 @@ class AppendSink:
         self.key_cols = key_cols
         assert delete_policy in ("skip", "tombstone")
         self.delete_policy = delete_policy
+        #: background small-file consolidation cadence: when the live
+        #: log reaches this many entries, an optimize() runs off the
+        #: write path (same single-thread model as UpsertSink's
+        #: compactor). None disables — callers then run optimize()
+        #: from their own maintenance schedule.
+        self.optimize_every = optimize_every
+        self._optimize_pool = ThreadPoolExecutor(max_workers=1)
+        self._optimize_future = None
 
     def write_batch(self, batch: DataFrame, batch_id: int) -> int:
         if self.ledger.is_committed(batch_id):
@@ -421,10 +430,23 @@ class AppendSink:
                 "last_event_timestamp_micros": max_ts,
             },
         )
+        if (
+            self.optimize_every is not None
+            and len(self._log_entries()) >= self.optimize_every
+            and (self._optimize_future is None or self._optimize_future.done())
+        ):
+            self._optimize_future = self._optimize_pool.submit(
+                self.optimize, batch_id, 2
+            )
         return n
 
     def flush(self) -> None:
-        """Append log has no background work to wait for."""
+        """Wait for any in-flight background consolidation (durability
+        point for graceful shutdown, O38 — same contract as
+        UpsertSink.flush)."""
+        if self._optimize_future is not None:
+            self._optimize_future.result()
+            self._optimize_future = None
 
     def _persist_schema(self, df: DataFrame) -> None:
         """Record the FULL projected batch schema once (first write),
@@ -596,6 +618,25 @@ class AppendSink:
         if any(hi > batch_id for _, hi, _ in entries):
             df = df.filter(F.col("_batch_id") <= batch_id)
         return df
+
+    def vacuum(self, retain_after_batch: int) -> int:
+        """Retention: drop every live log entry whose rows are ENTIRELY
+        at or below ``retain_after_batch`` (hi <= cutoff). Bounds disk
+        for an infinite stream at the cost of bounding HISTORY — after
+        vacuum, read_asof/changes_between below the cutoff see only the
+        retained suffix, exactly Delta's VACUUM-vs-time-travel
+        trade-off (and ClickHouse part TTL). The current dedup view is
+        NOT generally preserved: a key whose latest row sits below the
+        cutoff disappears — run :meth:`optimize` to fold history into
+        one consolidation and keep the cutoff below it, or snapshot
+        via read_asof before vacuuming. Entries straddling the cutoff
+        are kept whole (file granularity). Returns entries removed."""
+        removed = 0
+        for lo, hi, p in self._log_entries():
+            if hi <= retain_after_batch:
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        return removed
 
     def as_stream(self, spark: SparkSession | None = None) -> DataFrame:
         """The sink as a SOURCE: a readStream over the append log's

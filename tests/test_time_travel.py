@@ -251,3 +251,36 @@ def test_optimize_below_threshold_is_noop(spark, tmp_path):
     sink = _write_all(spark, str(tmp_path / "ch"))
     assert sink.optimize(min_segments=10) == 0
     assert len(list((tmp_path / "ch" / "log").iterdir())) == 3
+
+
+def test_background_auto_optimize_bounds_file_count(spark, tmp_path):
+    from hybrid_cdc_demo_spark.streaming.sinks import AppendSink
+
+    sink = AppendSink(
+        spark, str(tmp_path / "ch"), ["user_id"],
+        delete_policy="tombstone", optimize_every=4,
+    )
+    for bid in range(10):
+        sink.write_batch(
+            spark.createDataFrame(
+                [(bid % 3, f"e{bid}", "INSERT", 100 + bid, '{"v":"x"}')],
+                SCHEMA,
+            ),
+            batch_id=bid,
+        )
+        sink.flush()  # deterministic: wait out each background fold
+    log = tmp_path / "ch" / "log"
+    assert len(list(log.iterdir())) < 10  # consolidation kicked in
+    assert sink.read_raw().count() == 10  # nothing lost
+    assert {r["user_id"] for r in sink.read().collect()} == {0, 1, 2}
+
+
+def test_vacuum_drops_history_keeps_suffix(spark, tmp_path):
+    sink = _write_all(spark, str(tmp_path / "ch"))
+    removed = sink.vacuum(retain_after_batch=1)  # drop batches 0 and 1
+    assert removed == 2
+    # the suffix (batch 2) remains; history below the cutoff is gone
+    assert {r["event_id"] for r in sink.read_raw().collect()} == {"e4", "e5"}
+    assert sink.changes_between(1, 2).count() == 2
+    # time travel below the cutoff now sees only the retained suffix
+    assert sink.read_asof(1).count() == 0
