@@ -858,3 +858,107 @@ def ns_reconcile_drift(spark, sf_dir):
     return reconcile(
         latest, replica, ["user_id"], ["event_type", "value"]
     ).orderBy("user_id")
+
+
+@query(
+    "q58_array_fns_breadth",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(e) AS INTEGER) AS n_dims,
+           list_max(e) AS v_max,
+           list_min(e) AS v_min,
+           list_dot_product(e[1:3], [1.0, 1.0, 1.0]) AS sum_first3,
+           CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_pos,
+           sqrt(list_dot_product(e, e)) AS l2
+    FROM v ORDER BY vec_id
+    """,
+)
+def q58_array_fns_breadth(spark, sf_dir):
+    """Array-function breadth beyond q24: size, min/max, slice,
+    filter-count, and the L2 norm — all JVM higher-order expressions
+    over the embedding column (the per-vector feature stats every
+    vector pipeline computes map-side). Determinism: float→double
+    widening is exact, folds run in array order in both engines
+    (verified empirically across the ANN family), sqrt is correctly
+    rounded."""
+    from hybrid_cdc_demo_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    df = emb.select("vec_id", v.alias("e"))
+    ones3 = F.array(F.lit(1.0), F.lit(1.0), F.lit(1.0))
+    return df.select(
+        "vec_id",
+        F.size("e").cast("int").alias("n_dims"),
+        F.array_max("e").alias("v_max"),
+        F.array_min("e").alias("v_min"),
+        dot(F.slice("e", 1, 3), ones3).alias("sum_first3"),
+        F.size(F.filter("e", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("l2"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "q59_regex_breadth",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1) AS first_number,
+           CAST(len(regexp_extract_all(text, '[aeiou]+')) AS INTEGER)
+             AS n_vowel_runs,
+           regexp_replace(lower(text), '[aeiou]', '', 'g') AS devoweled_head
+    FROM (SELECT doc_id, substring(text, 1, 80) AS text FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def q59_regex_breadth(spark, sf_dir):
+    """Regex-function breadth: group extraction, match counting
+    (regexp_extract_all + size — portable where regexp_count is not),
+    and global character-class replacement, over a bounded text head.
+    All codegen JVM regex — the pattern-feature extraction stage of
+    any text pipeline; at scale this is a pure map with the substring
+    bound keeping per-row regex cost constant."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 80)
+    return (
+        docs.select("doc_id", head.alias("t"))
+        .select(
+            "doc_id",
+            F.regexp_extract("t", r"([0-9]+)", 1).alias("first_number"),
+            F.size(F.expr(r"regexp_extract_all(t, '[aeiou]+', 0)"))
+            .cast("int")
+            .alias("n_vowel_runs"),
+            F.regexp_replace(F.lower("t"), "[aeiou]", "").alias(
+                "devoweled_head"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q60_lateral_posexplode",
+    oracle="""
+    SELECT e.vec_id,
+           CAST(gs.i - 1 AS INTEGER) AS pos,
+           CAST(e.embedding[gs.i] AS DOUBLE) AS val
+    FROM embeddings e
+    CROSS JOIN LATERAL generate_series(1, 4) AS gs(i)
+    ORDER BY vec_id, pos
+    """,
+)
+def q60_lateral_posexplode(spark, sf_dir):
+    """Ordinal explode (LATERAL VIEW posexplode): each vector's first
+    four components as (vec_id, pos, val) rows — the wide→long reshape
+    with POSITION that feeds per-dimension statistics; the oracle
+    expresses the identical semantics as a lateral generate_series
+    index join. Map-side Generate node, no shuffle before the sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double"))
+    return (
+        emb.select("vec_id", F.posexplode(v).alias("pos", "val"))
+        .select("vec_id", F.col("pos").cast("int").alias("pos"), "val")
+        .orderBy("vec_id", "pos")
+    )
