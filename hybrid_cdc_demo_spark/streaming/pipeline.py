@@ -101,6 +101,16 @@ class PipelineConfig:
     #: window (tests/test_streaming.py::
     #: test_pii_column_added_mid_stream_is_masked).
     auto_evolve: bool = True
+    #: optional per-table data-quality rules (operators/quality.py
+    #: semantics): {rule_name: SQL boolean expression over the
+    #: envelope/payload columns — use get_json_object('columns', ...)
+    #: for payload fields}. Rows violating ANY rule (nulls conservative
+    #: = violation) are split out of the replication path and land in
+    #: the DLQ under destination='quality' with the contract-violation
+    #: treatment — the streaming instance of the batch DQ gate.
+    #: Expressions are strings (not Columns) so the config stays
+    #: serializable/declarative, like the reference's YAML rules.
+    quality_rules: dict[str, str] = field(default_factory=dict)
 
     @property
     def dlq_path(self) -> str:
@@ -153,6 +163,11 @@ class CDCPipeline:
         self._in_scope = (F.col("keyspace") == c.keyspace) & (
             F.col("table_name") == c.table
         )
+        #: declarative DQ rules compiled once to unbound Columns (the
+        #: streaming instance of operators/quality.py's gate)
+        self._quality_rules = {
+            name: F.expr(expr_sql) for name, expr_sql in c.quality_rules.items()
+        }
         #: previous batch's valid-row count, feeding the adaptive
         #: shuffle-partition sizing (None until the first batch lands)
         self._last_batch_rows: int | None = None
@@ -317,6 +332,12 @@ class CDCPipeline:
                 | F.col("table_name").isNull()
             )
             valid, invalid = self.split_valid(scoped)
+            if self._quality_rules:
+                from hybrid_cdc_demo_spark.operators.quality import gate
+
+                valid, quality_bad = gate(valid, self._quality_rules)
+            else:
+                quality_bad = None
             valid = self.mask(self.dedup(valid)).persist()
             # job 1: materialize the transformed batch into cache so
             # the parallel fan-out reads warm data instead of racing
@@ -429,6 +450,19 @@ class CDCPipeline:
                 ).count()
                 return "foreign_skipped", n, None
 
+            def quality_task():
+                # declarative DQ gate failures: quarantined, never
+                # replicated, never crash the pipeline (DLQ contract)
+                n = quality_bad.count()
+                if n:
+                    write_dlq(
+                        quality_bad,
+                        self.config.dlq_path,
+                        destination="quality",
+                        error_type="quality_violation",
+                    )
+                return "quality_failed", n, None
+
             def one_sink(item):
                 name, sink = item
                 try:
@@ -442,6 +476,8 @@ class CDCPipeline:
             tasks = [dlq_task, foreign_task] + [
                 (lambda item=item: one_sink(item)) for item in self.sinks.items()
             ]
+            if quality_bad is not None:
+                tasks.append(quality_task)
             with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
                 results = [f.result() for f in [pool.submit(t) for t in tasks]]
             for name, written, exc in results:

@@ -52,3 +52,70 @@ def test_summary_is_single_scan(spark):
     )
     # all rules fold into ONE aggregate over one source scan
     assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
+
+
+def test_streaming_pipeline_quality_rules_quarantine(spark, tmp_path):
+    """Declarative DQ rules in the pipeline: violating rows are split
+    out of replication and land in the DLQ under destination='quality';
+    clean rows replicate normally."""
+    import json
+
+    from hybrid_cdc_demo_spark.schema.evolution import (
+        SchemaRegistry,
+        TableSchema,
+    )
+    from hybrid_cdc_demo_spark.sources.cdc import ENVELOPE_SCHEMA
+    from hybrid_cdc_demo_spark.streaming.dlq import read_dlq
+    from hybrid_cdc_demo_spark.streaming.pipeline import (
+        CDCPipeline,
+        PipelineConfig,
+    )
+
+    def env(eid, uid, age, ts):
+        return {
+            "event_id": eid,
+            "event_type": "INSERT",
+            "table_name": "users",
+            "keyspace": "ecommerce",
+            "partition_key": {"user_id": uid},
+            "clustering_key": {},
+            "columns": json.dumps({"user_id": uid, "age": age}),
+            "timestamp_micros": ts,
+            "ttl_seconds": None,
+            "captured_at": None,
+        }
+
+    reg = SchemaRegistry()
+    reg.register(
+        TableSchema(
+            "ecommerce", "users", {"user_id": "text", "age": "int"}, ["user_id"]
+        )
+    )
+    cfg = PipelineConfig(
+        source_dir=str(tmp_path / "unused"),
+        target_dir=str(tmp_path / "wh"),
+        quality_rules={
+            "nonneg_age": (
+                "get_json_object(columns, '$.age') IS NULL OR "
+                "CAST(get_json_object(columns, '$.age') AS INT) >= 0"
+            ),
+        },
+    )
+    p = CDCPipeline(spark, cfg, reg)
+    batch = spark.createDataFrame(
+        [env("e1", "u1", 30, 100), env("e2", "u2", -5, 200),
+         env("e3", "u3", 41, 300)],
+        ENVELOPE_SCHEMA,
+    )
+    stats = p.process_batch(batch, batch_id=0)
+    assert stats["valid"] == 2
+    assert stats["quality_failed"] == 1
+    replicated = {
+        json.loads(r["columns"])["user_id"]
+        for r in p.sinks["postgres"].read().collect()
+    }
+    assert replicated == {"u1", "u3"}
+    dlq = read_dlq(spark, cfg.dlq_path)
+    qrows = dlq.filter(F.col("destination") == "quality").collect()
+    assert len(qrows) == 1
+    assert json.loads(qrows[0]["columns"])["user_id"] == "u2"
