@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: executed physical plans of representative
+queries with the scale property each one is meant to exhibit. Run from
+the repo root after plan-affecting changes:
+
+    python tools/dump_plans.py
+
+The same properties are ASSERTED in tests/test_plans.py — this file is
+the human-readable evidence trail, not the enforcement.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hybrid_cdc_demo_spark.plans import QUERIES  # noqa: E402
+from hybrid_cdc_demo_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+#: (query, executed_first, what to look for)
+SHOWCASE = [
+    ("q03_agg_tpch_q1", True,
+     "partial_ aggregates below one Exchange (map-side combine); "
+     "whole-stage codegen `*(n)` spans the scan→agg path"),
+    ("q07_join_multiway", True,
+     "AQE picks broadcast for the customer dim; decimal-exact "
+     "aggregation; only the group-by shuffles"),
+    ("q16_topk", False,
+     "TakeOrderedAndProject — per-partition heaps + driver merge, "
+     "no global sort Exchange"),
+    ("q52_grouping_sets", False,
+     "one Expand node feeds a single partial-aggregated hash shuffle "
+     "for all four grouping sets"),
+    ("q53_unpivot", False,
+     "UNPIVOT = map-side Expand; the l_orderkey filter stays in "
+     "PushedFilters on the parquet scan below it"),
+    ("ns_dedup_minhash", False,
+     "shuffle-free signature stage: no Exchange between the documents "
+     "scan and the minhash projection (banded join shuffles later, "
+     "on the tiny signature relation)"),
+    ("ns_simsearch_ivf_fullprobe", False,
+     "persisted IVF probe: the `_cell` partition filter prunes the "
+     "index scan to probed cells' directories (PartitionFilters)"),
+    ("ns_value_histogram", False,
+     "bucket computed in the scan projection; the shuffle carries "
+     "<= 20 aggregate rows"),
+    ("ns_rolling_7day", False,
+     "one hash shuffle on user_id serves the RANGE-frame window; "
+     "running frame state, no self-join"),
+    ("ns_reconcile_drift", False,
+     "both reconciliation sides project (key, sha2 fingerprint) "
+     "BELOW the full-outer join — payload never shuffles"),
+    ("ns_dq_violations", False,
+     "all four rules in ONE partial aggregate over one scan; output "
+     "is O(rules)"),
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="plan-dossier", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# PLANS.md — executed-plan dossier (auto-generated)",
+        "",
+        "Regenerate with `python tools/dump_plans.py` (sf0.01, "
+        "shuffle_partitions=8). Each section states the scale property",
+        "the plan is meant to exhibit; tests/test_plans.py asserts the",
+        "same properties so regressions fail loudly.",
+        "",
+    ]
+    for name, execute_first, note in SHOWCASE:
+        df = QUERIES[name](spark, SF)
+        if execute_first:  # AQE finalizes join strategies on execution
+            df.write.mode("overwrite").format("noop").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"**Property:** {note}.")
+        out.append("")
+        out.append("```")
+        out.append(plan.rstrip())
+        out.append("```")
+        out.append("")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as fh:
+        fh.write("\n".join(out))
+    print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
