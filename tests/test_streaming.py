@@ -405,3 +405,37 @@ def test_continuous_trigger_and_graceful_stop(spark, tmp_path):
         p.stop(q)
     assert not q.isActive
     assert p.sinks["postgres"].read().count() > 0
+
+
+def test_sc001_ten_k_events_zero_loss_zero_duplication(spark, tmp_path):
+    """BASELINE SC-001 (spec.md:168): 10,000 events replicated to all
+    three destinations with zero loss and zero duplication. Ground
+    truth is the batch latest-wins computation over the same fixture;
+    every sink's final view must carry exactly that key set, exactly
+    once per key."""
+    src = tmp_path / "commitlog"
+    generate_change_events(str(src), n_events=10_000, n_files=10, seed=7)
+    # tombstone policy so ALL three sinks share the convergent DELETE
+    # semantics (the default 'skip' reference-parity divergence is
+    # covered by test_delete_policies)
+    p = _pipeline(
+        spark,
+        tmp_path,
+        max_files_per_trigger=None,
+        delete_policy_append="tombstone",
+    )
+    p.run_available()
+
+    expected_keys = {
+        r["kh"]
+        for r in _expected_latest(spark, str(src))
+        .select(F.sha2(F.to_json("partition_key"), 256).alias("kh"))
+        .collect()
+    }
+    assert expected_keys  # fixture sanity
+
+    for name, sink in p.sinks.items():
+        view = sink.read()
+        keys = [r["key_hash"] for r in view.select("key_hash").collect()]
+        assert set(keys) == expected_keys, f"{name}: loss or phantom keys"
+        assert len(keys) == len(set(keys)), f"{name}: duplicated keys"
