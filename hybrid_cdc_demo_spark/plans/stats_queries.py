@@ -962,3 +962,64 @@ def q60_lateral_posexplode(spark, sf_dir):
         .select("vec_id", F.col("pos").cast("int").alias("pos"), "val")
         .orderBy("vec_id", "pos")
     )
+
+
+@query(
+    "q61_set_ops_all",
+    oracle="""
+    SELECT c_nationkey FROM (
+      SELECT c_nationkey FROM customer WHERE c_custkey <= 200
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier
+    ) ORDER BY c_nationkey
+    """,
+)
+def q61_set_ops_all(spark, sf_dir):
+    """Bag-semantics set operation (INTERSECT ALL) — q17 covers the
+    DISTINCT variants; ALL preserves multiplicity min(l, r) per value,
+    which Spark plans as a left-semi-style hash join over counted
+    groups rather than a dedup. Completes the set-operator family."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(F.col("c_nationkey"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey")
+    )
+    return cust.intersectAll(supp).orderBy("c_nationkey")
+
+
+@query(
+    "q62_ordered_string_agg",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus)
+             AS statuses,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+           bool_and(l_discount <= 0.1) AS all_small_discount,
+           bool_or(l_tax > 0.07) AS any_high_tax
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q62_ordered_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG WITHIN GROUP) plus the
+    predicate-aggregate family (count_if / bool_and / bool_or).
+    Determinism requires the WITHIN GROUP order — an unordered listagg
+    concatenates in shuffle-arrival order and can never hash-match;
+    DISTINCT bounds the aggregated set so the string stays small at
+    any fact-table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT l_linestatus, '|') "
+                "WITHIN GROUP (ORDER BY l_linestatus)"
+            ).alias("statuses"),
+            F.count_if(F.col("l_quantity") > 25).cast("long").alias("n_bulk"),
+            F.bool_and(F.col("l_discount") <= 0.1).alias("all_small_discount"),
+            F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
