@@ -1023,3 +1023,51 @@ def q62_ordered_string_agg(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "ns_table_profile",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_status,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS dist_status,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS min_status,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS max_status,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_prio,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS dist_prio,
+             CAST(MIN(o_orderpriority) AS VARCHAR) AS min_prio,
+             CAST(MAX(o_orderpriority) AS VARCHAR) AS max_prio,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_cust,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dist_cust,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_cust,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_cust
+      FROM orders
+    )
+    SELECT col_name, n_rows, n_null, n_distinct, min_s, max_s FROM (
+      SELECT 'o_custkey' AS col_name, n_rows, null_cust AS n_null,
+             dist_cust AS n_distinct, min_cust AS min_s, max_cust AS max_s
+      FROM agg
+      UNION ALL
+      SELECT 'o_orderpriority', n_rows, null_prio, dist_prio,
+             min_prio, max_prio FROM agg
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, null_status, dist_status,
+             min_status, max_status FROM agg
+    ) ORDER BY col_name
+    """,
+)
+def ns_table_profile(spark, sf_dir):
+    """Column-profile report (operators/profile.py): rows / nulls /
+    EXACT distincts / min / max for three orders columns in one
+    aggregation pass — Spark rewrites the multiple COUNT(DISTINCT)s
+    into one Expand + two-phase aggregate, so the input scans once no
+    matter how many columns are profiled. The discovery report every
+    curated dataset publishes; hash-verified."""
+    from hybrid_cdc_demo_spark.operators.profile import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile(orders, ["o_orderstatus", "o_orderpriority", "o_custkey"])
