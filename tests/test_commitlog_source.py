@@ -175,3 +175,27 @@ def _parsed(rows):
         if r["payload_json"]:
             out.append(json.loads(r["payload_json"]))
     return out
+
+
+def test_stream_tolerates_segment_removed_after_planning(spark, tmp_path):
+    """Retention may remove a fully-consumed segment between offset
+    planning and partition read — the reader yields nothing for the
+    vanished file instead of failing the batch."""
+    from hybrid_cdc_demo_spark.sources.commitlog_source import (
+        CommitlogPartition,
+        CommitlogStreamReader,
+    )
+
+    seg_dir = tmp_path / "log"
+    seg = str(seg_dir / "CommitLog-1.log")
+    write_commitlog_segment(seg, [_ev(1)])
+    reader = CommitlogStreamReader({"path": str(seg_dir)})
+    end = reader.latestOffset()
+    assert end[seg] > 0
+    parts = reader.partitions({}, end)
+    import shutil as _sh
+    import os as _os
+
+    _os.remove(seg)
+    rows = [r for p in parts for r in reader.read(p)]
+    assert rows == []  # vanished file -> empty, not an exception
