@@ -407,3 +407,12 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_profile_multi_distinct_is_single_scan(spark):
+    """The profiling report computes several COUNT(DISTINCT)s; Spark
+    must rewrite them into one Expand-based aggregation over ONE scan
+    of the input — never one pass per profiled column."""
+    plan = plan_of(QUERIES["ns_table_profile"](spark, SF))
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
