@@ -1071,3 +1071,46 @@ def ns_table_profile(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     return profile(orders, ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+
+@query(
+    "s13_union_streams",
+    oracle="""
+    WITH unioned AS (
+      SELECT ts, 'clicks' AS source FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT ts, 'views' AS source FROM events WHERE event_id % 2 = 1
+    )
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM unioned GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def s13_union_streams(spark, sf_dir):
+    """Multi-source union semantics (batch contract of the streaming
+    form): two sources tagged and UNION ALL'd, then windowed per
+    (hour, source) — fan-in ingestion where several feeds share one
+    event-time aggregation. In streaming, the union'd branches share
+    a single watermark and ONE window state store (asserted with real
+    readStream inputs in tests/test_stream_join_state.py::
+    test_union_streams_share_window_state); the batch replay here is
+    the hash-verified ground truth. The even/odd event_id split makes
+    the two 'sources' deterministic on the fixture corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_id") % 2 == 0).select(
+        "ts", F.lit("clicks").alias("source")
+    )
+    views = ev.filter(F.col("event_id") % 2 == 1).select(
+        "ts", F.lit("views").alias("source")
+    )
+    unioned = clicks.unionByName(views)
+    return (
+        unioned.groupBy(F.window("ts", "1 hour"), "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "source",
+            "c",
+        )
+        .orderBy("window_start", "source")
+    )

@@ -318,3 +318,57 @@ def test_transform_with_state_topk_end_to_end(spark, tmp_path):
     assert final[("u2", 1)] == (4, 1.0)
     assert final[("u2", 2)] == (7, 1.0)
     assert ("u2", 3) not in final
+
+
+def test_union_streams_share_window_state(spark, tmp_path):
+    """Fan-in ingestion: two readStream sources tagged and unioned
+    feed ONE windowed aggregation — a single watermark and one state
+    store serve both branches, and the result equals the batch union
+    ground truth."""
+    clicks = [
+        {"ts": "2024-01-01T10:05:00Z"},
+        {"ts": "2024-01-01T10:20:00Z"},
+        {"ts": "2024-01-01T11:10:00Z"},
+    ]
+    views = [
+        {"ts": "2024-01-01T10:40:00Z"},
+        {"ts": "2024-01-01T11:30:00Z"},
+    ]
+    _write_jsonl(tmp_path / "clicks" / "f.json", clicks)
+    _write_jsonl(tmp_path / "views" / "f.json", views)
+
+    def src(name):
+        return (
+            spark.readStream.schema("ts timestamp")
+            .json(str(tmp_path / name))
+            .withColumn("source", F.lit(name))
+        )
+
+    unioned = src("clicks").unionByName(src("views"))
+    agg = (
+        unioned.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("window.start").alias("w"), "source", "c")
+    )
+    # one stateful aggregation node serves both branches
+    analyzed = agg._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("Aggregate") <= 2  # partial+final, not per-branch
+    assert analyzed.count("Union") == 1
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("union_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["w"]), r["source"]): r["c"]
+        for r in spark.sql("SELECT * FROM union_win").collect()
+    }
+    assert got[("2024-01-01 10:00:00", "clicks")] == 2
+    assert got[("2024-01-01 11:00:00", "clicks")] == 1
+    assert got[("2024-01-01 10:00:00", "views")] == 1
+    assert got[("2024-01-01 11:00:00", "views")] == 1
