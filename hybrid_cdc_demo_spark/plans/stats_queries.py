@@ -1114,3 +1114,56 @@ def s13_union_streams(spark, sf_dir):
         )
         .orderBy("window_start", "source")
     )
+
+
+@query(
+    "ns_udtf_bigrams",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split_regex(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents WHERE doc_id < 50
+    )
+    , idx AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      FROM norm
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS pos,
+           w[i] || ' ' || w[i+1] AS bigram
+    FROM idx ORDER BY doc_id, pos
+    """,
+)
+def ns_udtf_bigrams(spark, sf_dir):
+    """Python UDTF (the table-function leg of the §2d UDF surface —
+    scalar pandas_udf, grouped-map, mapInPandas, state-v2, and now
+    UDTF): a registered ``word_bigrams(text)`` table function applied
+    per document via SQL LATERAL, emitting (pos, bigram) rows. The
+    oracle reproduces it with a lateral index join over the token
+    array. UDTFs are row-at-a-time Python — correct for the
+    declared-surface demo and for logic neither SQL nor a builtin can
+    express, but the HOT-path n-gram operators stay builtin
+    expressions (functions/text.ngram_array), 10-100x faster; the
+    bounded doc slice keeps the demo honest about that cost."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class WordBigrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split()
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("word_bigrams", WordBigrams)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.select("doc_id", T.normalized_text("text").alias("t")).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, g.pos, g.bigram "
+        "FROM _udtf_docs, LATERAL word_bigrams(t) g "
+        "ORDER BY doc_id, pos"
+    )
