@@ -1167,3 +1167,78 @@ def ns_udtf_bigrams(spark, sf_dir):
         "FROM _udtf_docs, LATERAL word_bigrams(t) g "
         "ORDER BY doc_id, pos"
     )
+
+
+@query(
+    "q63_conditional_breadth",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE l_returnflag WHEN 'R' THEN 'returned'
+                             WHEN 'A' THEN 'accepted'
+                             ELSE 'other' END AS flag_word,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE l_extendedprice / l_quantity END AS unit_price,
+           COALESCE(NULLIF(l_tax, 0.0), -1.0) AS tax_or_sentinel,
+           IF(l_discount > 0.05, 'discounted', 'full') AS discount_band
+    FROM lineitem WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q63_conditional_breadth(spark, sf_dir):
+    """Conditional-expression breadth: simple CASE (value-match form),
+    guarded division (try_divide semantics — null on zero denominator,
+    expressed portably as the CASE guard both engines share), NULLIF
+    sentinel substitution, and IF. Single IEEE division per row =
+    hash-exact; everything codegen, pushdown keeps the slice bound on
+    the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    flag_word = (
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_returnflag") == "A", "accepted")
+        .otherwise("other")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        flag_word.alias("flag_word"),
+        F.try_divide(
+            F.col("l_extendedprice"),
+            F.nullif(F.col("l_quantity"), F.lit(0.0)),
+        ).alias("unit_price"),
+        F.coalesce(F.nullif("l_tax", F.lit(0.0)), F.lit(-1.0)).alias(
+            "tax_or_sentinel"
+        ),
+        F.when(F.col("l_discount") > 0.05, "discounted")
+        .otherwise("full")
+        .alias("discount_band"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q64_bitwise_breadth",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(l_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor,
+           CAST(xor(42, 7) AS BIGINT) AS const_xor
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q64_bitwise_breadth(spark, sf_dir):
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) — exact
+    integer folds, associative and commutative, so shuffle order can
+    never change the bits (the same property the DECIMAL discipline
+    buys for sums). The xor-aggregate is the parity check used in
+    set-reconciliation protocols."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_orderkey").cast("long").alias("key_and"),
+            F.bit_or("l_orderkey").cast("long").alias("key_or"),
+            F.bit_xor("l_orderkey").cast("long").alias("key_xor"),
+            (F.lit(42).bitwiseXOR(F.lit(7))).cast("long").alias("const_xor"),
+        )
+        .orderBy("l_returnflag")
+    )
