@@ -1242,3 +1242,43 @@ def q64_bitwise_breadth(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q65_math_fns_breadth",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(sign(l_tax - 0.04) AS DOUBLE) AS tax_side,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           floor(l_extendedprice / 1000.0) AS price_k_floor,
+           ceil(l_quantity / 10.0) AS qty_decile_ceil,
+           trunc(l_extendedprice / 100.0) AS price_c_trunc
+    FROM lineitem WHERE l_orderkey < 400
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q65_math_fns_breadth(spark, sf_dir):
+    """Scalar math breadth: abs / sign / integer mod / floor / ceil /
+    trunc — the exactly-defined IEEE family (each is one correctly-
+    rounded operation or an integer op, so cross-engine hash equality
+    is unconditional; transcendentals are deliberately excluded, see
+    the module docstring). All codegen, slice pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.signum(F.col("l_tax") - 0.04).cast("double").alias("tax_side"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("double").alias(
+            "price_k_floor"
+        ),
+        F.ceil(F.col("l_quantity") / 10.0).cast("double").alias(
+            "qty_decile_ceil"
+        ),
+        (F.col("l_extendedprice") / 100.0)
+        .cast("long")
+        .cast("double")
+        .alias("price_c_trunc"),  # toward-zero truncation via integral cast
+    ).orderBy("l_orderkey", "l_linenumber")
