@@ -1282,3 +1282,78 @@ def q65_math_fns_breadth(spark, sf_dir):
         .cast("double")
         .alias("price_c_trunc"),  # toward-zero truncation via integral cast
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "ns_dedup_containment",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id < 100
+    ), grams AS (
+      SELECT id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(t) - 2, 1)),
+               i -> substring(t, i, 3))) AS gs
+      FROM norm
+    ), inv AS (
+      SELECT id, unnest(gs) AS g FROM grams
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.id <> b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / CAST(sa.s AS DOUBLE) AS containment
+    FROM inter
+    JOIN (SELECT id, len(gs) AS s FROM grams) sa ON sa.id = id_a
+    WHERE CAST(i AS DOUBLE) / CAST(sa.s AS DOUBLE) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def ns_dedup_containment(spark, sf_dir):
+    """Containment similarity |A∩B| / |A| — the ASYMMETRIC near-dup
+    measure that catches excerpts and quotations: a short doc wholly
+    contained in a long one scores ~1.0 here while Jaccard dilutes it
+    toward |A|/|B| (the reason production dedup checks containment
+    alongside Jaccard; Broder's resemblance-vs-containment
+    distinction). Ordered pairs (id_a ⊂ id_b direction), exact char
+    trigrams over the bounded slice via the same inverted-index join
+    as ns_dedup_ngram_jaccard; one IEEE division = hash-exact. At
+    100 TB this runs on LSH candidates, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # char trigrams via substring windows, matching the oracle exactly
+    t = T.normalized_text("text")
+    n_grams = F.greatest(F.length(t) - 2, F.lit(1))
+    grams = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: t.substr(i, F.lit(3)),
+            )
+        ).alias("gs"),
+    )
+    inv = grams.select("id", F.explode("gs").alias("g"))
+    a = inv.select(F.col("id").alias("id_a"), "g")
+    b = inv.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = grams.select("id", F.size("gs").alias("s"))
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("i").cast("double") / F.col("s").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
