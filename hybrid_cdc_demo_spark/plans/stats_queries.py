@@ -1357,3 +1357,42 @@ def ns_dedup_containment(spark, sf_dir):
         .filter(F.col("containment") >= 0.8)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "ns_band_join",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, value FROM events WHERE event_id < 1000
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           a.value - b.value AS dv
+    FROM s a JOIN s b
+      ON a.event_id < b.event_id AND abs(a.value - b.value) <= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def ns_band_join(spark, sf_dir):
+    """Numeric band join (operators/rangejoin.py): pairs of events
+    whose values lie within ε=0.5 — planned as a HASH equi-join on
+    ε-granular buckets (one side exploded to its 3 candidate buckets)
+    + exact filter, instead of the quadratic BroadcastNestedLoopJoin a
+    plain inequality join costs (asserted in tests/test_plans.py::
+    test_band_join_is_hash_join_not_nested_loop). dv is one IEEE
+    subtraction = hash-exact. The id slice bounds the demo; the
+    rewrite is what makes value-closeness joins linear at 100 TB."""
+    from hybrid_cdc_demo_spark.operators.rangejoin import band_join
+
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .select("event_id", "value")
+    )
+    a = s.select(F.col("event_id").alias("id_a"), F.col("value").alias("va"))
+    b = s.select(F.col("event_id").alias("id_b"), F.col("value").alias("vb"))
+    joined = band_join(a, b, "va", 0.5, right_value_col="vb")
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (F.col("va") - F.col("vb")).alias("dv"))
+        .orderBy("id_a", "id_b")
+    )

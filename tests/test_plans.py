@@ -416,3 +416,13 @@ def test_profile_multi_distinct_is_single_scan(spark):
     plan = plan_of(QUERIES["ns_table_profile"](spark, SF))
     assert plan.count("FileScan") == 1
     assert "Expand" in plan
+
+
+def test_band_join_is_hash_join_not_nested_loop(spark):
+    """The banded range join must plan a hash/sort-merge EQUI-join on
+    the bucket id — never the BroadcastNestedLoopJoin / cartesian a
+    plain |a-b| <= eps condition degenerates to."""
+    plan = plan_of(QUERIES["ns_band_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
