@@ -365,6 +365,12 @@ class UpsertSink:
                 (F.col("event_type") != "DELETE")
                 | (F.col("timestamp_micros") >= F.lit(cutoff))
             )
+        # cluster the base by key: parquet row-group min/max stats then
+        # partition the keyspace into disjoint ranges, so a point/range
+        # read of the 100 TB base skips every non-matching row group —
+        # the CLUSTER BY/Z-order-lite every warehouse applies at merge
+        # time. Cost: a sort of data this merge rewrites anyway.
+        keep = keep.sortWithinPartitions(*self.key_cols)
         self.table.write(keep, partition_by=self.partition_cols)
         for s in segs:
             shutil.rmtree(s, ignore_errors=True)

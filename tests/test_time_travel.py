@@ -284,3 +284,46 @@ def test_vacuum_drops_history_keeps_suffix(spark, tmp_path):
     assert sink.changes_between(1, 2).count() == 2
     # time travel below the cutoff now sees only the retained suffix
     assert sink.read_asof(1).count() == 0
+
+
+def test_upsert_compaction_clusters_base_by_key(spark, tmp_path):
+    """Sorted compaction: the rewritten base's parquet row groups must
+    carry NON-OVERLAPPING key ranges (within each file), so point
+    reads skip non-matching row groups via footer stats."""
+    import pyarrow.parquet as pq
+
+    from hybrid_cdc_demo_spark.streaming.sinks import UpsertSink
+
+    sink = UpsertSink(spark, str(tmp_path / "pg"), ["user_id"], compact_every=999)
+    rows = [
+        (uid, f"e{uid}", "INSERT", 100 + uid, '{"v":"x"}')
+        for uid in range(2000)
+    ]
+    import random
+
+    random.Random(3).shuffle(rows)  # arrival order is NOT key order
+    sink.write_batch(
+        spark.createDataFrame(rows[:1000], SCHEMA), batch_id=0
+    )
+    sink.write_batch(
+        spark.createDataFrame(rows[1000:], SCHEMA), batch_id=1
+    )
+    sink.compact()
+
+    base_dir = tmp_path / "pg" / "data"
+    files = sorted(p for p in base_dir.rglob("*.parquet"))
+    assert files
+    checked = 0
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        idx = md.schema.names.index("user_id")
+        ranges = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                ranges.append((st.min, st.max))
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"overlapping row-group key ranges in {f}"
+            checked += 1
+    # the clustered view still reads correctly
+    assert sink.read().count() == 2000
