@@ -1396,3 +1396,45 @@ def ns_band_join(spark, sf_dir):
         .select("id_a", "id_b", (F.col("va") - F.col("vb")).alias("dv"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "ns_asof_tolerance",
+    oracle="""
+    SELECT a.event_id,
+           CASE WHEN b.ts IS NOT NULL AND a.ts - b.ts <= INTERVAL 1 HOUR
+                THEN b.value END AS recent_update_value
+    FROM (SELECT user_id, event_id, ts FROM events) a
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'UPDATE') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    ORDER BY a.event_id
+    """,
+)
+def ns_asof_tolerance(spark, sf_dir):
+    """As-of join WITH TOLERANCE (pandas merge_asof's tolerance knob):
+    the latest prior UPDATE only counts if it happened within the last
+    hour — stale matches become null, the freshness contract of every
+    feature-lookup join ('most recent reading, but not older than X').
+    Same single-shuffle union+window plan as q33; the tolerance is one
+    interval comparison on the matched timestamp, applied AFTER the
+    as-of selection (so a stale match is nulled, not replaced by an
+    even older one — matching DuckDB's ASOF + CASE oracle exactly)."""
+    from hybrid_cdc_demo_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "event_id", "ts")
+    right = ev.filter(F.col("event_type") == "UPDATE").select(
+        "user_id", F.col("ts").alias("u_ts"), F.col("value").alias("u_value")
+    )
+    matched = asof_join(
+        left, right, "user_id", "ts", "u_ts", ["u_value", "u_ts"]
+    )
+    fresh = F.when(
+        F.col("u_ts").isNotNull()
+        & ((F.col("ts") - F.col("u_ts")) <= F.expr("INTERVAL 1 HOUR")),
+        F.col("u_value"),
+    )
+    return matched.select(
+        "event_id", fresh.alias("recent_update_value")
+    ).orderBy("event_id")
