@@ -1438,3 +1438,73 @@ def ns_asof_tolerance(spark, sf_dir):
     return matched.select(
         "event_id", fresh.alias("recent_update_value")
     ).orderBy("event_id")
+
+
+@query(
+    "q66_null_safe_equality",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber,
+             NULLIF(l_returnflag, 'N') AS a,
+             NULLIF(l_linestatus, 'F') AS b
+      FROM lineitem WHERE l_orderkey < 300
+    )
+    SELECT l_orderkey, l_linenumber, a, b,
+           CAST(a IS NOT DISTINCT FROM b AS INTEGER) AS nse,
+           CAST(a = b AS INTEGER) AS plain_eq
+    FROM t ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q66_null_safe_equality(spark, sf_dir):
+    """Null-safe equality — Spark's ``<=>`` vs ANSI ``IS NOT DISTINCT
+    FROM``: null <=> null is TRUE while plain ``=`` yields null (the
+    three-valued-logic trap behind wrong anti-join and dedup results).
+    The NULLIF projections manufacture real nulls from the fixture so
+    both truth tables are exercised; booleans are exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    t = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif("l_returnflag", F.lit("N")).alias("a"),
+        F.nullif("l_linestatus", F.lit("F")).alias("b"),
+    )
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        "a",
+        "b",
+        # cast to int (1/0/null): tri-state booleans round-trip through
+        # pandas as an engine-dependent mix of None/pd.NA that breaks
+        # value comparison; ints are unambiguous
+        F.col("a").eqNullSafe(F.col("b")).cast("int").alias("nse"),
+        (F.col("a") == F.col("b")).cast("int").alias("plain_eq"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q67_map_fns",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+           CAST(json_extract(props, '$.k') AS INTEGER) * 2 AS k_doubled
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+)
+def q67_map_fns(spark, sf_dir):
+    """MapType surface: the JSON payload parsed into a typed
+    map<string,int> (from_json), then map_keys / element_at — how a
+    dynamic-schema payload becomes typed columns without fixing the
+    frame schema (the same JSON-stays-string principle the CDC
+    envelope uses, §7.3.2). The oracle reads the same values through
+    DuckDB's JSON functions; outputs are exact ints."""
+    from pyspark.sql.types import IntegerType, MapType, StringType
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.from_json("props", MapType(StringType(), IntegerType()))
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+        (F.element_at(m, "k") * 2).alias("k_doubled"),
+    ).orderBy("event_id")
