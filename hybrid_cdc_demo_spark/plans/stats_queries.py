@@ -1508,3 +1508,41 @@ def q67_map_fns(spark, sf_dir):
         F.element_at(m, "k").alias("k_value"),
         (F.element_at(m, "k") * 2).alias("k_doubled"),
     ).orderBy("event_id")
+
+
+@query(
+    "q68_array_predicates",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id < 500
+    )
+    SELECT vec_id,
+           CAST(len(list_filter(e, x -> x > 0.9)) > 0 AS INTEGER) AS has_big,
+           CAST(len(list_filter(e, x -> x <= -2.0)) = 0 AS INTEGER)
+             AS all_gt_neg2,
+           list_sort(e)[1] AS smallest,
+           CAST(list_position(e, list_max(e)) AS INTEGER) AS argmax_pos
+    FROM v ORDER BY vec_id
+    """,
+)
+def q68_array_predicates(spark, sf_dir):
+    """Higher-order array predicates: EXISTS / FORALL (quantifiers over
+    the element domain), sorted-extreme selection, and argmax via
+    array_position — per-vector guards every embedding pipeline
+    applies map-side (outlier screens, position of the dominant
+    component). Booleans emitted as ints (q66's tri-state lesson);
+    element equality in array_position is exact on the widened
+    doubles."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    df = emb.select("vec_id", e.alias("e"))
+    return df.select(
+        "vec_id",
+        F.exists("e", lambda x: x > 0.9).cast("int").alias("has_big"),
+        F.forall("e", lambda x: x > -2.0).cast("int").alias("all_gt_neg2"),
+        F.element_at(F.sort_array("e"), 1).alias("smallest"),
+        F.array_position("e", F.array_max("e")).cast("int").alias(
+            "argmax_pos"
+        ),
+    ).orderBy("vec_id")

@@ -57,6 +57,10 @@ SHOWCASE = [
     ("ns_dq_violations", False,
      "all four rules in ONE partial aggregate over one scan; output "
      "is O(rules)"),
+    ("ns_band_join", False,
+     "|a-b| <= eps planned as a hash EQUI-join on eps-buckets "
+     "(3-way candidate explode) — no BroadcastNestedLoopJoin, no "
+     "cartesian"),
 ]
 
 
