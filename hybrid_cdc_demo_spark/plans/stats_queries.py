@@ -1546,3 +1546,46 @@ def q68_array_predicates(spark, sf_dir):
             "argmax_pos"
         ),
     ).orderBy("vec_id")
+
+
+@query(
+    "q69_struct_surface",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             struct_pack(cust := o_custkey, status := o_orderstatus,
+                         price := o_totalprice) AS o
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           o.cust AS cust,
+           o.status AS status,
+           CAST(o.price >= 100000 AS INTEGER) AS is_large
+    FROM s ORDER BY o_orderkey
+    """,
+)
+def q69_struct_surface(spark, sf_dir):
+    """Nested STRUCT surface (completing the composite-type family
+    with q24/q58/q68 arrays and q67 maps): pack columns into a struct,
+    access fields by dot path, derive predicates from nested fields —
+    the shape every nested-parquet pipeline round-trips. Struct
+    construction and field access are pure projection (no shuffle);
+    the oracle uses struct_pack + dot access, bitwise-identical
+    field passthrough."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    s = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("o"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("o.cust").alias("cust"),
+        F.col("o.status").alias("status"),
+        (F.col("o.price") >= 100000).cast("int").alias("is_large"),
+    ).orderBy("o_orderkey")
