@@ -1589,3 +1589,41 @@ def q69_struct_surface(spark, sf_dir):
         F.col("o.status").alias("status"),
         (F.col("o.price") >= 100000).cast("int").alias("is_large"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q70_ranking_trio",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                AS INTEGER) AS rn
+    FROM orders WHERE o_custkey < 300
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    ORDER BY o_custkey, rn
+    """,
+)
+def q70_ranking_trio(spark, sf_dir):
+    """The full ranking trio side by side: RANK (gaps after ties),
+    DENSE_RANK (no gaps — the one ranking function q13 didn't cover),
+    ROW_NUMBER (total order via the unique tiebreak). Ties on
+    o_totalprice within a customer make the three visibly diverge, so
+    a mix-up of ranking semantics fails the hash instead of slipping
+    through. One shuffle serves all three windows."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    wt = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.row_number().over(wt).cast("int").alias("rn"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
