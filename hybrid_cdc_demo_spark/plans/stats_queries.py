@@ -1627,3 +1627,31 @@ def q70_ranking_trio(spark, sf_dir):
         )
         .orderBy("o_custkey", "rn")
     )
+
+
+@query(
+    "q71_datetime_format",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           strftime(o_orderdate, '%A') AS weekday_name,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso_ts
+    FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+    """,
+)
+def q71_datetime_format(spark, sf_dir):
+    """Datetime FORMATTING parity — the two engines speak different
+    format dialects (Spark's Java patterns yyyy-MM/EEEE vs DuckDB's
+    strftime %Y-%m/%A) but must render identical strings; an engine
+    switcher's report headers depend on exactly this translation
+    table. Weekday names assume the JVM/ICU English default locale
+    (true in CI containers); all other patterns are locale-free."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.date_format("o_orderdate", "EEEE").alias("weekday_name"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("iso_ts"),
+    ).orderBy("o_orderkey")
