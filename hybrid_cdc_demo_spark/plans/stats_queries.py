@@ -1655,3 +1655,74 @@ def q71_datetime_format(spark, sf_dir):
         F.date_format("o_orderdate", "EEEE").alias("weekday_name"),
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("iso_ts"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q72_not_in_null_trap",
+    oracle="""
+    WITH banned AS (
+      SELECT NULLIF(s_nationkey, 3) AS k FROM supplier
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_nationkey NOT IN (SELECT k FROM banned)) AS BIGINT)
+        AS n_not_in,
+      CAST((SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM banned b
+                              WHERE b.k = c.c_nationkey)) AS BIGINT)
+        AS n_not_exists
+    """,
+)
+def q72_not_in_null_trap(spark, sf_dir):
+    """The NOT IN null trap, pinned: a NULL in the subquery makes
+    ``NOT IN`` three-valued — every comparison against the NULL is
+    unknown, so NO row qualifies (n_not_in = 0) — while ``NOT
+    EXISTS`` ignores the NULL and returns the real complement. Both
+    engines must agree on BOTH answers; this is the most common
+    silent-wrong-result bug in hand-written SQL migrations, so the
+    engine pins it as a contract. Catalyst plans NOT IN as a
+    null-aware anti join (broadcast at dim size), NOT EXISTS as a
+    plain left-anti."""
+    from hybrid_cdc_demo_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH banned AS (
+          SELECT NULLIF(s_nationkey, 3) AS k FROM supplier
+        )
+        SELECT
+          CAST((SELECT COUNT(*) FROM customer
+                WHERE c_nationkey NOT IN (SELECT k FROM banned)) AS BIGINT)
+            AS n_not_in,
+          CAST((SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM banned b
+                                  WHERE b.k = c.c_nationkey)) AS BIGINT)
+            AS n_not_exists
+        """
+    )
+
+
+@query(
+    "q73_except_all",
+    oracle="""
+    SELECT c_nationkey FROM (
+      SELECT c_nationkey FROM customer WHERE c_custkey <= 300
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    ) ORDER BY c_nationkey
+    """,
+)
+def q73_except_all(spark, sf_dir):
+    """EXCEPT ALL — bag-semantics difference (multiplicity max(l−r,0)
+    per value), completing the set-operator family with q17's DISTINCT
+    forms and q61's INTERSECT ALL."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(F.col("c_nationkey"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey")
+    )
+    return cust.exceptAll(supp).orderBy("c_nationkey")
