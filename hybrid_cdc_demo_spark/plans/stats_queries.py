@@ -1726,3 +1726,86 @@ def q73_except_all(spark, sf_dir):
         F.col("s_nationkey").alias("c_nationkey")
     )
     return cust.exceptAll(supp).orderBy("c_nationkey")
+
+
+@query(
+    "ns_dedup_two_stage",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id < 100
+    ), grams AS (
+      SELECT id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(t) - 2, 1)),
+               i -> substring(t, i, 3))) AS gs
+      FROM norm
+    ), inv AS (
+      SELECT id, unnest(gs) AS g FROM grams
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), cands AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN (SELECT id, len(gs) AS s FROM grams) sa ON sa.id = id_a
+      JOIN (SELECT id, len(gs) AS s FROM grams) sb ON sb.id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.s + sb.s - i AS DOUBLE) >= 0.3
+    )
+    SELECT c.id_a, c.id_b,
+           1.0 - CAST(levenshtein(x.t, y.t) AS DOUBLE)
+               / CAST(GREATEST(LENGTH(x.t), LENGTH(y.t)) AS DOUBLE) AS sim
+    FROM cands c
+    JOIN norm x ON x.id = c.id_a
+    JOIN norm y ON y.id = c.id_b
+    WHERE 1.0 - CAST(levenshtein(x.t, y.t) AS DOUBLE)
+              / CAST(GREATEST(LENGTH(x.t), LENGTH(y.t)) AS DOUBLE) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def ns_dedup_two_stage(spark, sf_dir):
+    """The production dedup COMPOSITION, end-to-end hash-verified:
+    stage 1 generates candidates cheaply (n-gram Jaccard ≥ 0.3 via the
+    inverted-index join — at 100 TB this stage is MinHash-LSH, same
+    contract: high recall, loose precision); stage 2 verifies
+    candidates precisely with banded Levenshtein similarity ≥ 0.8
+    (the O(t·n)-per-pair DP runs ONLY on candidates, never all-pairs).
+    This pins the composition itself, not just the stages — the shape
+    every dedup pipeline at scale actually runs."""
+    from hybrid_cdc_demo_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    cands = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, round_digits=None
+    ).select("id_a", "id_b")
+    norm = docs.select(
+        F.col("doc_id").alias("id"), T.normalized_text("text").alias("t")
+    )
+    paired = (
+        cands.join(norm.select(F.col("id").alias("id_a"),
+                               F.col("t").alias("ta")), "id_a")
+        .join(norm.select(F.col("id").alias("id_b"),
+                          F.col("t").alias("tb")), "id_b")
+    )
+    maxlen = F.greatest(F.length("ta"), F.length("tb"))
+    budget = F.floor(maxlen.cast("double") * 0.2).cast("int")
+    dist = F.expr(
+        "levenshtein(ta, tb, "
+        "int(floor(greatest(length(ta), length(tb)) * 0.2D)))"
+    )
+    return (
+        paired.filter(F.abs(F.length("ta") - F.length("tb")) <= budget)
+        .select(
+            "id_a",
+            "id_b",
+            (F.lit(1.0) - dist.cast("double") / maxlen.cast("double")).alias(
+                "sim"
+            ),
+            dist.alias("_d"),
+        )
+        .filter((F.col("_d") >= 0) & (F.col("sim") >= 0.8))
+        .drop("_d")
+        .orderBy("id_a", "id_b")
+    )
