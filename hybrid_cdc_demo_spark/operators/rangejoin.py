@@ -28,16 +28,29 @@ def band_join(
     epsilon: float,
     right_value_col: str | None = None,
 ) -> DataFrame:
-    """Inner join of ``left`` × ``right`` on |l.value − r.value| ≤ ε.
-    Output carries all columns of both sides. ``right_value_col``
-    defaults to ``value_col``."""
+    """Inner join of ``left`` × ``right`` on |l.value − r.value| ≤ ε
+    (the COMPUTED double predicate). Output carries all columns of
+    both sides. ``right_value_col`` defaults to ``value_col``.
+
+    Candidate generation explodes ±2 buckets (5, not the textbook 3):
+    in exact arithmetic a qualifying pair is at most 1 bucket apart,
+    but hypothesis found the boundary case (tests/
+    test_property_invariants.py) where the COMPUTED |a−b| rounds down
+    to exactly ε while the true difference crosses one extra bucket
+    boundary — and floor(v/ε)'s own quotient rounding can shift each
+    side one more. ±2 covers both effects whenever |value|/ε < 2⁵⁰
+    (beyond that, float bucketing is ill-defined — rescale ε).
+    Candidate volume is 5× one side's rows, still linear."""
     rv = right_value_col or value_col
     bucket_l = F.floor(F.col(value_col) / epsilon).cast("long")
     bucket_r = F.floor(F.col(rv) / epsilon).cast("long")
     lx = left.withColumn(
         "__band",
         F.explode(
-            F.array(bucket_l - 1, bucket_l, bucket_l + 1)
+            F.array(
+                bucket_l - 2, bucket_l - 1, bucket_l, bucket_l + 1,
+                bucket_l + 2,
+            )
         ),
     )
     rx = right.withColumn("__band", bucket_r)
