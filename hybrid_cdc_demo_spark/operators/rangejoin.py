@@ -52,9 +52,16 @@ def band_join(
                 bucket_l + 2,
             )
         ),
-    )
-    rx = right.withColumn("__band", bucket_r)
-    joined = lx.join(rx, "__band").drop("__band")
-    return joined.filter(
-        F.abs(F.col(value_col) - F.col(rv)) <= F.lit(epsilon)
+    ).alias("__band_l")
+    rx = right.withColumn("__band", bucket_r).alias("__band_r")
+    # side-qualified references: with the default right_value_col
+    # (same name both sides) an unqualified F.col(value_col) after the
+    # join is ambiguous and raises AnalysisException
+    lval = F.col(f"__band_l.{value_col}")
+    rval = F.col(f"__band_r.{rv}")
+    joined = lx.join(rx, F.col("__band_l.__band") == F.col("__band_r.__band"))
+    return (
+        joined.filter(F.abs(lval - rval) <= F.lit(epsilon))
+        .drop(F.col("__band_l.__band"))
+        .drop(F.col("__band_r.__band"))
     )

@@ -124,12 +124,19 @@ class CommitlogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         for f in _segment_files(self.options):
-            known = self._aligned.get(f, 0)
-            size = os.path.getsize(f)
-            if size > known:
-                self._aligned[f] = _aligned_end(f, known)
-            elif f not in self._aligned:
-                self._aligned[f] = 0
+            # retention may delete a segment between the glob and the
+            # stat/tail-walk; a vanished file keeps its last known
+            # offset (read() already tolerates missing files) instead
+            # of failing the whole streaming query on the driver
+            try:
+                known = self._aligned.get(f, 0)
+                size = os.path.getsize(f)
+                if size > known:
+                    self._aligned[f] = _aligned_end(f, known)
+                elif f not in self._aligned:
+                    self._aligned[f] = 0
+            except OSError:
+                self._aligned.setdefault(f, 0)
         return dict(self._aligned)
 
     def partitions(

@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
@@ -395,6 +396,7 @@ class AppendSink:
         key_cols: list[str],
         delete_policy: str = "skip",  # skip = reference parity | tombstone
         optimize_every: int | None = 64,
+        keep_segments_for_streams: bool = False,
     ):
         self.spark = spark
         self.path = Path(path)
@@ -410,8 +412,20 @@ class AppendSink:
         #: compactor). None disables — callers then run optimize()
         #: from their own maintenance schedule.
         self.optimize_every = optimize_every
+        #: when True, optimize() SHADOWS per-batch segments instead of
+        #: deleting them, so as_stream() consumers (which tail seg-*
+        #: only) never lose an unread segment to consolidation; the
+        #: shadowed originals are reclaimed by vacuum()'s retention
+        #: horizon. Batch readers are unaffected either way (shadowing
+        #: already hides covered originals from _log_entries).
+        self.keep_segments_for_streams = keep_segments_for_streams
         self._optimize_pool = ThreadPoolExecutor(max_workers=1)
         self._optimize_future = None
+        #: serializes log-restructuring operations (optimize/vacuum):
+        #: optimize is auto-submitted to a background thread from
+        #: write_batch, so an unsynchronized foreground vacuum could
+        #: rmtree an entry that optimize holds in its snapshot
+        self._log_lock = threading.Lock()
 
     def write_batch(self, batch: DataFrame, batch_id: int) -> int:
         if self.ledger.is_committed(batch_id):
@@ -559,17 +573,52 @@ class AppendSink:
         path (like UpsertSink's compact), not concurrently with
         in-flight batch reads; plans built AFTER step (2) are always
         complete."""
+        with self._log_lock:
+            return self._optimize_locked(upto_batch, min_segments)
+
+    @staticmethod
+    def _entry_range(name: str) -> tuple[int, int] | None:
+        """(lo, hi) batch range encoded in a seg-/cseg- dir name, or
+        None for anything else (tmp dirs, stray files)."""
+        try:
+            if name.startswith("cseg-"):
+                lo_s, hi_s = name[len("cseg-"):].split("-")
+                return int(lo_s), int(hi_s)
+            if name.startswith("seg-"):
+                b = int(name.split("-")[1])
+                return b, b
+        except ValueError:
+            return None
+        return None
+
+    def _sweep_shadowed(self, entries, keep_originals: bool) -> None:
+        """Remove crash-leftover shadowed dirs. A candidate is deleted
+        ONLY if a DIFFERENT live entry provably covers its (lo, hi)
+        range — proof derived from the candidate's own name, never from
+        'not in the snapshot'. A seg-X created concurrently by
+        write_batch (optimize runs on a background thread) is covered
+        by nothing and survives regardless of listing races — the
+        snapshot-membership version of this sweep silently deleted
+        freshly committed batches."""
+        if keep_originals:
+            return
+        for p in self.data_path.iterdir():
+            rng = self._entry_range(p.name)
+            if rng is None:
+                continue
+            lo, hi = rng
+            if any(
+                kp != p and klo <= lo and hi <= khi
+                for klo, khi, kp in entries
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+
+    def _optimize_locked(self, upto_batch, min_segments) -> int:
         entries = self._log_entries()
         # sweep shadowed garbage first (crash leftovers from a previous
         # optimize: originals whose consolidation already landed) —
-        # they are invisible to readers and safe to drop any time
-        live_paths = {p for _, _, p in entries}
-        for p in self.data_path.iterdir():
-            if (
-                p.name.startswith(("seg-", "cseg-"))
-                and p not in live_paths
-            ):
-                shutil.rmtree(p, ignore_errors=True)
+        # invisible to batch readers; kept when streams tail seg-*
+        self._sweep_shadowed(entries, self.keep_segments_for_streams)
         if upto_batch is not None:
             entries = [e for e in entries if e[1] <= upto_batch]
         if len(entries) < min_segments:
@@ -589,9 +638,10 @@ class AppendSink:
         df.write.mode("overwrite").parquet(str(tmp))
         shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)
-        for _, _, p in entries:
-            if p != final:
-                shutil.rmtree(p, ignore_errors=True)
+        if not self.keep_segments_for_streams:
+            for _, _, p in entries:
+                if p != final:
+                    shutil.rmtree(p, ignore_errors=True)
         return len(entries)
 
     def read(self) -> DataFrame:
@@ -636,15 +686,30 @@ class AppendSink:
         cutoff disappears — run :meth:`optimize` to fold history into
         one consolidation and keep the cutoff below it, or snapshot
         via read_asof before vacuuming. Entries straddling the cutoff
-        are kept whole (file granularity). Returns entries removed."""
-        removed = 0
-        for lo, hi, p in self._log_entries():
-            if hi <= retain_after_batch:
-                shutil.rmtree(p, ignore_errors=True)
-                removed += 1
-        return removed
+        are kept whole (file granularity). Under
+        ``keep_segments_for_streams`` this is also the retention
+        horizon that reclaims optimize-shadowed originals. Serialized
+        with optimize() on ``_log_lock`` so a background consolidation
+        can never hold a vacuumed dir in its snapshot. Returns entries
+        removed (live entries only; reclaimed shadowed dirs don't
+        count — they held no unique rows)."""
+        with self._log_lock:
+            live = self._log_entries()
+            live_paths = {p for _, _, p in live}
+            removed = 0
+            for p in sorted(self.data_path.iterdir()):
+                rng = self._entry_range(p.name)
+                if rng is None:
+                    continue
+                if rng[1] <= retain_after_batch:
+                    shutil.rmtree(p, ignore_errors=True)
+                    if p in live_paths:
+                        removed += 1
+            return removed
 
-    def as_stream(self, spark: SparkSession | None = None) -> DataFrame:
+    def as_stream(
+        self, spark: SparkSession | None = None, history: str = "segments"
+    ) -> DataFrame:
         """The sink as a SOURCE: a readStream over the append log's
         segment files, so a downstream pipeline (silver/gold layer,
         incremental aggregate, index maintenance) tails this table
@@ -657,8 +722,32 @@ class AppendSink:
         surface across consecutive triggers — consumers needing
         whole-batch alignment should read ledger-committed batch ids
         via :meth:`changes_between` instead. Schema comes from the
-        first-write sidecar — available before any consumer starts."""
+        first-write sidecar — available before any consumer starts.
+
+        ``history``:
+
+        * ``"segments"`` (default) — tail per-batch ``seg-*`` dirs
+          only. Consolidations (``cseg-*``) are never delivered, so an
+          optimize() does NOT replay the folded history into running
+          consumers (with ``history="all"`` the file source would
+          re-ingest the whole consolidated prefix after every
+          optimize — O(n²) delivered rows at the default cadence, and
+          incremental aggregates silently double-count). Since the
+          default optimize() DELETES originals after folding, pair
+          this with ``keep_segments_for_streams=True`` (shadow, don't
+          delete, until vacuum's retention horizon) when consumers may
+          lag an optimize; a consumer starting after segments were
+          reclaimed bootstraps from :meth:`read_asof` +
+          :meth:`changes_between` instead (snapshot + tail).
+        * ``"all"`` — tail ``seg-*`` and ``cseg-*``. A late starter
+          sees full history even after originals were reclaimed, at
+          the cost of re-receiving ALL consolidated rows on every
+          optimize — consumers must dedupe by event_id
+          (latest_per_key / dropDuplicates), the at-least-once
+          contract."""
         spark = spark or self.spark
+        if history not in ("segments", "all"):
+            raise ValueError(f"history must be 'segments' or 'all', got {history!r}")
         sidecar = self.path / "_schema.json"
         if not sidecar.exists():
             raise ValueError(
@@ -668,15 +757,11 @@ class AppendSink:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(sidecar.read_text()))
+        glob = "seg-*" if history == "segments" else "*seg-*"
         return (
             spark.readStream.schema(schema)
             .option("ignoreMissingFiles", "true")
-            # matches both per-batch seg-* and consolidated cseg-* dirs;
-            # during optimize's crash window a late-starting consumer may
-            # see a shadowed original AND its consolidation — dedupe by
-            # event_id (latest_per_key / dropDuplicates) downstream, the
-            # same contract every at-least-once source carries
-            .parquet(str(self.data_path / "*seg-*"))
+            .parquet(str(self.data_path / glob))
         )
 
     def changes_between(self, after_batch: int, upto_batch: int) -> DataFrame:
