@@ -150,21 +150,77 @@ def band_rows(signatures: DataFrame, bands: int = 16) -> DataFrame:
     )
 
 
+def bucket_coverage(bucketed: DataFrame, max_bucket: int) -> DataFrame:
+    """Coverage report for a banded-LSH bucket table (columns
+    ``n`` = bucket size): how many buckets the ``max_bucket`` skew
+    guard dropped and how many candidate pairs that suppressed
+    (n·(n−1)/2 per dropped bucket). The no-silent-caps companion to
+    the guard — a 100 TB run reads this to see whether boilerplate-
+    heavy corpora pushed real coverage loss (see
+    ns_dedup_bucket_coverage / VERDICT r3 #9)."""
+    n = F.col("n")
+    return bucketed.agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_total"),
+        F.sum((n > max_bucket).cast("long")).cast("long").alias("buckets_dropped"),
+        F.coalesce(
+            F.sum(F.when(n > max_bucket, (n * (n - 1) / 2).cast("long"))),
+            F.lit(0),
+        ).cast("long").alias("pairs_suppressed"),
+    )
+
+
+def _report_dropped(
+    bucketed: DataFrame, max_bucket: int, dropped_out: dict | None, kind: str
+) -> None:
+    """Eagerly count + log skew-guard drops when the caller asked for
+    the report (``dropped_out`` dict). Costs one small aggregation job
+    over the (already aggregated) bucket table — callers that care
+    about coverage accounting opt in; the default path adds no job."""
+    if dropped_out is None:
+        return
+    row = bucket_coverage(bucketed, max_bucket).collect()[0]
+    dropped_out.update(
+        {
+            "buckets_total": row["buckets_total"],
+            "buckets_dropped": row["buckets_dropped"],
+            "pairs_suppressed": row["pairs_suppressed"],
+        }
+    )
+    if row["buckets_dropped"]:
+        import logging
+
+        logging.getLogger("hybrid_cdc_demo_spark.dedup").warning(
+            "%s skew guard dropped %d/%d buckets (> %d members), "
+            "suppressing %d candidate pairs",
+            kind,
+            row["buckets_dropped"],
+            row["buckets_total"],
+            max_bucket,
+            row["pairs_suppressed"],
+        )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 16,
     max_bucket: int = 200,
+    dropped_out: dict | None = None,
 ) -> DataFrame:
     """Banded LSH: equal band-hash ⇒ candidate pair (id_a < id_b).
 
     ``max_bucket`` drops degenerate buckets (skew guard): a bucket of
     size B contributes B² pairs, so unbounded buckets are the one way
-    this plan can blow up at scale.
+    this plan can blow up at scale. Pass ``dropped_out={}`` to get the
+    drop accounting (buckets_total/buckets_dropped/pairs_suppressed)
+    counted and logged — never capped silently.
     """
     sig = band_rows(signatures, bands)
     bucketed = sig.groupBy("band", "band_hash").agg(
         F.collect_list("_id").alias("ids"), F.count("*").alias("n")
     )
+    if dropped_out is not None:
+        bucketed = bucketed.persist()
+        _report_dropped(bucketed, max_bucket, dropped_out, "minhash-lsh")
     pairs = (
         bucketed.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
         .select(F.explode(pair_combinations(F.col("ids"))).alias("p"))
@@ -284,17 +340,12 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return spread(df).select(F.col(id_col).alias("_id"), fp.alias("simhash"))
 
 
-def simhash_candidates(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by banded SimHash: split the 64-bit hash into
-    4 16-bit bands; pairs agreeing on ≥1 band are candidates (any pair
-    within hamming distance 3 must agree on one band), then filter by
-    exact hamming distance ≤ max_hamming."""
-    # the banded self-join reads its input twice; without this the
-    # entire upstream fingerprint computation runs once per branch
-    fps = fps.persist()
-    banded = fps.select(
+def simhash_bands(fps: DataFrame) -> DataFrame:
+    """(_id, band, band_val): the 64-bit SimHash split into 4 16-bit
+    bands — shared by candidate generation and the bucket-coverage
+    report so both see identical buckets."""
+    return fps.select(
         "_id",
-        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -304,21 +355,67 @@ def simhash_candidates(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("band", "band_val"),
     )
-    a = banded.select(
-        F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
+
+
+def simhash_candidates(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+    dropped_out: dict | None = None,
+) -> DataFrame:
+    """Near-dup candidates by banded SimHash: split the 64-bit hash into
+    4 16-bit bands; pairs agreeing on ≥1 band are candidates (any pair
+    within hamming distance 3 must agree on one band — pigeonhole),
+    then filter by exact hamming distance ≤ max_hamming.
+
+    Same skew guard as :func:`minhash_lsh_candidates`: one hot 16-bit
+    band value (boilerplate-heavy corpora produce exactly this — e.g.
+    a shared header driving one band of every doc to the same value)
+    makes the band self-join quadratic in that bucket's size, so
+    buckets over ``max_bucket`` members are dropped — accounted, never
+    silent: pass ``dropped_out={}`` for counts, and
+    ns_dedup_bucket_coverage surfaces them at the query surface.
+
+    Guard shape differs from minhash deliberately: the SimHash bucket
+    DOMAIN is bounded (4 bands × 2¹⁶ values = ≤262,144 distinct
+    buckets regardless of corpus size), so bucket sizes are counted
+    with a partial-aggregating groupBy — which never materializes a
+    hot bucket's member list the way collect_list would — and the
+    surviving-bucket list is BROADCAST back onto the banded rows
+    (map-side semi filter, no extra shuffle). The self-join then runs
+    only over kept buckets, each contributing ≤ max_bucket² pairs.
+
+    The candidate ``distinct()`` shuffles bare (id_a, id_b) — the
+    64-bit fingerprints rejoin AFTER dedup instead of riding every
+    shuffled candidate row (VERDICT r3 #8)."""
+    # candidate generation and the fingerprint rejoin both read fps;
+    # without this the upstream fingerprint fold runs once per branch
+    fps = fps.persist()
+    banded = simhash_bands(fps)
+    sizes = banded.groupBy("band", "band_val").agg(F.count("*").alias("n"))
+    if dropped_out is not None:
+        sizes = sizes.persist()
+        _report_dropped(sizes, max_bucket, dropped_out, "simhash")
+    keep = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select(
+        "band", "band_val"
     )
-    b = banded.select(
-        F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
-    )
+    kept = banded.join(F.broadcast(keep), ["band", "band_val"])
+    a = kept.select(F.col("_id").alias("id_a"), "band", "band_val")
+    b = kept.select(F.col("_id").alias("id_b"), "band", "band_val")
     pairs = (
         a.join(b, ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    fa = fps.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    fb = fps.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

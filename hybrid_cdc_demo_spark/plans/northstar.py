@@ -53,6 +53,40 @@ def ns_dedup_simhash(spark, sf_dir):
     return D.simhash_candidates(fps, max_hamming=10).orderBy("id_a", "id_b")
 
 
+@query("ns_dedup_bucket_coverage")
+def ns_dedup_bucket_coverage(spark, sf_dir):
+    """LSH skew-guard coverage report (no-silent-caps): how many
+    candidate buckets the minhash and simhash ``max_bucket`` guards
+    would drop over the documents corpus, and how many candidate
+    pairs that suppresses — the number a 100 TB run reads to decide
+    whether boilerplate skew is costing real dedup recall. One row of
+    scalar counters (guard threshold 200, the operators' default)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=32)
+    mh_sizes = (
+        D.band_rows(sigs, 16)
+        .groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n"))
+    )
+    mh = D.bucket_coverage(mh_sizes, 200).select(
+        F.col("buckets_total").alias("minhash_buckets_total"),
+        F.col("buckets_dropped").alias("minhash_buckets_dropped"),
+        F.col("pairs_suppressed").alias("minhash_pairs_suppressed"),
+    )
+    fps = D.simhash(docs, "text", "doc_id")
+    sh_sizes = (
+        D.simhash_bands(fps)
+        .groupBy("band", "band_val")
+        .agg(F.count("*").alias("n"))
+    )
+    sh = D.bucket_coverage(sh_sizes, 200).select(
+        F.col("buckets_total").alias("simhash_buckets_total"),
+        F.col("buckets_dropped").alias("simhash_buckets_dropped"),
+        F.col("pairs_suppressed").alias("simhash_pairs_suppressed"),
+    )
+    return mh.crossJoin(sh)
+
+
 @query(
     "ns_dedup_ngram_jaccard",
     oracle="""

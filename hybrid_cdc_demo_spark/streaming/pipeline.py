@@ -36,6 +36,7 @@ from hybrid_cdc_demo_spark.observability.logging import (
     log_schema_change,
     log_sink_error,
 )
+from hybrid_cdc_demo_spark.observability.metrics import MetricsRegistry
 from hybrid_cdc_demo_spark.schema.evolution import (
     SchemaEvolutionSupervisor,
     SchemaRegistry,
@@ -129,10 +130,16 @@ class CDCPipeline:
         spark: SparkSession,
         config: PipelineConfig,
         registry: SchemaRegistry | None = None,
+        metrics: MetricsRegistry | None = None,
     ):
         self.spark = spark
         self.config = config
         self.registry = registry or SchemaRegistry()
+        #: error/retry/backlog counters with the reference's metric
+        #: names (src/observability/metrics.py:10-43), fed from the
+        #: fan-out's retry/DLQ path below — render via
+        #: metrics.render_prometheus() / serve_observability()
+        self.metrics = metrics or MetricsRegistry()
         c = config
         self.sinks = {
             "postgres": UpsertSink(
@@ -410,6 +417,12 @@ class CDCPipeline:
                         destination="schema",
                         error_type="schema_incompatible",
                     )
+                    self.metrics.inc(
+                        "cdc_errors_total",
+                        int(counts["n"] or 0),
+                        destination="schema",
+                        error_type="schema_incompatible",
+                    )
                     # the invalid split must ALSO persist before the
                     # early return — foreachBatch completing advances
                     # the checkpoint, so a merely-counted row is gone
@@ -465,10 +478,21 @@ class CDCPipeline:
 
             def one_sink(item):
                 name, sink = item
+                # O34: every buffered-but-uncommitted event counts as
+                # backlog for this destination until its write commits
+                # (reference set_backlog, metrics.py:84-86)
+                self.metrics.set_gauge(
+                    "cdc_backlog_depth", int(counts["n"] or 0), destination=name
+                )
                 try:
                     return name, with_retry(
                         lambda: sink.write_batch(valid, batch_id),
                         self.config.retry,
+                        # reference increment_retries (metrics.py:68-70):
+                        # one tick per re-attempt of this destination
+                        on_retry=lambda attempt, exc: self.metrics.inc(
+                            "cdc_retry_attempts_total", destination=name
+                        ),
                     ), None
                 except Exception as exc:  # noqa: BLE001
                     return name, -1, exc
@@ -480,10 +504,16 @@ class CDCPipeline:
                 tasks.append(quality_task)
             with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
                 results = [f.result() for f in [pool.submit(t) for t in tasks]]
+            sink_names = set(self.sinks)
             for name, written, exc in results:
                 stats[name] = written
                 if exc is not None:
                     self.sink_errors[name] = self.sink_errors.get(name, 0) + 1
+                    self.metrics.inc(
+                        "cdc_errors_total",
+                        destination=name,
+                        error_type=type(exc).__name__,
+                    )
                     log_sink_error(
                         name, type(exc).__name__, self.sink_errors[name]
                     )
@@ -492,6 +522,33 @@ class CDCPipeline:
                         self.config.dlq_path,
                         destination=name,
                         error_type=type(exc).__name__,
+                    )
+                elif name in sink_names:
+                    # committed: destination-labelled processed counter
+                    # (reference increment_events_processed) and the
+                    # backlog drains to zero
+                    self.metrics.inc(
+                        "cdc_events_processed_total",
+                        written,
+                        destination=name,
+                        table=self.config.table,
+                    )
+                    self.metrics.set_gauge(
+                        "cdc_backlog_depth", 0, destination=name
+                    )
+                elif name == "invalid" and written:
+                    self.metrics.inc(
+                        "cdc_errors_total",
+                        written,
+                        destination="validation",
+                        error_type="contract_violation",
+                    )
+                elif name == "quality_failed" and written:
+                    self.metrics.inc(
+                        "cdc_errors_total",
+                        written,
+                        destination="quality",
+                        error_type="quality_violation",
                     )
             log_batch(stats)
             return stats

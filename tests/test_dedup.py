@@ -204,3 +204,71 @@ def test_minhash_slots_are_independent_estimators(spark):
     # element winning every slot): constant second difference
     diffs = [b - a for a, b in zip(sigs[0], sigs[0][1:])]
     assert len(set(diffs)) > 1
+
+
+def test_simhash_skew_guard_bounds_hot_band(spark, corpus):
+    """A planted hot band (every doc shares one 16-bit band value —
+    the boilerplate-header corpus shape) must be dropped by the
+    max_bucket guard: candidate volume stays bounded instead of going
+    quadratic, the drop is COUNTED (never silent), and planted
+    near-dup recall is preserved via the remaining bands."""
+    n = 40
+    rows = []
+    # fingerprints: band 0 (low 16 bits) identical for ALL docs (the
+    # hot band); bands 1-3 distinct per doc except docs 0/1 which are
+    # near-identical overall (hamming 1, differing inside band 1)
+    hot = 0xBEEF
+    for i in range(n):
+        fp = hot | (i << 16) | (i << 32) | (i << 48)
+        rows.append((i, fp))
+    rows[1] = (1, rows[0][1] ^ (1 << 20))  # doc1 = doc0 with 1 bit flipped
+    fps = spark.createDataFrame(rows, "_id long, simhash long")
+
+    report = {}
+    cands = D.simhash_candidates(
+        fps, max_hamming=3, max_bucket=10, dropped_out=report
+    )
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    # the hot band-0 bucket (40 members > 10) was dropped + accounted
+    assert report["buckets_dropped"] >= 1
+    assert report["pairs_suppressed"] >= 40 * 39 // 2
+    # recall survives: docs 0/1 still agree on bands 2 and 3
+    assert (0, 1) in got
+    # everything found is a true near-dup (hamming ≤ 3), and volume is
+    # bounded — nowhere near the 780 pairs the hot band would emit
+    # ((1, 16) is a genuine hamming-2 pair planted by the bit overlap)
+    assert got <= {(0, 1), (1, 16)}
+
+
+def test_simhash_guard_off_path_equivalent(spark):
+    """With no hot bucket, the guarded plan returns the same pairs as
+    before the guard existed (pure refactor for the common case)."""
+    def spread64(i):  # well-separated fingerprints (pairwise hamming ~32)
+        v = ((i + 1) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [(i, spread64(i)) for i in range(8)]
+    rows.append((8, rows[0][1] ^ 0b11))  # near-dup of doc 0, hamming 2
+    fps = spark.createDataFrame(rows, "_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_candidates(fps, max_hamming=3).collect()
+    }
+    assert got == {(0, 8, 2)}
+
+
+def test_minhash_dropped_bucket_accounting(spark, corpus):
+    """minhash_lsh_candidates reports its skew-guard drops through the
+    same dropped_out contract (no-silent-caps)."""
+    sigs = D.minhash_signatures(corpus, "text", "doc_id")
+    report = {}
+    # max_bucket=1 drops every bucket with >1 member — exactly the
+    # buckets that would have produced candidates
+    cands = D.minhash_lsh_candidates(sigs, max_bucket=1, dropped_out=report)
+    assert cands.count() == 0
+    assert report["buckets_dropped"] >= 1
+    assert report["pairs_suppressed"] >= 1
+    ok = {}
+    full = D.minhash_lsh_candidates(sigs, dropped_out=ok)
+    assert full.count() > 0
+    assert ok["buckets_dropped"] == 0 and ok["pairs_suppressed"] == 0

@@ -50,3 +50,58 @@ def test_http_endpoints():
         assert health["status"] == "healthy"
     finally:
         server.shutdown()
+
+
+def test_pipeline_emits_error_retry_backlog_metrics(spark, tmp_path):
+    """O34 wiring (reference spec.md:68 metrics list): a failing sink
+    must feed cdc_errors_total / cdc_retry_attempts_total /
+    cdc_backlog_depth with the reference's names+labels, rendered by
+    render_prometheus() alongside the processed counter — previously
+    the retry/DLQ path only logged."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from hybrid_cdc_demo_spark.schema.evolution import SchemaRegistry, TableSchema
+    from hybrid_cdc_demo_spark.sources.cdc import generate_change_events
+    from hybrid_cdc_demo_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+    from hybrid_cdc_demo_spark.streaming.retry import RetryPolicy
+
+    reg = SchemaRegistry()
+    reg.register(
+        TableSchema(
+            "ecommerce", "users",
+            {"user_id": "uuid", "email": "text", "phone": "text",
+             "first_name": "text", "last_name": "text", "age": "int",
+             "city": "text", "created_at": "timestamp"},
+            ["user_id"],
+        )
+    )
+    generate_change_events(str(tmp_path / "commitlog"), n_events=200, n_files=1, seed=41)
+    cfg = PipelineConfig(
+        source_dir=str(tmp_path / "commitlog"),
+        target_dir=str(tmp_path / "warehouse"),
+        retry=RetryPolicy(max_attempts=3, base_delay_seconds=0.01),
+    )
+    p = CDCPipeline(spark, cfg, reg)
+
+    def broken(batch, batch_id):
+        raise RuntimeError("connection refused")  # retryable class
+
+    p.sinks["clickhouse"].write_batch = broken
+    p.run_available()
+
+    snap = p.metrics.snapshot()
+    c, g = snap["counters"], snap["gauges"]
+    err_key = 'cdc_errors_total{destination="clickhouse",error_type="RetryExhausted"}'
+    assert c[err_key] == 1
+    # max_attempts=3 → 2 re-attempts ticked
+    assert c['cdc_retry_attempts_total{destination="clickhouse"}'] == 2
+    # failed destination keeps its buffered events as backlog; healthy
+    # destinations drain to zero
+    assert g['cdc_backlog_depth{destination="clickhouse"}'] > 0
+    assert g['cdc_backlog_depth{destination="postgres"}'] == 0
+    assert c['cdc_events_processed_total{destination="postgres",table="users"}'] > 0
+
+    rendered = p.metrics.render_prometheus()
+    for name in ("cdc_errors_total", "cdc_retry_attempts_total",
+                 "cdc_backlog_depth", "cdc_events_processed_total"):
+        assert name in rendered

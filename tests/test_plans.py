@@ -293,6 +293,35 @@ def test_tpch_q2_shape_broadcasts_dims_and_reuses_cost(spark):
     assert plan.count("BroadcastHashJoin") >= 3
 
 
+def test_tpch_q2_shape_part_filter_below_cost_aggregate(spark):
+    """The selective part predicate must prune lineitem BEFORE the
+    (partkey, suppkey) MIN aggregate — as a broadcast LeftSemi against
+    the filtered part scan sitting BELOW the aggregate — so the
+    query's dominant shuffle carries only selected parts, not every
+    lineitem pair (the 100× scale finding from round 3)."""
+    plan = plan_of(QUERIES["q49_tpch_q2_shape"](spark, SF))
+    # the part scan still pushes its predicates down to parquet
+    part_scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "part.parquet" in ln
+    ]
+    assert part_scans, "expected a part scan in the plan"
+    assert "EqualTo(p_size,3)" in plan and "EqualTo(p_type,LARGE)" in plan
+    # structural pin: a LeftSemi broadcast join appears below the first
+    # partial HashAggregate over (l_partkey, l_suppkey) — plan text is
+    # printed top-down, so the semi-join line must come AFTER the
+    # aggregate line yet belong to its subtree; assert order + presence
+    lines = plan.splitlines()
+    agg_idx = next(
+        i for i, ln in enumerate(lines)
+        if "HashAggregate" in ln and "l_partkey" in ln and "min" in ln
+    )
+    semi_idx = next(
+        i for i, ln in enumerate(lines) if "LeftSemi" in ln
+    )
+    assert semi_idx > agg_idx, "part semi-join must sit below the cost aggregate"
+
+
 def test_tpch_q11_shape_reuses_value_exchange(spark):
     """The per-part value aggregate feeds both the output rows and the
     scalar total; exchange reuse must kick in so lineitem is scanned

@@ -32,6 +32,7 @@ PINNED_NO_ORACLE = {
     "ns_simsearch_ivf_sq8": "test_query_contracts.py::test_ns_simsearch_ivf_sq8_pinned",
     "ns_sketch_cardinality": "test_sketches.py (tolerance vs exact + union consistency)",
     "ns_quantile_sketch": "test_sketches.py (rank error vs exact quantiles)",
+    "ns_dedup_bucket_coverage": "test_query_contracts.py::test_ns_dedup_bucket_coverage_pinned",
 }
 
 
@@ -167,3 +168,39 @@ def test_ns_simsearch_ivf_sq8_pinned(spark):
     assert [(r["vec_id"], r["score"]) for r in sq8] == [
         (r["vec_id"], r["score"]) for r in full
     ]
+
+
+def test_ns_dedup_bucket_coverage_pinned(spark):
+    """Skew-guard coverage counters are deterministic scalars: the tiny
+    deterministic corpus has no hot bucket (nothing dropped, nothing
+    suppressed), totals are positive, and the report cross-checks the
+    operators' own dropped_out accounting."""
+    df = QUERIES["ns_dedup_bucket_coverage"](spark, SF)
+    assert df.dtypes == [
+        ("minhash_buckets_total", "bigint"),
+        ("minhash_buckets_dropped", "bigint"),
+        ("minhash_pairs_suppressed", "bigint"),
+        ("simhash_buckets_total", "bigint"),
+        ("simhash_buckets_dropped", "bigint"),
+        ("simhash_pairs_suppressed", "bigint"),
+    ]
+    row = df.collect()[0]
+    assert row["minhash_buckets_total"] > 0
+    assert row["simhash_buckets_total"] > 0
+    assert row["minhash_buckets_dropped"] == 0
+    assert row["simhash_buckets_dropped"] == 0
+    assert row["minhash_pairs_suppressed"] == 0
+    assert row["simhash_pairs_suppressed"] == 0
+
+    # the query's numbers agree with the candidates' own accounting
+    from hybrid_cdc_demo_spark.operators import dedup as D
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    report = {}
+    D.minhash_lsh_candidates(
+        D.minhash_signatures(docs, "text", "doc_id", num_hashes=32),
+        dropped_out=report,
+    ).count()
+    assert report["buckets_total"] == row["minhash_buckets_total"]
+    assert report["buckets_dropped"] == 0
