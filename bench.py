@@ -320,6 +320,15 @@ def main() -> None:
         "sf": sf,
         **streaming,
     }
+    # the driver records only a truncated tail of the stdout line; the
+    # full per-query table is a repo artifact so round-over-round
+    # comparisons see every query (VERDICT r3 #7)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(json.dumps(result))
     spark.stop()
 

@@ -76,6 +76,54 @@ class LoggingSpanExporter:
         )
 
 
+class OtelBridgeExporter:
+    """Bridges finished :class:`SpanRecord`s into the real
+    OpenTelemetry SDK (reference tracing.py:17-54 uses the SDK
+    directly): every span our Tracer finishes is re-emitted as an OTel
+    span with the same name, attributes, status, and wall-clock
+    start/end, through whatever OTel ``SpanExporter`` the deployment
+    configures (OTLP, console, ...). Import-gated — constructing it
+    without the ``opentelemetry-sdk`` package raises ImportError, and
+    :func:`init_tracing` degrades to the in-process shim."""
+
+    def __init__(self, service_name: str = "cdc-pipeline", otel_exporter=None):
+        from opentelemetry.sdk.resources import SERVICE_NAME, Resource
+        from opentelemetry.sdk.trace import TracerProvider
+        from opentelemetry.sdk.trace.export import (
+            ConsoleSpanExporter,
+            SimpleSpanProcessor,
+        )
+        from opentelemetry.trace import Status, StatusCode
+
+        self._Status, self._StatusCode = Status, StatusCode
+        provider = TracerProvider(
+            resource=Resource(attributes={SERVICE_NAME: service_name})
+        )
+        provider.add_span_processor(
+            SimpleSpanProcessor(otel_exporter or ConsoleSpanExporter())
+        )
+        self._provider = provider
+        self._tracer = provider.get_tracer("hybrid_cdc_demo_spark")
+        # SpanRecord timestamps are perf_counter_ns (monotonic); OTel
+        # wants epoch ns — fix one offset at construction
+        self._epoch_offset = time.time_ns() - time.perf_counter_ns()
+
+    def export(self, span: SpanRecord) -> None:
+        otel_span = self._tracer.start_span(
+            span.name,
+            start_time=span.start_ns + self._epoch_offset,
+            attributes={
+                **{k: v for k, v in span.attributes.items() if v is not None},
+                **({"parent.name": span.parent} if span.parent else {}),
+            },
+        )
+        if span.status != "OK":
+            otel_span.set_status(
+                self._Status(self._StatusCode.ERROR, span.status)
+            )
+        otel_span.end(end_time=span.end_ns + self._epoch_offset)
+
+
 class _Span:
     def __init__(self, tracer: "Tracer", record: SpanRecord):
         self._tracer = tracer
@@ -157,33 +205,20 @@ def init_tracing(
     exporters: list | None = None,
     use_otel: bool = False,
 ):
-    """Initialize tracing (tracing.py:17-54 semantics). With
-    ``use_otel=True`` and the OTel SDK importable, the global tracer is
-    a real OTel tracer; otherwise the in-process implementation."""
+    """Initialize tracing (tracing.py:17-54 semantics). The tracer API
+    is ALWAYS the in-process implementation (stable span/nesting
+    semantics, zero hard dependency); ``use_otel=True`` additionally
+    attaches :class:`OtelBridgeExporter` when the ``opentelemetry-sdk``
+    package imports, so every finished span is re-emitted through the
+    real SDK (wire-format interop) — and silently degrades to the shim
+    alone when it doesn't (this container)."""
     global _TRACER
-    if use_otel:
-        try:  # pragma: no cover - SDK not in this container
-            from opentelemetry import trace
-            from opentelemetry.sdk.resources import SERVICE_NAME, Resource
-            from opentelemetry.sdk.trace import TracerProvider
-            from opentelemetry.sdk.trace.export import (
-                BatchSpanProcessor,
-                ConsoleSpanExporter,
-            )
-
-            provider = TracerProvider(
-                resource=Resource(attributes={SERVICE_NAME: service_name})
-            )
-            if enable_console_export:
-                provider.add_span_processor(
-                    BatchSpanProcessor(ConsoleSpanExporter())
-                )
-            trace.set_tracer_provider(provider)
-            _TRACER = trace.get_tracer(__name__)
-            return _TRACER
-        except ImportError:
-            pass  # fall through to the in-process tracer
     exps = list(exporters or [])
+    if use_otel:
+        try:
+            exps.append(OtelBridgeExporter(service_name))
+        except ImportError:
+            pass  # SDK absent — shim-only
     if enable_console_export:
         exps.append(LoggingSpanExporter())
     _TRACER = Tracer(service_name, exps)

@@ -112,11 +112,38 @@ def create_table_ddl(schema: TableSchema, dialect: str = "postgres") -> str:
     return f"CREATE TABLE IF NOT EXISTS {schema.table} (\n  {cols}{pk}\n)"
 
 
-def upsert_sql(table: str, columns: list[str], key_cols: list[str]) -> str:
-    """Idempotent upsert: non-key columns take the incoming value on
-    conflict (postgres.py:124-132 semantics)."""
+#: DB-API parameter placeholder per engine: sqlite is qmark, psycopg2
+#: and clickhouse-driver are format-style. "sqlite" doubles as the
+#: generic/ANSI default (the grammar sqlite parses is the Postgres
+#: ON CONFLICT grammar, which is why the test suite can engine-check
+#: the Postgres statements against sqlite).
+_PARAM = {"sqlite": "?", "postgres": "%s", "timescaledb": "%s", "clickhouse": "%s"}
+
+
+def _ph(dialect: str) -> str:
+    try:
+        return _PARAM[dialect]
+    except KeyError:
+        raise ValueError(f"unknown dialect {dialect!r}") from None
+
+
+def upsert_sql(
+    table: str, columns: list[str], key_cols: list[str], dialect: str = "sqlite"
+) -> str:
+    """Idempotent upsert per engine grammar:
+
+    * postgres/timescaledb/sqlite — ``INSERT ... ON CONFLICT (pk) DO
+      UPDATE SET col = excluded.col`` (reference postgres.py:124-132;
+      TimescaleDB is Postgres; sqlite shares the grammar, which is
+      what lets tests engine-check it);
+    * clickhouse — plain ``INSERT``: the engine has no upsert, dedup
+      is deferred to ReplacingMergeTree's background merge (reference
+      clickhouse.py:121-136 inserts, never conflicts)."""
+    ph = _ph(dialect)
     col_list = ", ".join(columns)
-    placeholders = ", ".join("?" for _ in columns)
+    placeholders = ", ".join(ph for _ in columns)
+    if dialect == "clickhouse":
+        return f"INSERT INTO {table} ({col_list}) VALUES ({placeholders})"
     updates = ", ".join(
         f"{c} = excluded.{c}" for c in columns if c not in key_cols
     )
@@ -127,12 +154,22 @@ def upsert_sql(table: str, columns: list[str], key_cols: list[str]) -> str:
     )
 
 
-def delete_sql(table: str, key_cols: list[str]) -> str:
-    where = " AND ".join(f"{k} = ?" for k in key_cols)
+def delete_sql(table: str, key_cols: list[str], dialect: str = "sqlite") -> str:
+    """Key-targeted delete. ClickHouse spells it as a lightweight
+    mutation (``ALTER TABLE ... DELETE WHERE``, asynchronous) — the
+    reference instead SKIPS deletes for its analytics warehouse
+    (clickhouse.py:109-116), which remains the default pipeline policy;
+    this statement is for callers that opt into tombstone application."""
+    ph = _ph(dialect)
+    where = " AND ".join(f"{k} = {ph}" for k in key_cols)
+    if dialect == "clickhouse":
+        return f"ALTER TABLE {table} DELETE WHERE {where}"
     return f"DELETE FROM {table} WHERE {where}"
 
 
-def offset_upsert_sql(offset_table: str = "cdc_offsets") -> str:
+def offset_upsert_sql(
+    offset_table: str = "cdc_offsets", dialect: str = "sqlite"
+) -> str:
     """The cdc_offsets commit row (scripts/sql/create-offset-table.sql
     shape + batch_id), executed inside the data transaction.
 
@@ -151,13 +188,29 @@ def offset_upsert_sql(offset_table: str = "cdc_offsets") -> str:
     reference's raw-event count (offset.py increments per event seen):
     the collapsed count is the number of state changes the warehouse
     actually performed, which is the meaningful replication measure
-    once a batch is collapsed before apply."""
+    once a batch is collapsed before apply.
+
+    ClickHouse has no ON CONFLICT and no transactions — the offset row
+    is a plain INSERT into a ReplacingMergeTree offsets table whose
+    background merge keeps the latest row per (table, keyspace,
+    destination), exactly the reference's ClickHouse offset path
+    (clickhouse.py:147-190: 'offset commits are separate from data
+    writes'); the monotone clock guard there lives in the version
+    column ordering, not in SQL."""
     t = offset_table
+    ph = _ph(dialect)
+    if dialect == "clickhouse":
+        return (
+            f"INSERT INTO {t} "
+            "(table_name, keyspace_name, destination, batch_id, "
+            "last_event_timestamp_micros, events_replicated_count) "
+            f"VALUES ({ph}, {ph}, {ph}, {ph}, {ph}, {ph})"
+        )
     return (
         f"INSERT INTO {t} "
         "(table_name, keyspace_name, destination, batch_id, "
         "last_event_timestamp_micros, events_replicated_count) "
-        "VALUES (?, ?, ?, ?, ?, ?) "
+        f"VALUES ({ph}, {ph}, {ph}, {ph}, {ph}, {ph}) "
         "ON CONFLICT (table_name, keyspace_name, destination) DO UPDATE SET "
         "batch_id = excluded.batch_id, "
         "last_event_timestamp_micros = CASE "
@@ -213,20 +266,24 @@ class JdbcUpsertSink:
         key_cols: list[str],
         keyspace: str = "ecommerce",
         txn_scope: str = "partition",
+        dialect: str = "sqlite",
     ):
         assert txn_scope in ("partition", "driver")
+        _ph(dialect)  # validate eagerly
         self.connection_factory = connection_factory
         self.table = table
         self.columns = columns
         self.key_cols = key_cols
         self.keyspace = keyspace
         self.txn_scope = txn_scope
+        self.dialect = dialect
 
     def _committed_batch(self, conn) -> int | None:
+        ph = _ph(self.dialect)
         cur = conn.cursor()
         cur.execute(
-            "SELECT batch_id FROM cdc_offsets WHERE table_name = ? "
-            "AND keyspace_name = ? AND destination = ?",
+            f"SELECT batch_id FROM cdc_offsets WHERE table_name = {ph} "
+            f"AND keyspace_name = {ph} AND destination = {ph}",
             (self.table, self.keyspace, self.name),
         )
         row = cur.fetchone()
@@ -241,8 +298,8 @@ class JdbcUpsertSink:
         re-INSERT(ts=200) would apply as upsert-then-delete and leave
         the key wrongly absent."""
         cols, keys = self.columns, self.key_cols
-        up_sql = upsert_sql(self.table, cols, keys)
-        del_sql = delete_sql(self.table, keys)
+        up_sql = upsert_sql(self.table, cols, keys, self.dialect)
+        del_sql = delete_sql(self.table, keys, self.dialect)
         upserts, deletes = [], []
         max_ts = 0
         for r in rows:
@@ -259,7 +316,7 @@ class JdbcUpsertSink:
 
     def _commit_offset(self, conn, batch_id: int, max_ts: int, n: int) -> None:
         conn.cursor().execute(
-            offset_upsert_sql(),
+            offset_upsert_sql(dialect=self.dialect),
             (self.table, self.keyspace, self.name, batch_id, max_ts, n),
         )
 
@@ -327,6 +384,17 @@ class JdbcUpsertSink:
             n_up, n_del, max_ts = self._apply_rows(
                 conn.cursor(), projected.toLocalIterator()
             )
+            if n_up + n_del > 100_000:
+                import logging
+
+                logging.getLogger("hybrid_cdc_demo_spark.jdbc").warning(
+                    "txn_scope='driver' streamed %d rows through the "
+                    "driver in one transaction — this scope is for "
+                    "modest batches (strict single-txn parity); use "
+                    "the default txn_scope='partition' for large "
+                    "batches (distributed executemany per partition)",
+                    n_up + n_del,
+                )
             # same counter semantics as partition scope: collapsed rows
             # applied (upserts + deletes), see offset_upsert_sql
             self._commit_offset(conn, batch_id, max_ts, n_up + n_del)

