@@ -21,6 +21,8 @@ __all__ = [
     "pack_sequences",
     "ngram_contamination",
     "stratified_sample",
+    "weighted_mixture",
+    "chunk_documents",
 ]
 
 
@@ -162,4 +164,78 @@ def ngram_contamination(
         probe.join(against, "_k")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def weighted_mixture(
+    df: DataFrame,
+    rate_col,
+    id_col: str,
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Deterministic weighted dataset mixture: keep each row with the
+    per-row probability ``rate_col`` (a Column of SIXTEENTHS, 0..16 —
+    e.g. 4 ≙ 25%), decided by the same content-independent id hash as
+    :func:`hash_split` so the selection is reproducible across runs,
+    engines, and resampling of the same corpus. This is the mixture-
+    weights stage of a training-data pipeline (upsample curated
+    sources, downsample crawl) — at 100 TB it must be a narrow
+    projection, never a random() shuffle-and-sort, and hash gating is
+    exactly that: zero shuffle, trivially pushdown-friendly.
+
+    Sixteenths keep the gate a single hex-digit comparison, portable
+    to ANSI SQL — the DuckDB oracle reproduces the exact row set
+    (rates finer than 1/16 → extend to two hex digits, same idea).
+    """
+    h = F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 1)
+    # h < _HEX[rate] ⟺ bucket index < rate (uniform 16-way buckets)
+    thresholds = F.array(*[F.lit(c) for c in _HEX + "g"])  # 16 ⇒ keep all
+    return df.withColumn(
+        keep_col, h < F.element_at(thresholds, rate_col.cast("int") + 1)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window preparation stage (chunk 64 / stride 48 ⇒ 16-token
+    overlap between consecutive chunks). Emits one row per chunk:
+    (id, chunk_id, n_tok, chunk_text).
+
+    Chunk starts are ``k·stride`` for ``k = 0 .. ceil(max(n−chunk,0) /
+    stride)`` — every token is covered, the final chunk may be short,
+    an empty/short doc yields exactly one chunk. Pure higher-order
+    expressions over the token array (split → sequence → transform →
+    posexplode): per-row work, no shuffle, codegen'd — the 100 TB
+    shape. Token rule: whitespace split of lower/trim/space-normalized
+    text, shared with the dedup/contamination operators so chunk
+    boundaries agree with their shingle space."""
+    assert stride >= 1 and chunk_tokens >= 1
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.concat_ws(
+            " ", F.slice(toks, k * stride + 1, chunk_tokens)
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).withColumn(
+        "n_tok", F.size(F.split(F.col("chunk_text"), " ")).cast("long")
     )

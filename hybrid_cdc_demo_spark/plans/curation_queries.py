@@ -310,3 +310,127 @@ def ns_corpus_pipeline(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@query(
+    "ns_dataset_mixture",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 2 = 0
+                  THEN 16 ELSE 4 END AS rate
+      FROM documents
+    )
+    SELECT doc_id, source FROM rated
+    WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)
+          < substr('0123456789abcdefg', rate + 1, 1)
+    ORDER BY doc_id
+    """,
+)
+def ns_dataset_mixture(spark, sf_dir):
+    """Weighted dataset mixture (operators.curation.weighted_mixture):
+    even-numbered sources keep every row (rate 16/16), odd-numbered
+    sources are downsampled to 4/16 = 25% — the mixture-weights stage
+    that upsamples curated sources and downsamples crawl. Selection is
+    a deterministic hash gate (narrow projection, zero shuffle, no
+    random()), so the oracle hash-checks the exact surviving row set."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(
+            F.regexp_extract("source", r"([0-9]+)", 1).cast("int") % 2 == 0,
+            F.lit(16),
+        )
+        .otherwise(F.lit(4))
+    )
+    return (
+        C.weighted_mixture(docs.withColumn("rate", rate), F.col("rate"), "doc_id")
+        .filter(F.col("kept"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ns_doc_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ), c AS (
+      SELECT doc_id, toks,
+             CAST(1 + ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, CAST(k AS INT) AS chunk_id,
+           array_to_string(toks[k*48+1 : k*48+64], ' ') AS chunk_text,
+           CAST(len(toks[k*48+1 : k*48+64]) AS BIGINT) AS n_tok
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(0, n_chunks - 1)) AS k
+          FROM c)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def ns_doc_chunking(spark, sf_dir):
+    """Context-window preparation (operators.curation.chunk_documents):
+    64-token chunks at stride 48 (16-token overlap) over normalized
+    whitespace tokens; one row per chunk with its text and length.
+    Pure per-row higher-order expressions (split → sequence → slice →
+    posexplode) — no shuffle, the 100 TB shape; the oracle hash-checks
+    every chunk boundary and payload."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        C.chunk_documents(docs, "text", "doc_id", chunk_tokens=64, stride=48)
+        .select("doc_id", "chunk_id", "chunk_text", "n_tok")
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "ns_vocabulary",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM occ GROUP BY tok
+    )
+    SELECT tok, n_occ, doc_freq FROM freq
+    WHERE doc_freq >= 5
+    ORDER BY n_occ DESC, tok LIMIT 1000
+    """,
+)
+def ns_vocabulary(spark, sf_dir):
+    """Vocabulary building with heavy-hitter ranking: every token's
+    total occurrence count and document frequency, floor df ≥ 5 (drop
+    hapax noise), ranked by corpus frequency — the stage that builds a
+    training vocabulary / frequency table. Plan shape: token explode →
+    ONE groupBy computing count + count-distinct together (Expand +
+    two-phase aggregate, map-side partials) → TakeOrderedAndProject
+    for the head. At 100 TB this is the canonical two-phase aggregate:
+    no collect, no global sort, shuffle keyed on the token."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("tok"),
+    )
+    return (
+        occ.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= 5)
+        .orderBy(F.desc("n_occ"), "tok")
+        .limit(1000)
+    )

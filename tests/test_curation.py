@@ -122,3 +122,45 @@ def test_stratified_sample_deterministic_and_uniformish(docs):
     # sample ids differ across strata (not the same head-of-table rows)
     ids = [r["doc_id"] for r in s1.collect()]
     assert len(set(ids)) == len(ids)
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from hybrid_cdc_demo_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               "doc_id int, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=64, stride=48)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc1: n=150 → 1 + ceil(86/48) = 3 chunks at starts 0/48/96
+    assert {k[1] for k in rows if k[0] == 1} == {0, 1, 2}
+    c0, c1, c2 = (rows[(1, k)]["chunk_text"].split(" ") for k in (0, 1, 2))
+    assert c0[0] == "t0" and len(c0) == 64
+    assert c1[0] == "t48" and len(c1) == 64          # 16-token overlap
+    assert c0[48:] == c1[:16]
+    assert c2[0] == "t96" and len(c2) == 54          # short tail
+    assert c2[-1] == "t149"                           # full coverage
+    # short and empty docs yield exactly one chunk
+    assert rows[(2, 0)]["n_tok"] == 2
+    assert (3, 0) in rows and len([k for k in rows if k[0] == 3]) == 1
+
+
+def test_weighted_mixture_rates_are_monotone_and_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from hybrid_cdc_demo_spark.operators.curation import weighted_mixture
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    kept = {}
+    for rate in (0, 4, 8, 16):
+        out = weighted_mixture(
+            df.withColumn("rate", F.lit(rate)), F.col("rate"), "doc_id"
+        )
+        kept[rate] = {r["doc_id"] for r in out.filter("kept").collect()}
+    assert kept[0] == set()
+    assert len(kept[16]) == 2000
+    # nested: raising the rate only ADDS rows (stable subsampling — the
+    # property that makes mixture re-weighting reproducible)
+    assert kept[4] <= kept[8] <= kept[16]
+    # ~uniform: 4/16 keeps about 25%
+    assert 0.18 < len(kept[4]) / 2000 < 0.32
