@@ -434,3 +434,44 @@ def ns_vocabulary(spark, sf_dir):
         .orderBy(F.desc("n_occ"), "tok")
         .limit(1000)
     )
+
+
+@query(
+    "ns_heavy_hitters",
+    oracle="""
+    WITH occ AS (
+      SELECT unnest(string_split(
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ FROM occ GROUP BY tok
+    )
+    SELECT tok, n_occ FROM freq
+    WHERE n_occ * 65 > (SELECT COUNT(*) FROM occ)
+    ORDER BY n_occ DESC, tok
+    """,
+)
+def ns_heavy_hitters(spark, sf_dir):
+    """Frequent tokens above φ = 1/65 of the corpus, via the
+    Misra-Gries sketch + exact-verify composition
+    (operators/frequency.py): per-partition O(64) summaries generate
+    the candidate set, a broadcast semi-join recounts ONLY candidates,
+    and the φ threshold is applied to exact counts — so the output is
+    EXACT (hash-checked against DuckDB's brute-force frequency table)
+    while the shuffle carries candidates instead of the full
+    vocabulary. The 100 TB shape for 'what dominates this corpus'."""
+    from hybrid_cdc_demo_spark.operators.frequency import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("tok")
+    )
+    return (
+        heavy_hitters(occ, "tok", capacity=64, out_item="tok")
+        .orderBy(F.desc("n_occ"), "tok")
+    )

@@ -62,3 +62,35 @@ def test_quantile_sketch_rank_error(spark):
         e25, e50, e90 = exact[lang]
         for a, e in ((a25, e25), (a50, e50), (a90, e90)):
             assert abs(a - e) / max(e, 1.0) < 0.10, (lang, a, e)
+
+
+def test_misra_gries_guarantee_under_adversarial_partitioning(spark):
+    """The MG candidate set must contain EVERY item with frequency
+    > N/(capacity+1) regardless of how rows are partitioned — the
+    deterministic sketch guarantee the exact-verify stage relies on.
+    Adversarial layout: each heavy item concentrated in one partition,
+    drowned locally by distinct noise items."""
+    import pyspark.sql.functions as F
+
+    from hybrid_cdc_demo_spark.operators.frequency import heavy_hitters
+
+    rows = []
+    # 3 heavy items: 400 occurrences each; N = 3*400 + 2800 noise = 4000
+    for h in range(3):
+        rows += [(f"heavy{h}",)] * 400
+    rows += [(f"noise{i}",) for i in range(2800)]
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    # capacity 9 → threshold N/10 = 400 ... heavy items sit exactly at
+    # the boundary, so use capacity 15 (threshold 250): heavies must
+    # all survive, every noise item (freq 1) must be filtered
+    out = {r["item"]: r["n_occ"] for r in heavy_hitters(df, "tok", capacity=15).collect()}
+    assert out == {"heavy0": 400, "heavy1": 400, "heavy2": 400}
+
+    # and the result equals brute force at a second capacity
+    brute = {
+        r["tok"]: r["c"]
+        for r in df.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r["c"] * 64 > 4000
+    }
+    out64 = {r["item"]: r["n_occ"] for r in heavy_hitters(df, "tok", capacity=63).collect()}
+    assert out64 == brute
