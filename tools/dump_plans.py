@@ -61,6 +61,26 @@ SHOWCASE = [
      "|a-b| <= eps planned as a hash EQUI-join on eps-buckets "
      "(3-way candidate explode) — no BroadcastNestedLoopJoin, no "
      "cartesian"),
+    ("q49_tpch_q2_shape", False,
+     "the selective part predicate prunes lineitem BEFORE the "
+     "(partkey, suppkey) MIN cost aggregate — a broadcast LeftSemi "
+     "below the HashAggregate, with p_size/p_type in PushedFilters; "
+     "the query's one big shuffle carries only selected parts"),
+    ("ns_dedup_simhash", False,
+     "shuffle-free fingerprint fold; bucket-size guard counted via a "
+     "partial-aggregating groupBy (bounded 4x2^16 domain) and the "
+     "kept-bucket list BROADCAST back — no collect_list of a hot "
+     "bucket can materialize; candidate distinct shuffles bare id "
+     "pairs, fingerprints rejoin after"),
+    ("ns_doc_chunking", False,
+     "chunking is pure per-row higher-order expressions (split -> "
+     "sequence -> slice -> posexplode) — a single stage over the "
+     "scan, no Exchange anywhere"),
+    ("ns_heavy_hitters", False,
+     "Misra-Gries candidates from mapInPandas partition summaries; "
+     "exact recount joins the token stream against the BROADCAST "
+     "candidate set (left_semi) — the full-vocabulary shuffle never "
+     "happens"),
 ]
 
 
