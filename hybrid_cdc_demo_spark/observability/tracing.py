@@ -86,10 +86,16 @@ class OtelBridgeExporter:
     without the ``opentelemetry-sdk`` package raises ImportError, and
     :func:`init_tracing` degrades to the in-process shim."""
 
-    def __init__(self, service_name: str = "cdc-pipeline", otel_exporter=None):
+    def __init__(
+        self,
+        service_name: str = "cdc-pipeline",
+        otel_exporter=None,
+        batch: bool = False,
+    ):
         from opentelemetry.sdk.resources import SERVICE_NAME, Resource
         from opentelemetry.sdk.trace import TracerProvider
         from opentelemetry.sdk.trace.export import (
+            BatchSpanProcessor,
             ConsoleSpanExporter,
             SimpleSpanProcessor,
         )
@@ -99,8 +105,12 @@ class OtelBridgeExporter:
         provider = TracerProvider(
             resource=Resource(attributes={SERVICE_NAME: service_name})
         )
+        # batch=True queues spans off the caller's thread (production
+        # OTLP); simple is synchronous — right for console/in-memory
+        # where tests read spans back immediately
+        proc = BatchSpanProcessor if batch else SimpleSpanProcessor
         provider.add_span_processor(
-            SimpleSpanProcessor(otel_exporter or ConsoleSpanExporter())
+            proc(otel_exporter or ConsoleSpanExporter())
         )
         self._provider = provider
         self._tracer = provider.get_tracer("hybrid_cdc_demo_spark")
@@ -204,19 +214,30 @@ def init_tracing(
     enable_console_export: bool = False,
     exporters: list | None = None,
     use_otel: bool = False,
+    otel_exporter=None,
 ):
     """Initialize tracing (tracing.py:17-54 semantics). The tracer API
     is ALWAYS the in-process implementation (stable span/nesting
     semantics, zero hard dependency); ``use_otel=True`` additionally
     attaches :class:`OtelBridgeExporter` when the ``opentelemetry-sdk``
-    package imports, so every finished span is re-emitted through the
-    real SDK (wire-format interop) — and silently degrades to the shim
-    alone when it doesn't (this container)."""
+    package imports — and silently degrades to the shim alone when it
+    doesn't (this container). Pass ``otel_exporter`` (an OTel
+    ``SpanExporter`` — OTLP, Jaeger, ...) to choose the wire target;
+    it is batched off the hot path. Without one, the bridge's console
+    export attaches only under ``enable_console_export`` — never
+    unconditionally (a production pipeline must not print every span
+    to stdout just because the SDK is installed)."""
     global _TRACER
     exps = list(exporters or [])
-    if use_otel:
+    if use_otel and (otel_exporter is not None or enable_console_export):
         try:
-            exps.append(OtelBridgeExporter(service_name))
+            exps.append(
+                OtelBridgeExporter(
+                    service_name,
+                    otel_exporter=otel_exporter,
+                    batch=otel_exporter is not None,
+                )
+            )
         except ImportError:
             pass  # SDK absent — shim-only
     if enable_console_export:

@@ -161,7 +161,9 @@ def bucket_coverage(bucketed: DataFrame, max_bucket: int) -> DataFrame:
     n = F.col("n")
     return bucketed.agg(
         F.count(F.lit(1)).cast("long").alias("buckets_total"),
-        F.sum((n > max_bucket).cast("long")).cast("long").alias("buckets_dropped"),
+        F.coalesce(
+            F.sum((n > max_bucket).cast("long")), F.lit(0)
+        ).cast("long").alias("buckets_dropped"),
         F.coalesce(
             F.sum(F.when(n > max_bucket, (n * (n - 1) / 2).cast("long"))),
             F.lit(0),
@@ -219,6 +221,12 @@ def minhash_lsh_candidates(
         F.collect_list("_id").alias("ids"), F.count("*").alias("n")
     )
     if dropped_out is not None:
+        # persisted because the pairs plan below reuses it and a
+        # recompute would re-run the full signature build; the cached
+        # bucket table lives until the session drops it (bench/tests
+        # clearCache between queries) — callers running many
+        # coverage-reporting passes in one session should
+        # spark.catalog.clearCache() periodically
         bucketed = bucketed.persist()
         _report_dropped(bucketed, max_bucket, dropped_out, "minhash-lsh")
     pairs = (
@@ -394,7 +402,10 @@ def simhash_candidates(
     banded = simhash_bands(fps)
     sizes = banded.groupBy("band", "band_val").agg(F.count("*").alias("n"))
     if dropped_out is not None:
-        sizes = sizes.persist()
+        # the report is eager and fps is already cached, so recomputing
+        # sizes for the keep-list below is one cheap groupBy — no need
+        # to leave another cached frame behind (persist would leak
+        # across repeated coverage-reporting calls)
         _report_dropped(sizes, max_bucket, dropped_out, "simhash")
     keep = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select(
         "band", "band_val"

@@ -80,9 +80,11 @@ def heavy_hitters(
     recount. Returns ``(item, n_occ)`` — deterministic and equal to
     the brute-force answer by the MG guarantee (pinned in
     tests/test_sketches.py with adversarial partitioning)."""
+    # three consumers read the token stream (summaries, exact recount,
+    # total) — persist so the scan+explode upstream runs once, not 3×
     items = spread(df).select(F.col(col).alias("_item")).filter(
         F.col("_item").isNotNull()
-    )
+    ).persist()
     summaries = items.mapInPandas(
         _mg_summaries(capacity), schema="_item string, _w long"
     )

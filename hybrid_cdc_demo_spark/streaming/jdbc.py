@@ -112,19 +112,35 @@ def create_table_ddl(schema: TableSchema, dialect: str = "postgres") -> str:
     return f"CREATE TABLE IF NOT EXISTS {schema.table} (\n  {cols}{pk}\n)"
 
 
-#: DB-API parameter placeholder per engine: sqlite is qmark, psycopg2
-#: and clickhouse-driver are format-style. "sqlite" doubles as the
-#: generic/ANSI default (the grammar sqlite parses is the Postgres
-#: ON CONFLICT grammar, which is why the test suite can engine-check
-#: the Postgres statements against sqlite).
-_PARAM = {"sqlite": "?", "postgres": "%s", "timescaledb": "%s", "clickhouse": "%s"}
+#: DB-API paramstyle per engine: sqlite is qmark, psycopg2 is
+#: format (%s, sequence params), clickhouse-driver's DB-API cursor is
+#: PYFORMAT (%(name)s, dict params — positional %s raises 'Parameters
+#: are expected in dict form'). "sqlite" doubles as the generic/ANSI
+#: default (the grammar sqlite parses is the Postgres ON CONFLICT
+#: grammar, which is why the test suite can engine-check the Postgres
+#: statements against sqlite).
+_PARAM = {"sqlite": "?", "postgres": "%s", "timescaledb": "%s", "clickhouse": None}
 
 
-def _ph(dialect: str) -> str:
-    try:
-        return _PARAM[dialect]
-    except KeyError:
-        raise ValueError(f"unknown dialect {dialect!r}") from None
+def _check_dialect(dialect: str) -> None:
+    if dialect not in _PARAM:
+        raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def _ph(dialect: str, name: str) -> str:
+    """Placeholder for parameter ``name``: positional for qmark/format
+    dialects, named pyformat for clickhouse (whose cursor takes dict
+    params only)."""
+    _check_dialect(dialect)
+    return f"%({name})s" if dialect == "clickhouse" else _PARAM[dialect]
+
+
+def bind_params(dialect: str, names: list[str], values) -> tuple | dict:
+    """Shape a parameter row for ``dialect``: sequence for qmark/format
+    paramstyles, ``{name: value}`` dict for clickhouse's pyformat."""
+    if dialect == "clickhouse":
+        return dict(zip(names, values))
+    return tuple(values)
 
 
 def upsert_sql(
@@ -138,10 +154,14 @@ def upsert_sql(
       what lets tests engine-check it);
     * clickhouse — plain ``INSERT``: the engine has no upsert, dedup
       is deferred to ReplacingMergeTree's background merge (reference
-      clickhouse.py:121-136 inserts, never conflicts)."""
-    ph = _ph(dialect)
+      clickhouse.py:121-136 inserts, never conflicts). Placeholders
+      are named pyformat (``%(col)s``) because clickhouse-driver's
+      DB-API cursor accepts dict parameters only; pair with
+      :func:`bind_params`. (The reference uses the NATIVE client —
+      ``Client.execute("INSERT ... VALUES", rows)`` — which this
+      DB-API text degrades to cleanly if a native factory is used.)"""
     col_list = ", ".join(columns)
-    placeholders = ", ".join(ph for _ in columns)
+    placeholders = ", ".join(_ph(dialect, c) for c in columns)
     if dialect == "clickhouse":
         return f"INSERT INTO {table} ({col_list}) VALUES ({placeholders})"
     updates = ", ".join(
@@ -160,11 +180,20 @@ def delete_sql(table: str, key_cols: list[str], dialect: str = "sqlite") -> str:
     reference instead SKIPS deletes for its analytics warehouse
     (clickhouse.py:109-116), which remains the default pipeline policy;
     this statement is for callers that opt into tombstone application."""
-    ph = _ph(dialect)
-    where = " AND ".join(f"{k} = {ph}" for k in key_cols)
+    where = " AND ".join(f"{k} = {_ph(dialect, k)}" for k in key_cols)
     if dialect == "clickhouse":
         return f"ALTER TABLE {table} DELETE WHERE {where}"
     return f"DELETE FROM {table} WHERE {where}"
+
+
+OFFSET_COLUMNS = [
+    "table_name",
+    "keyspace_name",
+    "destination",
+    "batch_id",
+    "last_event_timestamp_micros",
+    "events_replicated_count",
+]
 
 
 def offset_upsert_sql(
@@ -198,19 +227,19 @@ def offset_upsert_sql(
     writes'); the monotone clock guard there lives in the version
     column ordering, not in SQL."""
     t = offset_table
-    ph = _ph(dialect)
+    phs = ", ".join(_ph(dialect, c) for c in OFFSET_COLUMNS)
     if dialect == "clickhouse":
         return (
             f"INSERT INTO {t} "
             "(table_name, keyspace_name, destination, batch_id, "
             "last_event_timestamp_micros, events_replicated_count) "
-            f"VALUES ({ph}, {ph}, {ph}, {ph}, {ph}, {ph})"
+            f"VALUES ({phs})"
         )
     return (
         f"INSERT INTO {t} "
         "(table_name, keyspace_name, destination, batch_id, "
         "last_event_timestamp_micros, events_replicated_count) "
-        f"VALUES ({ph}, {ph}, {ph}, {ph}, {ph}, {ph}) "
+        f"VALUES ({phs}) "
         "ON CONFLICT (table_name, keyspace_name, destination) DO UPDATE SET "
         "batch_id = excluded.batch_id, "
         "last_event_timestamp_micros = CASE "
@@ -269,7 +298,7 @@ class JdbcUpsertSink:
         dialect: str = "sqlite",
     ):
         assert txn_scope in ("partition", "driver")
-        _ph(dialect)  # validate eagerly
+        _check_dialect(dialect)
         self.connection_factory = connection_factory
         self.table = table
         self.columns = columns
@@ -279,15 +308,23 @@ class JdbcUpsertSink:
         self.dialect = dialect
 
     def _committed_batch(self, conn) -> int | None:
-        ph = _ph(self.dialect)
+        # MAX, not a bare row read: the clickhouse offsets table is a
+        # ReplacingMergeTree fed by plain INSERTs, so before a
+        # background merge several rows exist for the key and an
+        # arbitrary one would come back — replaying already-committed
+        # batches. MAX is also correct (and free) for the upserting
+        # dialects, where at most one row exists.
+        names = ["table_name", "keyspace_name", "destination"]
+        where = " AND ".join(f"{n} = {_ph(self.dialect, n)}" for n in names)
         cur = conn.cursor()
         cur.execute(
-            f"SELECT batch_id FROM cdc_offsets WHERE table_name = {ph} "
-            f"AND keyspace_name = {ph} AND destination = {ph}",
-            (self.table, self.keyspace, self.name),
+            f"SELECT max(batch_id) FROM cdc_offsets WHERE {where}",
+            bind_params(
+                self.dialect, names, (self.table, self.keyspace, self.name)
+            ),
         )
         row = cur.fetchone()
-        return None if row is None else row[0]
+        return None if row is None or row[0] is None else row[0]
 
     def _apply_rows(self, cur, rows) -> tuple[int, int, int]:
         """Apply a LATEST-PER-KEY-COLLAPSED batch: each key appears at
@@ -305,9 +342,13 @@ class JdbcUpsertSink:
         for r in rows:
             max_ts = max(max_ts, r["timestamp_micros"] or 0)
             if r["event_type"] == "DELETE":
-                deletes.append(tuple(r[k] for k in keys))
+                deletes.append(
+                    bind_params(self.dialect, keys, (r[k] for k in keys))
+                )
             else:
-                upserts.append(tuple(r[c] for c in cols))
+                upserts.append(
+                    bind_params(self.dialect, cols, (r[c] for c in cols))
+                )
         if upserts:
             cur.executemany(up_sql, upserts)
         if deletes:
@@ -317,7 +358,11 @@ class JdbcUpsertSink:
     def _commit_offset(self, conn, batch_id: int, max_ts: int, n: int) -> None:
         conn.cursor().execute(
             offset_upsert_sql(dialect=self.dialect),
-            (self.table, self.keyspace, self.name, batch_id, max_ts, n),
+            bind_params(
+                self.dialect,
+                OFFSET_COLUMNS,
+                (self.table, self.keyspace, self.name, batch_id, max_ts, n),
+            ),
         )
 
     def write_batch(self, batch: DataFrame, batch_id: int) -> int:

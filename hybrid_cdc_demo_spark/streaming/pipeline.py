@@ -428,6 +428,15 @@ class CDCPipeline:
                     # the checkpoint, so a merely-counted row is gone
                     stats["invalid"] = invalid.count()
                     if stats["invalid"]:
+                        # same counter the normal fan-out path emits —
+                        # validation errors must not undercount just
+                        # because a schema break coincided
+                        self.metrics.inc(
+                            "cdc_errors_total",
+                            stats["invalid"],
+                            destination="validation",
+                            error_type="contract_violation",
+                        )
                         write_dlq(
                             invalid,
                             self.config.dlq_path,

@@ -708,7 +708,7 @@ class AppendSink:
             return removed
 
     def as_stream(
-        self, spark: SparkSession | None = None, history: str = "segments"
+        self, spark: SparkSession | None = None, history: str | None = None
     ) -> DataFrame:
         """The sink as a SOURCE: a readStream over the append log's
         segment files, so a downstream pipeline (silver/gold layer,
@@ -724,28 +724,33 @@ class AppendSink:
         via :meth:`changes_between` instead. Schema comes from the
         first-write sidecar — available before any consumer starts.
 
-        ``history``:
+        ``history`` (default None → resolved from the sink's retention
+        mode, so the DEFAULT is always loss-free):
 
-        * ``"segments"`` (default) — tail per-batch ``seg-*`` dirs
-          only. Consolidations (``cseg-*``) are never delivered, so an
-          optimize() does NOT replay the folded history into running
-          consumers (with ``history="all"`` the file source would
-          re-ingest the whole consolidated prefix after every
+        * ``"segments"`` (the default when
+          ``keep_segments_for_streams=True``) — tail per-batch
+          ``seg-*`` dirs only. Consolidations (``cseg-*``) are never
+          delivered, so an optimize() does NOT replay the folded
+          history into running consumers (with ``"all"`` the file
+          source re-ingests the whole consolidated prefix after every
           optimize — O(n²) delivered rows at the default cadence, and
-          incremental aggregates silently double-count). Since the
-          default optimize() DELETES originals after folding, pair
-          this with ``keep_segments_for_streams=True`` (shadow, don't
-          delete, until vacuum's retention horizon) when consumers may
-          lag an optimize; a consumer starting after segments were
-          reclaimed bootstraps from :meth:`read_asof` +
-          :meth:`changes_between` instead (snapshot + tail).
-        * ``"all"`` — tail ``seg-*`` and ``cseg-*``. A late starter
-          sees full history even after originals were reclaimed, at
-          the cost of re-receiving ALL consolidated rows on every
-          optimize — consumers must dedupe by event_id
-          (latest_per_key / dropDuplicates), the at-least-once
-          contract."""
+          incremental aggregates silently double-count). SAFE only
+          because that retention mode shadows originals instead of
+          deleting them (vacuum is the horizon); on a deleting sink an
+          explicit ``history="segments"`` can silently skip segments
+          an optimize reclaimed before the consumer read them. A
+          consumer starting after segments were reclaimed bootstraps
+          from :meth:`read_asof` + :meth:`changes_between` instead
+          (snapshot + tail).
+        * ``"all"`` (the default when segments are deleted on
+          optimize) — tail ``seg-*`` and ``cseg-*``. Nothing is ever
+          lost and a late starter sees full history, at the cost of
+          re-receiving ALL consolidated rows after an optimize —
+          consumers must dedupe by event_id (latest_per_key /
+          dropDuplicates), the at-least-once contract."""
         spark = spark or self.spark
+        if history is None:
+            history = "segments" if self.keep_segments_for_streams else "all"
         if history not in ("segments", "all"):
             raise ValueError(f"history must be 'segments' or 'all', got {history!r}")
         sidecar = self.path / "_schema.json"

@@ -197,15 +197,25 @@ def test_dialect_golden_sql():
         "INSERT INTO users"
     ) and "ON CONFLICT" in upsert_sql("users", cols, keys, "timescaledb")
 
+    # clickhouse-driver's DB-API cursor is PYFORMAT with dict params —
+    # positional %s raises 'Parameters are expected in dict form'
     ch = upsert_sql("users", cols, keys, "clickhouse")
-    assert ch == "INSERT INTO users (user_id, email, age) VALUES (%s, %s, %s)"
+    assert ch == (
+        "INSERT INTO users (user_id, email, age) "
+        "VALUES (%(user_id)s, %(email)s, %(age)s)"
+    )
     assert "ON CONFLICT" not in ch
     assert delete_sql("users", keys, "clickhouse") == (
-        "ALTER TABLE users DELETE WHERE user_id = %s"
+        "ALTER TABLE users DELETE WHERE user_id = %(user_id)s"
     )
     ch_off = offset_upsert_sql(dialect="clickhouse")
     assert ch_off.startswith("INSERT INTO cdc_offsets")
-    assert "ON CONFLICT" not in ch_off
+    assert "ON CONFLICT" not in ch_off and "%(batch_id)s" in ch_off
+    # and the param shaper pairs dict rows with those placeholders
+    from hybrid_cdc_demo_spark.streaming.jdbc import bind_params
+
+    assert bind_params("clickhouse", ["a", "b"], (1, 2)) == {"a": 1, "b": 2}
+    assert bind_params("postgres", ["a", "b"], (1, 2)) == (1, 2)
 
     sq = upsert_sql("users", cols, keys, "sqlite")
     assert "VALUES (?, ?, ?)" in sq and "ON CONFLICT (user_id)" in sq

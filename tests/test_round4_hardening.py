@@ -122,8 +122,12 @@ def test_as_stream_history_all_delivers_consolidations(spark, tmp_path):
     the cseg (at-least-once; dedupe downstream)."""
     sink = _write_n(spark, str(tmp_path / "ch"), 3, optimize_every=None)
     sink.optimize(min_segments=2)  # default mode deletes originals
+    # a deleting sink DEFAULTS to 'all' — the loss-free mode: a late
+    # starter still sees full history via the cseg after originals
+    # were reclaimed (explicit history='segments' on such a sink is
+    # the documented opt-in that can skip reclaimed segments)
     q = (
-        sink.as_stream(history="all")
+        sink.as_stream()
         .writeStream.format("memory")
         .queryName("r4_all")
         .outputMode("append")
@@ -133,9 +137,9 @@ def test_as_stream_history_all_delivers_consolidations(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.sql("SELECT * FROM r4_all").count() == 3
-    # while 'segments' mode sees nothing (originals gone)
+    # while explicit 'segments' mode sees nothing (originals gone)
     q2 = (
-        sink.as_stream()
+        sink.as_stream(history="segments")
         .writeStream.format("memory")
         .queryName("r4_segonly")
         .outputMode("append")
@@ -145,6 +149,29 @@ def test_as_stream_history_all_delivers_consolidations(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.sql("SELECT * FROM r4_segonly").count() == 0
+
+
+def test_as_stream_default_never_loses_on_deleting_sink(spark, tmp_path):
+    """Review regression pin: with ALL defaults (deleting optimize,
+    default as_stream), a consumer that lags an optimize must still
+    receive every row — possibly twice (at-least-once via the cseg),
+    NEVER zero. The round-4 interim default (segments-mode on a
+    deleting sink) silently dropped batches the consumer hadn't read
+    when optimize reclaimed them."""
+    sink = _write_n(spark, str(tmp_path / "ch"), 3, optimize_every=None)
+    stream = sink.as_stream()  # default resolution: deleting ⇒ 'all'
+    sink.optimize(min_segments=2)  # originals deleted BEFORE first read
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("r4_noloss")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_noloss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["event_id"] for r in spark.sql("SELECT * FROM r4_noloss").collect()}
+    assert got == {"e0", "e1", "e2"}  # nothing lost
 
 
 def test_band_join_default_same_column_name(spark):
