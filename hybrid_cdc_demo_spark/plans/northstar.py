@@ -752,6 +752,53 @@ def ns_multimodal_features(spark, sf_dir):
     )
 
 
+@query(
+    "ns_multimodal_headers",
+    oracle="""
+    SELECT doc_id AS media_id, 'png' AS format,
+           CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+           CAST(doc_id % 480 + 1 AS BIGINT) AS height
+    FROM documents ORDER BY media_id
+    """,
+)
+def ns_multimodal_headers(spark, sf_dir):
+    """Media header sniffing with NOTHING stubbed: real PNG IHDR bytes
+    are constructed per row with pure Spark expressions (hex→unhex
+    yields the big-endian dimension words; signature/IHDR framing per
+    the PNG spec), and operators.multimodal.parse_media_headers reads
+    the container back byte-level via Arrow mapInPandas — the
+    object-store ingest step that types and sizes media before any
+    pixel decode. The oracle replays the generator arithmetic, so a
+    hash match proves the parser inverts the spec encoding exactly;
+    GIF/BMP/JPEG/WAV legs + corrupt-input classification are pinned in
+    tests/test_multimodal.py."""
+    from hybrid_cdc_demo_spark.operators.multimodal import parse_media_headers
+
+    docs = load_table(spark, sf_dir, "documents")
+    be32 = lambda col: F.unhex(F.lpad(F.hex(col), 8, "0"))  # noqa: E731
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),          # signature
+        F.lit(b"\x00\x00\x00\x0dIHDR"),       # IHDR length=13 + type
+        be32(F.col("doc_id") % 640 + 1),       # width (BE u32)
+        be32(F.col("doc_id") % 480 + 1),       # height (BE u32)
+        F.lit(b"\x08\x06\x00\x00\x00"),       # bit depth/color/etc
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.lit("image/png").alias("mime_type"),
+        png.alias("content"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return (
+        parse_media_headers(media)
+        .select("media_id", "format", "width", "height")
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition / novelty quality filters + embedding quantization
 # ---------------------------------------------------------------------------
