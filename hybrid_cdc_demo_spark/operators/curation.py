@@ -210,22 +210,29 @@ def chunk_documents(
     overlap between consecutive chunks). Emits one row per chunk:
     (id, chunk_id, n_tok, chunk_text).
 
-    Chunk starts are ``k·stride`` for ``k = 0 .. ceil(max(n−chunk,0) /
-    stride)`` — every token is covered, the final chunk may be short,
-    an empty/short doc yields exactly one chunk. Pure higher-order
-    expressions over the token array (split → sequence → transform →
-    posexplode): per-row work, no shuffle, codegen'd — the 100 TB
-    shape. Token rule: whitespace split of lower/trim/space-normalized
-    text, shared with the dedup/contamination operators so chunk
-    boundaries agree with their shingle space."""
+    Chunk starts are ``k·stride`` for ``k = 0 .. n_chunks−1`` with
+    ``n_chunks = least(1 + ceil(max(n−chunk,0)/stride),
+    ceil(n/stride))`` — with ``stride ≤ chunk`` (overlap/abutting,
+    the default) every token is covered and the final chunk may be
+    short; with ``stride > chunk`` (gap sampling) the clamp keeps
+    every emitted chunk non-empty (hypothesis falsified the unclamped
+    form: n=2, chunk=1, stride=100 emitted an empty tail chunk at
+    start 100 — tests/test_property_invariants.py). A short doc
+    yields exactly one chunk. Pure higher-order expressions over the
+    token array (split → sequence → transform → posexplode): per-row
+    work, no shuffle, codegen'd — the 100 TB shape. Token rule:
+    whitespace split of lower/trim/space-normalized text, shared with
+    the dedup/contamination operators so chunk boundaries agree with
+    their shingle space."""
     assert stride >= 1 and chunk_tokens >= 1
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
-    n = F.size(toks)
-    n_chunks = (
+    n = F.size(toks)  # >= 1: split of "" yields [""]
+    n_chunks = F.least(
         F.lit(1)
-        + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride))
+        + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)),
+        F.ceil(n / F.lit(stride)),
     ).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),

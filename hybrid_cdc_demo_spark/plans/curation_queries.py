@@ -359,7 +359,8 @@ def ns_dataset_mixture(spark, sf_dir):
       FROM documents WHERE doc_id < 200
     ), c AS (
       SELECT doc_id, toks,
-             CAST(1 + ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT) AS n_chunks
+             CAST(least(1 + ceil(greatest(len(toks) - 64, 0) / 48.0),
+                        ceil(len(toks) / 48.0)) AS INT) AS n_chunks
       FROM t
     )
     SELECT doc_id, CAST(k AS INT) AS chunk_id,

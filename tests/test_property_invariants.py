@@ -69,3 +69,65 @@ def test_merge_topk_is_associative_across_batches(first, second, k):
     stepwise = merge_topk(merge_topk([], first, k), second, k)
     at_once = merge_topk([], first + second, k)
     assert stepwise == at_once
+
+
+@given(
+    n=st.integers(min_value=0, max_value=400),
+    chunk=st.integers(min_value=1, max_value=100),
+    stride=st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=300, deadline=None)
+def test_chunk_boundaries_cover_every_token(n, chunk, stride):
+    """chunk_documents' clamped start formula must cover every token
+    index exactly when stride <= chunk (overlapping or abutting
+    windows), always include token 0 and the final token, and never
+    emit a start past the end. (Hypothesis falsified the unclamped
+    1 + ceil(max(n−chunk,0)/stride) form with n=2, chunk=1,
+    stride=100 — an empty tail chunk at start 100; the least() clamp
+    below is the fix.)"""
+    n_chunks = min(
+        1 + math.ceil(max(n - chunk, 0) / stride),
+        math.ceil(max(n, 1) / stride),
+    )
+    n_chunks = max(n_chunks, 1)
+    starts = [k * stride for k in range(n_chunks)]
+    covered = set()
+    for s in starts:
+        covered |= set(range(s, min(s + chunk, max(n, 1))))
+    if n == 0:
+        assert n_chunks == 1  # one (empty-ish) chunk per doc, never zero
+        return
+    # no chunk starts beyond the last token (no empty tails) …
+    assert all(s < n for s in starts)
+    # … and with stride <= chunk (overlap/abutting, the default) the
+    # final chunk reaches the last token and coverage is COMPLETE;
+    # stride > chunk is gap SAMPLING — tails may be skipped by design
+    if stride <= chunk:
+        assert (n - 1) in range(starts[-1], starts[-1] + chunk)
+        assert covered == set(range(n))
+
+
+@given(data=st.data())
+@settings(max_examples=200, deadline=None)
+def test_hex_gate_rates_are_nested_and_proportional(data):
+    """weighted_mixture's hex-digit gate: for any id set, the kept
+    set at rate r is a subset of the kept set at rate r' >= r
+    (stable subsampling), rate 0 keeps nothing, rate 16 everything —
+    pure-Python replay of the same sha256-first-hex rule."""
+    import hashlib
+
+    ids = data.draw(st.lists(st.integers(0, 10**9), max_size=60, unique=True))
+    r1 = data.draw(st.integers(0, 16))
+    r2 = data.draw(st.integers(0, 16))
+    lo, hi = min(r1, r2), max(r1, r2)
+    hexd = "0123456789abcdefg"
+
+    def kept(rate):
+        return {
+            i for i in ids
+            if hashlib.sha256(str(i).encode()).hexdigest()[0] < hexd[rate]
+        }
+
+    assert kept(0) == set()
+    assert kept(16) == set(ids)
+    assert kept(lo) <= kept(hi)
