@@ -178,6 +178,7 @@ class CDCPipeline:
         #: previous batch's valid-row count, feeding the adaptive
         #: shuffle-partition sizing (None until the first batch lands)
         self._last_batch_rows: int | None = None
+        self._control_aggs = self._build_control_aggs()
 
     def _batch_partitions(self) -> int:
         """Partitions for THIS batch's jobs: the cap until a batch has
@@ -267,6 +268,52 @@ class CDCPipeline:
             )
         )
 
+    def _build_control_aggs(self) -> list[F.Column]:
+        """One conditional-sum aggregate computing EVERY control count
+        the fan-out needs — invalid (DLQ), foreign-table skips (O6),
+        quality-gate failures — in a single job over the cached batch.
+        Before this the happy path ran one Spark count job PER control
+        stream every micro-batch (3 jobs that almost always return 0);
+        at per-second triggers the driver scheduling overhead of those
+        empty jobs was a measurable slice of per-batch latency. The
+        conditions mirror the filter predicates of the split frames
+        EXACTLY (scoped -> ~checks for invalid, well-formed & out-of-
+        scope for foreign, checks-pass & any-rule-violated for
+        quality), so the counts equal what .count() on those frames
+        returns — the frames themselves are still written to the DLQ,
+        but only when their count is nonzero."""
+        scoped_cond = (
+            self._in_scope
+            | F.col("keyspace").isNull()
+            | F.col("table_name").isNull()
+        )
+        checks_pass = F.coalesce(self._checks, F.lit(False))
+        aggs = [
+            F.sum(F.when(scoped_cond & ~checks_pass, 1).otherwise(0))
+            .cast("long")
+            .alias("invalid"),
+            F.sum(
+                F.when(
+                    F.col("keyspace").isNotNull()
+                    & F.col("table_name").isNotNull()
+                    & ~self._in_scope,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("foreign_skipped"),
+        ]
+        if self._quality_rules:
+            ok = F.lit(True)
+            for pred in self._quality_rules.values():
+                ok = ok & F.coalesce(pred, F.lit(False))
+            aggs.append(
+                F.sum(F.when(scoped_cond & checks_pass & ~ok, 1).otherwise(0))
+                .cast("long")
+                .alias("quality_failed")
+            )
+        return aggs
+
     def refresh_plan_expressions(self) -> None:
         """Rebind the cached validation + masking expressions to the
         CURRENT registry state (O11-O14 after §7.3.2 evolution). The
@@ -275,6 +322,7 @@ class CDCPipeline:
         changed (payload stays a JSON string)."""
         self._checks = self._build_checks()
         self._masked_payload = self._build_masked_payload()
+        self._control_aggs = self._build_control_aggs()
 
     def split_valid(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Stage 1+2: corrupt / contract-violating rows out (O7/O8)."""
@@ -451,8 +499,15 @@ class CDCPipeline:
             # cached batch — the reference's asyncio.gather(main.py:148)
             # expressed as parallel job submission. DLQ routing of the
             # invalid split rides the same pool.
-            def dlq_task():
-                inv = invalid.count()
+            def control_task():
+                # invalid (O7 DLQ), foreign-table skips (O6: reference
+                # reader.py:186-188 skips silently, we count), and
+                # quality-gate failures — ONE aggregate job over the
+                # cached batch; the split frames are only scanned again
+                # for the (rare) nonzero DLQ writes
+                row = batch.agg(*self._control_aggs).collect()[0]
+                out = []
+                inv = int(row["invalid"] or 0)
                 if inv:
                     write_dlq(
                         invalid,
@@ -460,30 +515,21 @@ class CDCPipeline:
                         destination="validation",
                         error_type="contract_violation",
                     )
-                return "invalid", inv, None
-
-            def foreign_task():
-                # O6 observability: skipped foreign-table events are a
-                # counter (reader.py:186-188 skips silently; we count)
-                n = batch.filter(
-                    F.col("keyspace").isNotNull()
-                    & F.col("table_name").isNotNull()
-                    & ~self._in_scope
-                ).count()
-                return "foreign_skipped", n, None
-
-            def quality_task():
-                # declarative DQ gate failures: quarantined, never
-                # replicated, never crash the pipeline (DLQ contract)
-                n = quality_bad.count()
-                if n:
-                    write_dlq(
-                        quality_bad,
-                        self.config.dlq_path,
-                        destination="quality",
-                        error_type="quality_violation",
-                    )
-                return "quality_failed", n, None
+                out.append(("invalid", inv, None))
+                out.append(("foreign_skipped", int(row["foreign_skipped"] or 0), None))
+                if quality_bad is not None:
+                    nq = int(row["quality_failed"] or 0)
+                    if nq:
+                        # declarative DQ gate failures: quarantined,
+                        # never replicated, never crash the pipeline
+                        write_dlq(
+                            quality_bad,
+                            self.config.dlq_path,
+                            destination="quality",
+                            error_type="quality_violation",
+                        )
+                    out.append(("quality_failed", nq, None))
+                return out
 
             def one_sink(item):
                 name, sink = item
@@ -506,13 +552,15 @@ class CDCPipeline:
                 except Exception as exc:  # noqa: BLE001
                     return name, -1, exc
 
-            tasks = [dlq_task, foreign_task] + [
+            tasks = [control_task] + [
                 (lambda item=item: one_sink(item)) for item in self.sinks.items()
             ]
-            if quality_bad is not None:
-                tasks.append(quality_task)
             with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
-                results = [f.result() for f in [pool.submit(t) for t in tasks]]
+                raw = [f.result() for f in [pool.submit(t) for t in tasks]]
+            # control_task yields a triple per control stream
+            results = []
+            for r in raw:
+                results.extend(r if isinstance(r, list) else [r])
             sink_names = set(self.sinks)
             for name, written, exc in results:
                 stats[name] = written
