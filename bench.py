@@ -320,16 +320,21 @@ def main() -> None:
         "sf": sf,
         **streaming,
     }
+    # stdout first: the result line must survive even when the artifact
+    # write fails (read-only checkout / sandboxed run — ADVICE r4 #1)
+    print(json.dumps(result), flush=True)
     # the driver records only a truncated tail of the stdout line; the
     # full per-query table is a repo artifact so round-over-round
     # comparisons see every query (VERDICT r3 #7)
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
-    with open(full_path, "w") as fh:
-        json.dump(result, fh, indent=1, sort_keys=True)
-        fh.write("\n")
-    print(json.dumps(result))
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# BENCH_FULL.json write failed: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -22,6 +22,7 @@ ours unmodified.
 from __future__ import annotations
 
 import contextvars
+import logging
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -229,17 +230,32 @@ def init_tracing(
     to stdout just because the SDK is installed)."""
     global _TRACER
     exps = list(exporters or [])
-    if use_otel and (otel_exporter is not None or enable_console_export):
-        try:
-            exps.append(
-                OtelBridgeExporter(
-                    service_name,
-                    otel_exporter=otel_exporter,
-                    batch=otel_exporter is not None,
+    if use_otel:
+        if otel_exporter is not None or enable_console_export:
+            try:
+                exps.append(
+                    OtelBridgeExporter(
+                        service_name,
+                        otel_exporter=otel_exporter,
+                        batch=otel_exporter is not None,
+                    )
                 )
+            except ImportError:
+                # SDK absent — shim-only, but observably so (ADVICE r4
+                # #3: a silent degrade strands callers expecting wire
+                # spans with no signal)
+                logging.getLogger(__name__).warning(
+                    "use_otel=True but opentelemetry-sdk is not "
+                    "importable — tracing degrades to the in-process "
+                    "shim (no OTel wire export)"
+                )
+        else:
+            logging.getLogger(__name__).warning(
+                "use_otel=True without otel_exporter or "
+                "enable_console_export — no OTel bridge attached; pass "
+                "an exporter (OTLP/Jaeger) or enable console export to "
+                "emit spans beyond the in-process shim"
             )
-        except ImportError:
-            pass  # SDK absent — shim-only
     if enable_console_export:
         exps.append(LoggingSpanExporter())
     _TRACER = Tracer(service_name, exps)

@@ -191,10 +191,23 @@ def weighted_mixture(
     (rates finer than 1/16 → extend to two hex digits, same idea).
     """
     h = F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 1)
-    # h < _HEX[rate] ⟺ bucket index < rate (uniform 16-way buckets)
+    # h < _HEX[rate] ⟺ bucket index < rate (uniform 16-way buckets).
+    # The rate domain is ENFORCED, not assumed (ADVICE r4 #5): an
+    # out-of-range rate would make element_at return null, so kept=null
+    # rows silently vanish in a filter(kept) — a bad mixture weight
+    # must fail loudly, never sample a source to zero.
+    rate = rate_col.cast("int")
+    checked = F.when((rate >= 0) & (rate <= 16), rate).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_mixture rate out of 0..16 domain: "),
+                F.coalesce(rate_col.cast("string"), F.lit("null")),
+            )
+        )
+    )
     thresholds = F.array(*[F.lit(c) for c in _HEX + "g"])  # 16 ⇒ keep all
     return df.withColumn(
-        keep_col, h < F.element_at(thresholds, rate_col.cast("int") + 1)
+        keep_col, h < F.element_at(thresholds, checked + 1)
     )
 
 

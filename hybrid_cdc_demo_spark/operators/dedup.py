@@ -221,13 +221,15 @@ def minhash_lsh_candidates(
         F.collect_list("_id").alias("ids"), F.count("*").alias("n")
     )
     if dropped_out is not None:
-        # persisted because the pairs plan below reuses it and a
-        # recompute would re-run the full signature build; the cached
-        # bucket table lives until the session drops it (bench/tests
-        # clearCache between queries) — callers running many
-        # coverage-reporting passes in one session should
-        # spark.catalog.clearCache() periodically
-        bucketed = bucketed.persist()
+        # materialized because the pairs plan below reuses it and a
+        # recompute would re-run the full signature build. An eager
+        # localCheckpoint, NOT persist: persist registers in the
+        # CacheManager, which holds the blocks until an explicit
+        # unpersist/clearCache — repeated coverage-reporting calls in
+        # a long session would accumulate cached blocks (ADVICE r4
+        # #4). Checkpoint blocks are reclaimed by the ContextCleaner
+        # as soon as the frame is garbage collected.
+        bucketed = bucketed.localCheckpoint(eager=True)
         _report_dropped(bucketed, max_bucket, dropped_out, "minhash-lsh")
     pairs = (
         bucketed.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))

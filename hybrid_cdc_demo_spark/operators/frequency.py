@@ -81,22 +81,34 @@ def heavy_hitters(
     the brute-force answer by the MG guarantee (pinned in
     tests/test_sketches.py with adversarial partitioning)."""
     # three consumers read the token stream (summaries, exact recount,
-    # total) — persist so the scan+explode upstream runs once, not 3×
+    # total) — persist so the scan+explode upstream runs once, not 3×;
+    # released before returning (ADVICE r4 #4: a long-lived session
+    # calling this repeatedly must not accumulate cached blocks)
     items = spread(df).select(F.col(col).alias("_item")).filter(
         F.col("_item").isNotNull()
     ).persist()
-    summaries = items.mapInPandas(
-        _mg_summaries(capacity), schema="_item string, _w long"
-    )
-    candidates = summaries.groupBy("_item").agg(F.sum("_w").alias("_est"))
-    exact = (
-        items.join(F.broadcast(candidates.select("_item")), "_item", "left_semi")
-        .groupBy("_item")
-        .agg(F.count(F.lit(1)).cast("long").alias(out_count))
-    )
-    total = items.agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .filter(F.col(out_count) * (capacity + 1) > F.col("_n"))
-        .select(F.col("_item").alias(out_item), out_count)
-    )
+    try:
+        summaries = items.mapInPandas(
+            _mg_summaries(capacity), schema="_item string, _w long"
+        )
+        candidates = summaries.groupBy("_item").agg(F.sum("_w").alias("_est"))
+        exact = (
+            items.join(
+                F.broadcast(candidates.select("_item")), "_item", "left_semi"
+            )
+            .groupBy("_item")
+            .agg(F.count(F.lit(1)).cast("long").alias(out_count))
+        )
+        total = items.agg(F.count(F.lit(1)).alias("_n"))
+        result = (
+            exact.crossJoin(F.broadcast(total))
+            .filter(F.col(out_count) * (capacity + 1) > F.col("_n"))
+            .select(F.col("_item").alias(out_item), out_count)
+        )
+        # materialize before unpersisting: the answer is ≤ capacity
+        # rows by the pigeonhole bound (freq > N/(capacity+1)), so
+        # collecting is bounded driver-side control data at any scale
+        rows = result.collect()
+        return items.sparkSession.createDataFrame(rows, result.schema)
+    finally:
+        items.unpersist()

@@ -179,11 +179,32 @@ def delete_sql(table: str, key_cols: list[str], dialect: str = "sqlite") -> str:
     mutation (``ALTER TABLE ... DELETE WHERE``, asynchronous) — the
     reference instead SKIPS deletes for its analytics warehouse
     (clickhouse.py:109-116), which remains the default pipeline policy;
-    this statement is for callers that opt into tombstone application."""
+    this statement is for callers that opt into tombstone application.
+    For clickhouse the writer never runs THIS statement per key — see
+    :func:`delete_in_sql`: one mutation per key would queue one
+    heavyweight async rewrite each (ADVICE r4 #2)."""
     where = " AND ".join(f"{k} = {_ph(dialect, k)}" for k in key_cols)
     if dialect == "clickhouse":
         return f"ALTER TABLE {table} DELETE WHERE {where}"
     return f"DELETE FROM {table} WHERE {where}"
+
+
+def delete_in_sql(table: str, key_cols: list[str], dialect: str = "sqlite") -> str:
+    """Batched key-set delete: ALL of a batch's tombstones in ONE
+    statement. Pair with one ``keys`` parameter — a list of scalars for
+    a single-column key, a list of tuples for a composite key
+    (clickhouse-driver renders both client-side). Essential for the
+    clickhouse dialect, where every ``ALTER TABLE ... DELETE`` is an
+    asynchronous table-rewrite mutation: per-key executemany would
+    queue one mutation per deleted key (pathological at any scale);
+    the IN-set form queues exactly one per micro-batch."""
+    _check_dialect(dialect)
+    key = key_cols[0] if len(key_cols) == 1 else f"({', '.join(key_cols)})"
+    if dialect == "clickhouse":
+        return f"ALTER TABLE {table} DELETE WHERE {key} IN %(keys)s"
+    # qmark/format dialects keep per-row executemany (cheap row deletes,
+    # no mutation machinery) — this form is provided for completeness
+    return f"DELETE FROM {table} WHERE {key} IN {_ph(dialect, 'keys')}"
 
 
 OFFSET_COLUMNS = [
@@ -336,15 +357,21 @@ class JdbcUpsertSink:
         the key wrongly absent."""
         cols, keys = self.columns, self.key_cols
         up_sql = upsert_sql(self.table, cols, keys, self.dialect)
-        del_sql = delete_sql(self.table, keys, self.dialect)
         upserts, deletes = [], []
         max_ts = 0
         for r in rows:
             max_ts = max(max_ts, r["timestamp_micros"] or 0)
             if r["event_type"] == "DELETE":
-                deletes.append(
-                    bind_params(self.dialect, keys, (r[k] for k in keys))
-                )
+                if self.dialect == "clickhouse":
+                    # key VALUES, not a param dict: folded into one
+                    # IN-set mutation below (ADVICE r4 #2 — per-key
+                    # ALTER DELETE mutations are pathological)
+                    vals = tuple(r[k] for k in keys)
+                    deletes.append(vals if len(keys) > 1 else vals[0])
+                else:
+                    deletes.append(
+                        bind_params(self.dialect, keys, (r[k] for k in keys))
+                    )
             else:
                 upserts.append(
                     bind_params(self.dialect, cols, (r[c] for c in cols))
@@ -352,7 +379,15 @@ class JdbcUpsertSink:
         if upserts:
             cur.executemany(up_sql, upserts)
         if deletes:
-            cur.executemany(del_sql, deletes)
+            if self.dialect == "clickhouse":
+                cur.execute(
+                    delete_in_sql(self.table, keys, self.dialect),
+                    {"keys": deletes},
+                )
+            else:
+                cur.executemany(
+                    delete_sql(self.table, keys, self.dialect), deletes
+                )
         return len(upserts), len(deletes), max_ts
 
     def _commit_offset(self, conn, batch_id: int, max_ts: int, n: int) -> None:

