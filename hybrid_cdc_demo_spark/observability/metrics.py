@@ -9,6 +9,7 @@ still aggregates values for tests/health endpoints.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from collections import defaultdict
@@ -86,6 +87,87 @@ class ProgressMetricsListener(StreamingQueryListener):
         self.registry.set_gauge(
             "cdc_replication_duration_seconds",
             (p.batchDuration or 0) / 1000.0,
+            table=self.table,
+        )
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass
+
+
+class SourceBacklogListener(StreamingQueryListener):
+    """O34 upgrade (VERDICT r4 #7): ``cdc_backlog_depth`` fed from
+    SOURCE lag — bytes sitting in the commitlog directory beyond the
+    last offset a completed batch committed — instead of the in-flight
+    batch's row count. This is the reference's queued-not-yet-written
+    notion (src/sinks/base.py backlog counters) expressed against the
+    only state Structured Streaming exposes: each progress event's
+    committed ``endOffset`` (a ``{file: frame-aligned byte}`` map for
+    the commitlog source) compared against the directory's CURRENT
+    bytes at notification time. A consume-everything source always
+    reports ``endOffset == latestOffset`` inside its own progress, so
+    the live stat walk — O(#segments) driver-side — is what makes lag
+    under a slow sink actually observable: while a batch crawls,
+    newly appended bytes show up here immediately.
+
+    Non-byte sources (the envelope file source's ``logOffset``
+    counter) are skipped — no byte semantics to compare. The gauge
+    label set matches the per-destination backlog gauges
+    (``destination="source"``), keeping one metric name with one
+    label schema."""
+
+    def __init__(
+        self,
+        registry: MetricsRegistry,
+        source_dir: str,
+        table: str = "users",
+        pattern: str = "*.log",
+    ):
+        self.registry = registry
+        self.source_dir = source_dir
+        self.table = table
+        self.pattern = pattern
+
+    def _current_bytes(self) -> int:
+        import glob as _glob
+        import os
+
+        total = 0
+        for f in _glob.glob(os.path.join(self.source_dir, self.pattern)):
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass  # raced retention — vanished segment holds 0 bytes
+        return total
+
+    def onQueryStarted(self, event):  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        committed = 0
+        parsed = False
+        for s in event.progress.sources:
+            try:
+                d = json.loads(s.endOffset)
+            except (TypeError, ValueError):
+                continue
+            # commitlog offsets are {absolute segment path: byte pos};
+            # the v1 file source's {"logOffset": N} is a file INDEX —
+            # no byte semantics, skip it
+            if isinstance(d, dict) and d and all(
+                isinstance(v, int) and os.path.isabs(k)
+                for k, v in d.items()
+            ):
+                committed += sum(d.values())
+                parsed = True
+        if not parsed:
+            return
+        self.registry.set_gauge(
+            "cdc_backlog_depth",
+            max(0, self._current_bytes() - committed),
+            destination="source",
             table=self.table,
         )
 

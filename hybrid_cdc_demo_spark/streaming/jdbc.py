@@ -207,6 +207,53 @@ def delete_in_sql(table: str, key_cols: list[str], dialect: str = "sqlite") -> s
     return f"DELETE FROM {table} WHERE {key} IN {_ph(dialect, 'keys')}"
 
 
+#: Health-probe statement per engine (reference
+#: src/observability/health.py:126-258: postgres SELECT 1 at :159,
+#: clickhouse SELECT 1 at :195, timescaledb extension check at :243;
+#: the cassandra SOURCE probe `SELECT now() FROM system.local` at
+#: :111 has no JDBC sink dialect here — the commitlog source's health
+#: is the directory scan itself). sqlite doubles as the generic/ANSI
+#: default, matching the rest of this module.
+_PROBE_SQL = {
+    "sqlite": "SELECT 1",
+    "postgres": "SELECT 1",
+    "clickhouse": "SELECT 1",
+    "timescaledb": (
+        "SELECT extversion FROM pg_extension WHERE extname = 'timescaledb'"
+    ),
+}
+
+
+def probe_sql(dialect: str = "sqlite") -> str:
+    """The dialect's health-probe statement (reference health.py
+    semantics). For timescaledb the probe is only healthy when the
+    statement RETURNS A ROW (extension installed) — enforced by
+    :func:`health_probe`, not by the SQL alone."""
+    _check_dialect(dialect)
+    return _PROBE_SQL[dialect]
+
+
+def health_probe(connection_factory: Callable, dialect: str = "sqlite"):
+    """A zero-arg callable for ``observability.metrics.probe_sink``:
+    opens a connection, runs the dialect probe, and raises on an
+    unhealthy engine (reference health.py:126-258 — timescaledb
+    additionally requires the extension row to exist)."""
+    sql = probe_sql(dialect)
+
+    def probe() -> None:
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(sql)
+            row = cur.fetchone()
+            if dialect == "timescaledb" and not row:
+                raise RuntimeError("TimescaleDB extension not found")
+        finally:
+            conn.close()
+
+    return probe
+
+
 OFFSET_COLUMNS = [
     "table_name",
     "keyspace_name",

@@ -179,6 +179,9 @@ class CDCPipeline:
         #: shuffle-partition sizing (None until the first batch lands)
         self._last_batch_rows: int | None = None
         self._control_aggs = self._build_control_aggs()
+        #: source-lag backlog listener (attached by start() for
+        #: byte-offset sources, detached by restore_confs)
+        self._backlog_listener = None
 
     def _batch_partitions(self) -> int:
         """Partitions for THIS batch's jobs: the cap until a batch has
@@ -671,6 +674,22 @@ class CDCPipeline:
             "spark.sql.shuffle.partitions", str(self.config.shuffle_partitions)
         )
         conf.set("spark.sql.files.minPartitionNum", "1")
+        # O34 (VERDICT r4 #7): for byte-offset sources, feed the
+        # source-lag backlog gauge (bytes on disk beyond the committed
+        # offset) from the progress stream; the per-destination gauges
+        # keep tracking buffered-but-uncommitted batches per sink
+        if (
+            self.config.source_format in ("commitlog", "commitlog-ds")
+            and self._backlog_listener is None
+        ):
+            from hybrid_cdc_demo_spark.observability.metrics import (
+                SourceBacklogListener,
+            )
+
+            self._backlog_listener = SourceBacklogListener(
+                self.metrics, self.config.source_dir, table=self.config.table
+            )
+            self.spark.streams.addListener(self._backlog_listener)
         stream = self._source_stream()
         writer = stream.writeStream.foreachBatch(
             lambda df, bid: self.process_batch(df, bid)
@@ -699,6 +718,12 @@ class CDCPipeline:
                 self.spark.conf.unset(k)
             else:
                 self.spark.conf.set(k, v)
+        if self._backlog_listener is not None:
+            try:
+                self.spark.streams.removeListener(self._backlog_listener)
+            except Exception:  # noqa: BLE001 — session may be stopping
+                pass
+            self._backlog_listener = None
 
     def run_available(self) -> None:
         """Process everything currently in the source dir, then stop

@@ -195,3 +195,199 @@ def test_heavy_hitters_releases_its_cache(spark):
     assert all(r["n_occ"] == 40 for r in rows)
     # the token-stream persist was released before returning
     assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+
+
+# -- source-lag backlog gauge (VERDICT r4 #7) -------------------------
+
+
+class _StubSource:
+    def __init__(self, end_offset):
+        self.endOffset = end_offset
+
+
+class _StubEvent:
+    def __init__(self, *end_offsets):
+        import types
+
+        self.progress = types.SimpleNamespace(
+            sources=[_StubSource(e) for e in end_offsets]
+        )
+
+
+def test_backlog_listener_reports_bytes_beyond_committed(tmp_path):
+    import json as _json
+
+    from hybrid_cdc_demo_spark.observability.metrics import (
+        MetricsRegistry,
+        SourceBacklogListener,
+    )
+
+    seg = tmp_path / "CommitLog-0000.log"
+    seg.write_bytes(b"x" * 1000)
+    reg = MetricsRegistry()
+    lst = SourceBacklogListener(reg, str(tmp_path), table="users")
+    lst.onQueryProgress(_StubEvent(_json.dumps({str(seg): 800})))
+    g = reg.snapshot()["gauges"]
+    assert g['cdc_backlog_depth{destination="source",table="users"}'] == 200
+    # fully caught up -> zero, never negative
+    lst.onQueryProgress(_StubEvent(_json.dumps({str(seg): 1000})))
+    assert (
+        reg.snapshot()["gauges"][
+            'cdc_backlog_depth{destination="source",table="users"}'
+        ]
+        == 0
+    )
+
+
+def test_backlog_listener_skips_non_byte_sources(tmp_path):
+    from hybrid_cdc_demo_spark.observability.metrics import (
+        MetricsRegistry,
+        SourceBacklogListener,
+    )
+
+    reg = MetricsRegistry()
+    lst = SourceBacklogListener(reg, str(tmp_path))
+    lst.onQueryProgress(_StubEvent('{"logOffset": 3}'))  # file-index offset
+    lst.onQueryProgress(_StubEvent("None"))
+    assert reg.snapshot()["gauges"] == {}
+
+
+def test_source_backlog_nonzero_under_throttled_sink(spark, tmp_path):
+    """E2E: bytes appended while a slow sink crawls surface as source
+    backlog on the next progress event, then drain to zero."""
+    import json as _json
+    import time
+
+    from hybrid_cdc_demo_spark.schema.evolution import SchemaRegistry, TableSchema
+    from hybrid_cdc_demo_spark.sources.commitlog import write_commitlog_segment
+    from hybrid_cdc_demo_spark.streaming.pipeline import CDCPipeline, PipelineConfig
+
+    def events(lo, hi):
+        return [
+            {
+                "event_type": "INSERT",
+                "event_id": f"e{i}",
+                "keyspace": "ecommerce",
+                "table_name": "users",
+                "partition_key": {"user_id": f"u{i}"},
+                "clustering_key": {},
+                "columns": _json.dumps({"user_id": f"u{i}", "age": 30}),
+                "timestamp_micros": 1_700_000_000_000_000 + i,
+                "ttl_seconds": None,
+                "captured_at": "2024-01-01T00:00:00Z",
+            }
+            for i in range(lo, hi)
+        ]
+
+    src = tmp_path / "log"
+    src.mkdir()
+    write_commitlog_segment(str(src / "CommitLog-0000.log"), events(0, 50))
+    reg = SchemaRegistry()
+    reg.register(
+        TableSchema("ecommerce", "users", {"user_id": "uuid", "age": "int"}, ["user_id"])
+    )
+    cfg = PipelineConfig(
+        source_dir=str(src),
+        target_dir=str(tmp_path / "wh"),
+        source_format="commitlog-ds",
+        processing_interval="500 milliseconds",
+    )
+    p = CDCPipeline(spark, cfg, reg)
+    slow = p.sinks["postgres"].write_batch
+    import threading
+
+    in_sink = threading.Event()
+
+    def crawling(batch, batch_id):
+        # batch 1's offsets are latched by planning BEFORE the sink
+        # runs — bytes appended from here on are genuine source lag
+        in_sink.set()
+        time.sleep(3.0)
+        return slow(batch, batch_id)
+
+    p.sinks["postgres"].write_batch = crawling
+    q = p.start()
+    try:
+        assert in_sink.wait(timeout=60), "batch 1 never reached the sink"
+        write_commitlog_segment(str(src / "CommitLog-0001.log"), events(50, 80))
+        key = 'cdc_backlog_depth{destination="source",table="users"}'
+        seen = 0.0
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            seen = p.metrics.snapshot()["gauges"].get(key, 0.0)
+            if seen > 0:
+                break
+            time.sleep(0.25)
+        assert seen > 0, "appended bytes never surfaced as source backlog"
+    finally:
+        p.stop(q)
+    assert p._backlog_listener is None  # detached on stop
+
+
+# -- per-dialect health-probe SQL (VERDICT r4 #8) ---------------------
+
+
+def test_probe_sql_golden_per_dialect():
+    from hybrid_cdc_demo_spark.streaming.jdbc import probe_sql
+
+    assert probe_sql("sqlite") == "SELECT 1"
+    assert probe_sql("postgres") == "SELECT 1"
+    assert probe_sql("clickhouse") == "SELECT 1"
+    assert probe_sql("timescaledb") == (
+        "SELECT extversion FROM pg_extension WHERE extname = 'timescaledb'"
+    )
+    with pytest.raises(ValueError):
+        probe_sql("oracle")
+
+
+def test_health_probe_engine_checked_on_sqlite():
+    """SELECT 1 actually executes against a live DB-API engine and
+    feeds HealthState healthy (reference health.py:159 path)."""
+    import sqlite3
+
+    from hybrid_cdc_demo_spark.observability.metrics import (
+        HealthState,
+        probe_sink,
+    )
+    from hybrid_cdc_demo_spark.streaming.jdbc import health_probe
+
+    state = HealthState()
+    probe_sink(state, "postgres", health_probe(lambda: sqlite3.connect(":memory:")))
+    assert state.status()["status"] == "healthy"
+
+
+def test_health_probe_timescaledb_requires_extension_row():
+    from hybrid_cdc_demo_spark.streaming.jdbc import health_probe
+
+    class _Cur:
+        def execute(self, sql):
+            assert "pg_extension" in sql
+
+        def fetchone(self):
+            return None  # extension absent
+
+    class _Conn:
+        def cursor(self):
+            return _Cur()
+
+        def close(self):
+            pass
+
+    with pytest.raises(RuntimeError, match="extension not found"):
+        health_probe(lambda: _Conn(), dialect="timescaledb")()
+
+
+def test_health_probe_unhealthy_engine_flips_state():
+    from hybrid_cdc_demo_spark.observability.metrics import (
+        HealthState,
+        probe_sink,
+    )
+    from hybrid_cdc_demo_spark.streaming.jdbc import health_probe
+
+    def broken_factory():
+        raise ConnectionError("refused")
+
+    state = HealthState()
+    probe_sink(state, "clickhouse", health_probe(broken_factory, "clickhouse"))
+    assert state.status()["status"] == "unhealthy"
+    assert "refused" in state.status()["checks"]["clickhouse"]["detail"]
