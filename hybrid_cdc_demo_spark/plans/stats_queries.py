@@ -1809,3 +1809,91 @@ def ns_dedup_two_stage(spark, sf_dir):
         .drop("_d")
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "ns_unigram_likelihood",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df_cnt
+      FROM tf GROUP BY token
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+           CAST(SUM(tf.tf * df.df_cnt) AS DOUBLE)
+             / CAST(SUM(tf.tf) * n.n_docs AS DOUBLE)
+             AS mean_df_rate,
+           CAST(SUM(CASE WHEN df.df_cnt * 10 >= n.n_docs
+                         THEN tf.tf ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(tf.tf) AS DOUBLE) AS common_ratio
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    GROUP BY tf.doc_id, n.n_docs
+    ORDER BY tf.doc_id
+    """,
+)
+def ns_unigram_likelihood(spark, sf_dir):
+    """Unigram corpus-likelihood quality score — the common-token
+    curation signal (a KenLM-lite): for every document, the mean
+    document-frequency RATE of its token occurrences and the fraction
+    of occurrences whose token appears in >= 10% of the corpus.
+    Low-likelihood documents (rare-token-dense: OCR garbage, code in
+    a prose corpus, wrong-language remnants) sit in the left tail —
+    the standard cheap filter before expensive model-based scoring.
+
+    Oracle-exactness: everything accumulates in the INTEGER domain
+    (sum of bigint df counts, integer threshold compare df*10 >= N)
+    and converts to double in ONE final division per output column —
+    IEEE division of exact integers is bit-identical across engines,
+    and no log() enters the score (libm divergence; PERF.md rule).
+
+    Scale shape (the tfidf shape): the occurrence stream COLLAPSES to
+    per-(doc, token) counts before anything joins — the df table then
+    derives from tf and joins back to tf, never to raw occurrences
+    (occurrence-weighted sums are exact over tf·df products). One
+    explode feeding two partial-aggregated shuffles and a token join
+    that broadcasts here and shuffle-joins at vocab scale; no window,
+    no global sort before the final ORDER BY."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = spread(docs).select(
+        "doc_id",
+        F.explode(F.split(T.normalized_text("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = occ.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df_cnt")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tok"),
+            (
+                F.sum(F.col("tf") * F.col("df_cnt")).cast("double")
+                / (F.sum("tf") * F.first("n_docs")).cast("double")
+            ).alias("mean_df_rate"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("df_cnt") * 10 >= F.col("n_docs"),
+                        F.col("tf"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("tf").cast("double")
+            ).alias("common_ratio"),
+        )
+        .orderBy("doc_id")
+    )

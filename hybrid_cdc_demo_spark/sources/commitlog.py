@@ -112,9 +112,14 @@ def read_commitlog_batch(spark: SparkSession, path: str) -> DataFrame:
     return frames_from_binary_files(binary)
 
 
-def read_commitlog_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_commitlog_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming read: the file source handles listing order, processed
-    tracking and resume (O1/O3/O4 are checkpoint semantics)."""
+    tracking and resume (O1/O3/O4 are checkpoint semantics).
+    ``max_files_per_trigger`` bounds each micro-batch to N segment
+    files (the reference's batch_size knob expressed at the file
+    granularity its segments give us)."""
     binary_schema = ST.StructType(
         [
             ST.StructField("path", ST.StringType(), False),
@@ -123,12 +128,14 @@ def read_commitlog_stream(spark: SparkSession, path: str) -> DataFrame:
             ST.StructField("content", ST.BinaryType(), True),
         ]
     )
-    binary = (
+    reader = (
         spark.readStream.format("binaryFile")
         .schema(binary_schema)
         .option("pathGlobFilter", "*.log")
-        .load(path)
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    binary = reader.load(path)
     return frames_from_binary_files(binary)
 
 

@@ -53,10 +53,16 @@ def _frame_rows(content: bytes, path: str, base: int) -> Iterator[tuple]:
         yield tuple(rec[c] for c in _COLUMNS)
 
 
-def _aligned_end(path: str, start: int) -> int:
+def _aligned_end(
+    path: str, start: int, max_bytes: int | None = None, min_one: bool = False
+) -> int:
     """Frame-aligned end of ``path``: the byte position just past the
     last COMPLETE frame, walking headers from ``start`` (which must
-    itself be frame-aligned). Only the [start, EOF) delta is read."""
+    itself be frame-aligned). Only the [start, EOF) delta is read.
+    ``max_bytes`` caps the walk (admission control): stop before the
+    frame that would exceed the budget; ``min_one`` admits the first
+    frame regardless so an over-budget single frame still makes
+    progress (a stalled source is worse than one oversized batch)."""
     size = os.path.getsize(path)
     if size <= start:
         return start
@@ -69,6 +75,12 @@ def _aligned_end(path: str, start: int) -> int:
         (length,) = struct.unpack(">I", delta[pos : pos + 4])
         if pos + 4 + length > n:
             break  # truncated tail — writer still appending
+        if (
+            max_bytes is not None
+            and pos + 4 + length > max_bytes
+            and not (min_one and pos == 0)
+        ):
+            break  # budget exhausted at a frame boundary
         pos += 4 + length
     return start + pos
 
@@ -113,16 +125,47 @@ class CommitlogStreamReader(DataSourceStreamReader):
     """Streaming offsets = ``{file: frame-aligned position}`` — the
     reference's (file, position) resume coordinates as the source's
     native offset type. Growing files are re-polled and resumed
-    mid-file; new files join the map at 0."""
+    mid-file; new files join the map at 0.
+
+    **Admission control** (``maxBytesPerTrigger`` option): the
+    reference DECLARES backpressure (``max_in_flight_batches``,
+    settings.py:87-89) and never enforces it; here it is enforced at
+    the source — each trigger admits at most N frame-aligned bytes
+    beyond what previous triggers served, so a cold start over a deep
+    backlog (or a burst) becomes a sequence of bounded micro-batches
+    instead of one table-sized batch. The Python DataSource API has
+    no ReadLimit hook, so the cap lives in ``latestOffset``.
+
+    Restart safety: a fresh reader's capped ``latestOffset`` could
+    regress below the query's checkpoint (the API never hands the
+    reader its restart offset). ``_floor`` — the running max of every
+    ``start`` offset the engine passes to :meth:`partitions` and
+    every committed ``end`` — clamps both the served cursor and each
+    partition's ``lo``, so a transiently regressed offset window can
+    never re-emit frames that an earlier run already delivered."""
 
     def __init__(self, options: dict):
         self.options = options
         self._aligned: dict[str, int] = {}  # per-run tail-walk cache
+        mb = options.get("maxBytesPerTrigger")
+        self._max_bytes = int(mb) if mb is not None else None
+        #: frame-aligned positions handed out by latestOffset so far
+        self._served: dict[str, int] = {}
+        #: monotone floor learned from engine-provided offsets
+        self._floor: dict[str, int] = {}
+        #: the FIRST poll of a run serves the full backlog uncapped:
+        #: Trigger.AvailableNow latches one latestOffset() as its
+        #: terminal target (the engine never re-polls), so a capped
+        #: first answer would silently END the run with data left on
+        #: disk — partial drain is a completeness bug, an oversized
+        #: first batch is only a sizing one. Continuous triggers get
+        #: the cap from the second poll onward.
+        self._first_poll = True
 
     def initialOffset(self) -> dict:
         return {}
 
-    def latestOffset(self) -> dict:
+    def _refresh_aligned(self) -> None:
         for f in _segment_files(self.options):
             # retention may delete a segment between the glob and the
             # stat/tail-walk; a vanished file keeps its last known
@@ -137,14 +180,50 @@ class CommitlogStreamReader(DataSourceStreamReader):
                     self._aligned[f] = 0
             except OSError:
                 self._aligned.setdefault(f, 0)
-        return dict(self._aligned)
+
+    def latestOffset(self) -> dict:
+        self._refresh_aligned()
+        first, self._first_poll = self._first_poll, False
+        if self._max_bytes is None or first:
+            self._served = dict(self._aligned)
+            return dict(self._aligned)
+        for f, v in self._floor.items():
+            if self._served.get(f, 0) < v:
+                self._served[f] = v
+        budget = self._max_bytes
+        out = dict(self._served)
+        for f in sorted(self._aligned):
+            cur = out.get(f, 0)
+            out[f] = cur  # every known file stays in the offset map
+            avail = self._aligned[f] - cur
+            if avail <= 0 or budget <= 0:
+                continue
+            if avail <= budget:
+                out[f] = self._aligned[f]
+                budget -= avail
+            else:
+                try:
+                    hi = _aligned_end(f, cur, max_bytes=budget, min_one=True)
+                except OSError:
+                    continue
+                budget -= hi - cur
+                out[f] = hi
+        self._served = out
+        return dict(out)
+
+    def _raise_floor(self, offsets: dict) -> None:
+        for f, v in offsets.items():
+            v = int(v)
+            if self._floor.get(f, 0) < v:
+                self._floor[f] = v
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
+        self._raise_floor(start)
         parts = []
         for path, hi in end.items():
-            lo = int(start.get(path, 0))
+            lo = max(int(start.get(path, 0)), self._floor.get(path, 0))
             if hi > lo:
                 parts.append(CommitlogPartition(path, lo, int(hi)))
         # the engine requires >= 1 partition per batch
@@ -164,8 +243,9 @@ class CommitlogStreamReader(DataSourceStreamReader):
         yield from _frame_rows(content, part.path, part.lo)
 
     def commit(self, end: dict) -> None:
-        # offsets are checkpointed by the engine; nothing to persist
-        pass
+        # offsets are checkpointed by the engine; remember them as the
+        # monotone floor for the admission-control cursor
+        self._raise_floor(end)
 
 
 class CommitlogDataSource(DataSource):

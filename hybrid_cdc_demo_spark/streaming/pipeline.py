@@ -642,7 +642,11 @@ class CDCPipeline:
 
         if fmt == "commitlog":
             return envelope_from_frames(
-                read_commitlog_stream(self.spark, self.config.source_dir)
+                read_commitlog_stream(
+                    self.spark,
+                    self.config.source_dir,
+                    max_files_per_trigger=self.config.max_files_per_trigger,
+                )
             )
         if fmt == "commitlog-ds":
             from hybrid_cdc_demo_spark.sources.commitlog_source import (

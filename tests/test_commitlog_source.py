@@ -199,3 +199,159 @@ def test_stream_tolerates_segment_removed_after_planning(spark, tmp_path):
     _os.remove(seg)
     rows = [r for p in parts for r in reader.read(p)]
     assert rows == []  # vanished file -> empty, not an exception
+
+
+# -- maxBytesPerTrigger admission control (round 5) -------------------
+
+
+def _seg_bytes(path) -> int:
+    import os
+
+    return os.path.getsize(path)
+
+
+def test_admission_control_splits_backlog_into_bounded_batches(
+    spark, tmp_path
+):
+    """Under a continuous trigger, a burst beyond the first poll
+    drains as several bounded micro-batches, every frame exactly once
+    (the enforced form of the reference's declared
+    max_in_flight_batches backpressure)."""
+    import time
+
+    seg_dir = tmp_path / "log"
+    seg_dir.mkdir()
+    register_commitlog_source(spark)
+    batches = []
+    stream = (
+        spark.readStream.format("commitlog")
+        .option("maxBytesPerTrigger", "4000")
+        .load(str(seg_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append(
+                [r["payload_json"] for r in df.collect()]
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        # the backlog must land AFTER the first (uncapped) poll — wait
+        # for the query to reach its steady trigger loop, not a fixed
+        # sleep (cold start can exceed any guess)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            msg = (q.status or {}).get("message", "")
+            if "Waiting" in msg or q.lastProgress is not None:
+                break
+            time.sleep(0.2)
+        time.sleep(0.5)  # one more trigger period for good measure
+        for s in range(4):
+            write_commitlog_segment(
+                str(seg_dir / f"CommitLog-{s}.log"),
+                [_ev(s * 25 + i) for i in range(25)],
+            )
+        deadline = time.time() + 40
+        while time.time() < deadline and sum(map(len, batches)) < 100:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    flat = [p for b in batches for p in b]
+    assert len(flat) == 100
+    assert len(set(flat)) == 100  # no duplicates
+    non_empty = [b for b in batches if b]
+    assert len(non_empty) >= 2  # the burst was split, not swallowed
+    assert max(map(len, non_empty)) < 100  # and every batch bounded
+
+
+def test_admission_control_available_now_drains_fully(spark, tmp_path):
+    """Trigger.AvailableNow latches ONE latestOffset as its terminal
+    target, so the first poll of a run is served UNCAPPED — a capped
+    answer would silently end the run with frames left on disk
+    (partial drain = completeness bug; an oversized first batch is
+    only a sizing one)."""
+    seg_dir = tmp_path / "log"
+    for s in range(3):
+        write_commitlog_segment(
+            str(seg_dir / f"CommitLog-{s}.log"),
+            [_ev(s * 20 + i) for i in range(20)],
+        )
+    register_commitlog_source(spark)
+    seen = []
+    q = (
+        spark.readStream.format("commitlog")
+        .option("maxBytesPerTrigger", "50")
+        .load(str(seg_dir))
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.append(df.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(seen) == 60  # everything, despite the tiny cap
+
+
+def test_admission_control_tiny_budget_still_progresses(tmp_path):
+    """A budget smaller than one frame admits exactly one frame per
+    poll (min_one) instead of stalling. (First poll of a run is
+    uncapped by design — burn it on the empty directory.)"""
+    from hybrid_cdc_demo_spark.sources.commitlog_source import (
+        CommitlogStreamReader,
+    )
+
+    r = CommitlogStreamReader(
+        {"path": str(tmp_path), "maxBytesPerTrigger": "1"}
+    )
+    assert r.latestOffset() == {}  # uncapped first poll, empty dir
+    seg = tmp_path / "CommitLog-0.log"
+    write_commitlog_segment(str(seg), [_ev(i) for i in range(3)])
+    offs = [r.latestOffset()[str(seg)] for _ in range(4)]
+    assert offs[0] > 0  # one frame admitted despite budget 1
+    assert offs[0] < offs[1] < offs[2]  # monotone progress
+    assert offs[2] == offs[3] == _seg_bytes(seg)  # fully drained
+
+
+def test_admission_floor_prevents_replay_after_regression(tmp_path):
+    """Defense-in-depth: if a capped poll ever regresses below an
+    engine-provided start offset (a poll pattern we did not
+    anticipate), the floor keeps already-delivered frames from
+    re-entering a partition."""
+    from hybrid_cdc_demo_spark.sources.commitlog_source import (
+        CommitlogStreamReader,
+    )
+
+    seg = tmp_path / "CommitLog-0.log"
+    write_commitlog_segment(str(seg), [_ev(i) for i in range(10)])
+    full = _seg_bytes(seg)
+    key = str(seg)
+
+    # run 1: consume everything (uncapped), checkpoint = full
+    r1 = CommitlogStreamReader({"path": str(tmp_path)})
+    checkpoint = r1.latestOffset()
+    assert checkpoint[key] == full
+
+    # restart under cap, with the first-poll grace artificially spent
+    # (simulating an engine that probed before planning)
+    r2 = CommitlogStreamReader(
+        {"path": str(tmp_path), "maxBytesPerTrigger": "64"}
+    )
+    r2._first_poll = False
+    regressed = r2.latestOffset()
+    assert regressed[key] < full  # the regression window
+    # engine plans (start=checkpoint, end=regressed): nothing re-read
+    parts = r2.partitions(checkpoint, regressed)
+    assert all(p.hi <= p.lo or p.lo >= full for p in parts if p.path)
+    # subsequent polls: served cursor snaps up to the floor, and
+    # every later partition starts at or above the checkpoint
+    later = r2.latestOffset()
+    assert later[key] >= checkpoint[key]
+    parts2 = r2.partitions(regressed, later)
+    for p in parts2:
+        if p.path:
+            assert p.lo >= full
