@@ -91,6 +91,13 @@ class PipelineConfig:
     #: the only variant that TAILS a growing segment mid-file, exactly
     #: like the reference's reader (src/cdc/reader.py:81-98)
     source_format: str = "envelope"
+    #: byte-budget admission control for the commitlog-ds source —
+    #: the ENFORCED form of the reference's declared-but-dead
+    #: max_in_flight_batches backpressure (settings.py:87-89). Caps
+    #: each continuous-trigger poll at N frame-aligned bytes beyond
+    #: what earlier polls served; AvailableNow runs always drain
+    #: fully (see CommitlogStreamReader). None = uncapped.
+    max_bytes_per_trigger: int | None = None
     #: schema drift handling (SURVEY §7.3.2): when a batch carries
     #: payload columns outside the registered schema, evolve the
     #: registry (ADD/widening need no restart — payload stays JSON in
@@ -654,9 +661,13 @@ class CDCPipeline:
             )
 
             register_commitlog_source(self.spark)
-            frames = self.spark.readStream.format("commitlog").load(
-                self.config.source_dir
-            )
+            reader = self.spark.readStream.format("commitlog")
+            if self.config.max_bytes_per_trigger:
+                reader = reader.option(
+                    "maxBytesPerTrigger",
+                    str(self.config.max_bytes_per_trigger),
+                )
+            frames = reader.load(self.config.source_dir)
             return envelope_from_frames(frames)
         raise ValueError(f"unknown source_format {fmt!r}")
 

@@ -188,13 +188,23 @@ def test_alter_type_mid_stream_widening_vs_narrowing(spark, tmp_path):
         drop_wave(
             "wave3", [envelope(2, "u3", {"user_id": "u3", "age": "thirty"}, 3_000)]
         )
-        assert wait(
-            lambda: (tmp_path / "warehouse" / "dlq").exists()
-            and spark.read.json(p.config.dlq_path)
-            .filter(F.col("error_type") == "schema_incompatible")
-            .count()
-            > 0
-        )
+        def dlq_has_incompatible():
+            if not (tmp_path / "warehouse" / "dlq").exists():
+                return False
+            try:
+                return (
+                    spark.read.json(p.config.dlq_path)
+                    .filter(F.col("error_type") == "schema_incompatible")
+                    .count()
+                    > 0
+                )
+            except Exception:  # noqa: BLE001 — polling race: the DLQ
+                # writer creates the directory before its data files
+                # commit; read.json on the skeleton raises
+                # UNABLE_TO_INFER_SCHEMA — not-ready, not a failure
+                return False
+
+        assert wait(dlq_has_incompatible)
         assert p.registry.latest("ecommerce", "users").version == v_before
         assert (
             p.sinks["postgres"].read().filter(F.col("columns").contains("u3")).count()

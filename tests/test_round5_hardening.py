@@ -154,30 +154,48 @@ def test_weighted_mixture_in_domain_unchanged(spark):
             assert r["kept"] is True
 
 
-def test_init_tracing_warns_on_shim_only_otel(caplog):
+class _ListHandler(logging.Handler):
+    def __init__(self):
+        super().__init__(level=logging.WARNING)
+        self.messages = []
+
+    def emit(self, record):
+        self.messages.append(record.getMessage())
+
+
+def test_init_tracing_warns_on_shim_only_otel():
     """ADVICE r4 #3: use_otel=True resolving to shim-only must be
     observable — either branch (no exporter requested, or SDK absent)
-    emits a warning instead of silently skipping OTel."""
+    emits a warning instead of silently skipping OTel. (A handler is
+    attached DIRECTLY to the module logger rather than via caplog:
+    other tests install the structured-logging configuration, which
+    breaks root-propagation capture when the whole suite runs.)"""
     from hybrid_cdc_demo_spark.observability.tracing import init_tracing
 
-    with caplog.at_level(logging.WARNING, logger="hybrid_cdc_demo_spark.observability.tracing"):
-        init_tracing(use_otel=True)
-    assert any("no OTel bridge attached" in r.message for r in caplog.records)
-
-    caplog.clear()
+    logger = logging.getLogger("hybrid_cdc_demo_spark.observability.tracing")
+    handler = _ListHandler()
+    logger.addHandler(handler)
+    prev_level = logger.level
+    logger.setLevel(logging.WARNING)
     try:
-        import opentelemetry.sdk  # noqa: F401
+        init_tracing(use_otel=True)
+        assert any("no OTel bridge attached" in m for m in handler.messages)
+        handler.messages.clear()
+        try:
+            import opentelemetry.sdk  # noqa: F401
 
-        have_sdk = True
-    except ImportError:
-        have_sdk = False
-    if not have_sdk:
-        with caplog.at_level(logging.WARNING, logger="hybrid_cdc_demo_spark.observability.tracing"):
+            have_sdk = True
+        except ImportError:
+            have_sdk = False
+        if not have_sdk:
             init_tracing(use_otel=True, enable_console_export=True)
-        assert any(
-            "opentelemetry-sdk is not importable" in r.message
-            for r in caplog.records
-        )
+            assert any(
+                "opentelemetry-sdk is not importable" in m
+                for m in handler.messages
+            )
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(prev_level)
 
 
 def test_heavy_hitters_releases_its_cache(spark):
