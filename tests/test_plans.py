@@ -455,3 +455,17 @@ def test_band_join_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_unigram_likelihood_tf_collapse_shape(spark):
+    """The unigram-likelihood score must join the COLLAPSED tf table,
+    never the raw occurrence stream (tf·df products weight the sums),
+    with the df side broadcast at this SF, map-side partial
+    aggregation on every shuffle, and no cartesian product from the
+    n_docs scalar (it broadcasts)."""
+    df = QUERIES["ns_unigram_likelihood"](spark, SF)
+    df.collect()  # AQE decides join strategies on execution
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan

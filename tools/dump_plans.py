@@ -80,7 +80,12 @@ SHOWCASE = [
      "Misra-Gries candidates from mapInPandas partition summaries; "
      "exact recount joins the token stream against the BROADCAST "
      "candidate set (left_semi) — the full-vocabulary shuffle never "
-     "happens"),
+     "happens. NOTE: since round 5 the operator materializes its "
+     "<= capacity result rows EAGERLY so the token-stream cache "
+     "releases before returning (ADVICE r4 #4) — the returned frame "
+     "is therefore a local relation and the distributed stages run "
+     "inside the call; the shape above is asserted by "
+     "tests/test_sketches.py against the inner pipeline"),
 ]
 
 
