@@ -129,6 +129,12 @@ class SourceBacklogListener(StreamingQueryListener):
         self.source_dir = source_dir
         self.table = table
         self.pattern = pattern
+        #: when set (the pipeline sets it after start()), only THIS
+        #: query's progress feeds the gauge — listeners are
+        #: session-global, so without the scope a second concurrent
+        #: pipeline's offsets would be compared against the wrong
+        #: directory
+        self.run_id: str | None = None
 
     def _current_bytes(self) -> int:
         import glob as _glob
@@ -146,6 +152,10 @@ class SourceBacklogListener(StreamingQueryListener):
         pass
 
     def onQueryProgress(self, event):  # noqa: N802
+        if self.run_id is not None and str(
+            getattr(event.progress, "runId", None)
+        ) != str(self.run_id):
+            return
         committed = 0
         parsed = False
         for s in event.progress.sources:

@@ -715,7 +715,13 @@ class CDCPipeline:
             )
         else:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        query = writer.start()
+        if self._backlog_listener is not None:
+            # scope the session-global listener to THIS query's
+            # progress stream (a concurrent pipeline's offsets must
+            # not be compared against our directory)
+            self._backlog_listener.run_id = str(query.runId)
+        return query
 
     def stop(self, query) -> None:
         """Graceful shutdown (O38, main.py:252-275): stop the trigger

@@ -409,3 +409,34 @@ def test_health_probe_unhealthy_engine_flips_state():
     probe_sink(state, "clickhouse", health_probe(broken_factory, "clickhouse"))
     assert state.status()["status"] == "unhealthy"
     assert "refused" in state.status()["checks"]["clickhouse"]["detail"]
+
+
+def test_backlog_listener_scopes_to_its_query(tmp_path):
+    import json as _json
+    import types
+
+    from hybrid_cdc_demo_spark.observability.metrics import (
+        MetricsRegistry,
+        SourceBacklogListener,
+    )
+
+    seg = tmp_path / "CommitLog-0000.log"
+    seg.write_bytes(b"x" * 500)
+    reg = MetricsRegistry()
+    lst = SourceBacklogListener(reg, str(tmp_path), table="users")
+    lst.run_id = "run-A"
+
+    def event(run_id, end):
+        return types.SimpleNamespace(
+            progress=types.SimpleNamespace(
+                runId=run_id, sources=[_StubSource(end)]
+            )
+        )
+
+    # a DIFFERENT query's progress must not feed the gauge
+    lst.onQueryProgress(event("run-B", _json.dumps({str(seg): 100})))
+    assert reg.snapshot()["gauges"] == {}
+    # our own query's progress does
+    lst.onQueryProgress(event("run-A", _json.dumps({str(seg): 100})))
+    key = 'cdc_backlog_depth{destination="source",table="users"}'
+    assert reg.snapshot()["gauges"][key] == 400
