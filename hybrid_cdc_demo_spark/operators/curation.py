@@ -23,6 +23,7 @@ __all__ = [
     "stratified_sample",
     "weighted_mixture",
     "chunk_documents",
+    "dataset_card",
 ]
 
 
@@ -258,4 +259,65 @@ def chunk_documents(
         F.posexplode(chunks).alias("chunk_id", "chunk_text"),
     ).withColumn(
         "n_tok", F.size(F.split(F.col("chunk_text"), " ")).cast("long")
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Dataset card: the per-group documentation table a training run
+    ships with its corpus — one row per ``group_cols`` combination
+    (typically source × split) carrying exact volume, dedup, and
+    token statistics plus an order-independent content fingerprint:
+
+    * ``n_docs`` / ``n_unique_texts`` — exact text-hash dedup basis;
+    * ``total_tokens`` / ``total_chars`` — whitespace-token and char
+      volume (token rule shared with the dedup/chunking operators);
+    * ``dup_rate`` / ``avg_tokens`` — single IEEE divisions of exact
+      longs (hash-exact cross-engine);
+    * ``content_fp`` — BIT_XOR over a 60-bit integer drawn from
+      sha256(id:text) per row. XOR is commutative/associative, so the
+      fingerprint is independent of row order and partitioning, and
+      two corpora with ANY differing row disagree with overwhelming
+      probability — the cheap "is this exactly the dataset the model
+      was trained on?" check, reproducible from any engine.
+
+    Scale shape: one narrow projection (hashes/token counts computed
+    where the row lives) into one partially-aggregated groupBy — no
+    joins, no windows, no driver data."""
+    from hybrid_cdc_demo_spark.functions import text as T
+
+    fp_src = F.concat(
+        F.col(id_col).cast("string"),
+        F.lit(":"),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    base = df.select(
+        *group_cols,
+        F.size(F.split(T.normalized_text(text_col), " ")).alias("_n_tok"),
+        F.length(text_col).alias("_n_chars"),
+        F.sha2(F.col(text_col), 256).alias("_text_hash"),
+        F.conv(F.substring(F.sha2(fp_src, 256), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_fp"),
+    )
+    n = F.count(F.lit(1))
+    uniq = F.count_distinct(F.col("_text_hash"))
+    return (
+        base.groupBy(*group_cols)
+        .agg(
+            n.cast("long").alias("n_docs"),
+            uniq.cast("long").alias("n_unique_texts"),
+            F.sum("_n_tok").cast("long").alias("total_tokens"),
+            F.sum("_n_chars").cast("long").alias("total_chars"),
+            ((n - uniq).cast("double") / n.cast("double")).alias("dup_rate"),
+            (F.sum("_n_tok").cast("double") / n.cast("double")).alias(
+                "avg_tokens"
+            ),
+            F.expr("bit_xor(_fp)").alias("content_fp"),
+        )
+        .orderBy(*group_cols)
     )

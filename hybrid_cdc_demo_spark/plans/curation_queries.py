@@ -476,3 +476,49 @@ def ns_heavy_hitters(spark, sf_dir):
         heavy_hitters(occ, "tok", capacity=64, out_item="tok")
         .orderBy(F.desc("n_occ"), "tok")
     )
+
+
+@query(
+    "ns_dataset_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT source,
+             {_SPLIT_CASE} AS split,
+             len(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+               AS n_tok,
+             length(text) AS n_chars,
+             sha256(text) AS text_hash,
+             CAST(CONCAT('0x', substr(sha256(CONCAT(
+               CAST(doc_id AS VARCHAR), ':', COALESCE(text, ''))), 1, 15))
+               AS BIGINT) AS fp
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text_hash) AS BIGINT) AS n_unique_texts,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT text_hash) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+           CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_tokens,
+           bit_xor(fp) AS content_fp
+    FROM base
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def ns_dataset_card(spark, sf_dir):
+    """Dataset card (operators.curation.dataset_card): the per-
+    (source, split) documentation table a training corpus ships with —
+    exact volume/dedup/token statistics plus an order-independent
+    BIT_XOR content fingerprint drawn from sha256(id:text), the cheap
+    "is this exactly the trained-on dataset?" reproducibility check.
+    Every stat accumulates in the integer domain with single IEEE
+    divisions at the end, and the fingerprint's hex→bigint conversion
+    is pinned identical across engines — the whole card hash-matches
+    the DuckDB oracle. One narrow projection into one partially-
+    aggregated groupBy: no joins, no windows, no driver data."""
+    docs = C.hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return C.dataset_card(docs, "doc_id", "text", ["source", "split"])
