@@ -43,8 +43,6 @@ def norm(pdf):
             pdf[c].dropna().iloc[0], (datetime.date, datetime.datetime)
         ):
             pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
-    import pandas as pd  # noqa: F811
-
     return pdf.sort_values(list(pdf.columns), na_position="first").reset_index(
         drop=True
     )
