@@ -203,7 +203,17 @@ def test_heavy_hitters_releases_its_cache(spark):
     session must not accumulate cached blocks."""
     from hybrid_cdc_demo_spark.operators.frequency import heavy_hitters
 
-    spark.catalog.clearCache()
+    def persisted_ids():
+        # RELATIVE check: other tests in the session-scoped fixture may
+        # hold their own (ContextCleaner-pending) blocks — what must
+        # hold is that heavy_hitters adds NONE of its own
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = persisted_ids()
     df = spark.createDataFrame(
         [(f"tok{i % 5}",) for i in range(200)], "token string"
     )
@@ -212,7 +222,7 @@ def test_heavy_hitters_releases_its_cache(spark):
     assert {r["item"] for r in rows} == {f"tok{i}" for i in range(5)}
     assert all(r["n_occ"] == 40 for r in rows)
     # the token-stream persist was released before returning
-    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty()
+    assert persisted_ids() <= before
 
 
 # -- source-lag backlog gauge (VERDICT r4 #7) -------------------------

@@ -86,6 +86,12 @@ SHOWCASE = [
      "is therefore a local relation and the distributed stages run "
      "inside the call; the shape above is asserted by "
      "tests/test_sketches.py against the inner pipeline"),
+    ("ns_dataset_card", False,
+     "dataset card: ONE narrow projection (split hash, token count, "
+     "text hash, 60-bit fingerprint int — all computed where the row "
+     "lives) into ONE partially-aggregated groupBy; BIT_XOR makes the "
+     "content fingerprint independent of row order and partitioning. "
+     "No joins, no windows, no driver data"),
 ]
 
 
