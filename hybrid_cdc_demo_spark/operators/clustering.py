@@ -1,0 +1,256 @@
+"""Distributed clustering over an embedding column: Lloyd's k-means
+and SemDeDup-style semantic deduplication.
+
+Reference parity note: the reference (NhaLeTruc/hybrid-cdc-demo) has no
+clustering path — these operators are part of the north-star
+training-data-pipeline surface (same family as operators/similarity.py
+and operators/dedup.py).
+
+Scale design (100 TB posture):
+
+* The model (k centroid vectors, k x dim doubles) lives on the driver
+  between iterations — the classic distributed-ML split: data never
+  leaves the executors, only the tiny model round-trips. Assignment is
+  a map-only nested-literal argmin (``cell_assign_expr`` — constant
+  plan size in k, zero shuffle), identical to the IVF coarse quantizer
+  in operators/similarity.py.
+* Centroid updates have two modes:
+  - ``exact_fold=False`` (production): per-cluster per-dimension mean
+    via ``posexplode`` + partial-aggregated ``avg`` — one shuffle of
+    (cluster, dim, partial-sum) rows, scales to any corpus.
+  - ``exact_fold=True`` (verification): per-cluster sorted strict left
+    fold (``array_sort(collect_list(...))`` then ``aggregate``), which
+    makes the floating-point sum order deterministic so the result is
+    bitwise-reproducible against a DuckDB ``list_reduce`` oracle.
+    Bounded by cluster size — use it on a bounded TRAINING SAMPLE
+    (train-on-sample / assign-everywhere is the production k-means
+    shape anyway; FAISS, Spark MLlib and friends all subsample for
+    Lloyd iterations).
+* semantic_dedup is SemDeDup (Abbas et al., 2023): cluster first, then
+  run exact pairwise cosine only WITHIN clusters — the cluster count k
+  is chosen so expected cluster size stays bounded, turning the O(n^2)
+  all-pairs problem into n/k-bounded local problems. The intra-cluster
+  self-join is an equi-join on the cluster id, so Spark shuffles each
+  vector once and never materializes cross-cluster pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from hybrid_cdc_demo_spark.operators.partitioning import spread
+from hybrid_cdc_demo_spark.operators.similarity import (
+    _as_double_array,
+    cell_assign_expr,
+    cosine,
+)
+
+
+def assign_expr_with_ids(centers: list[list[float]], ids: list[int]) -> F.Column:
+    """Nearest-centroid assignment returning the ORIGINAL cluster id
+    for each centroid row (centers may be a surviving subset after
+    empty clusters were dropped, so positions are not ids)."""
+    pos = cell_assign_expr(centers)  # 0-based position of the argmin
+    return F.element_at(F.lit([int(i) for i in ids]), pos + 1)
+
+
+def seed_centers(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_by: str = "hash",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic k seed centroids collected driver-side (k rows —
+    bounded control data, the same collect the IVF index does).
+
+    ``seed_by="hash"`` spreads seeds across the corpus
+    (xxhash64-ordered sample, production default); ``seed_by="id"``
+    takes the k lowest ids — fully mirrorable in ANSI SQL, used by the
+    oracle-checked catalog entries."""
+    data = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    if seed_by == "hash":
+        ordered = data.orderBy(F.xxhash64(F.col(id_col) + seed))
+    else:
+        ordered = data.orderBy(id_col)
+    return [list(r["_v"]) for r in ordered.limit(k).select("_v").collect()]
+
+
+def _update_centers_mean(assigned: DataFrame) -> dict[int, list[float]]:
+    """Scalable centroid update: per-(cluster, dim) avg — shuffles only
+    (cluster, dim) keys with map-side partial aggregation."""
+    rows = (
+        assigned.select("_cluster", F.posexplode("_v").alias("_pos", "_x"))
+        .groupBy("_cluster", "_pos")
+        .agg(F.avg("_x").alias("_m"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["_cluster"], {})[r["_pos"]] = r["_m"]
+    return {c: [d[p] for p in sorted(d)] for c, d in by_cluster.items()}
+
+
+def _update_centers_exact(
+    assigned: DataFrame, id_col: str, dim: int
+) -> dict[int, list[float]]:
+    """Deterministic centroid update: sort each cluster's members by id
+    and strict-left-fold the element-wise sum, so the IEEE result is
+    independent of partitioning/shuffle order (and matches a DuckDB
+    ``list_reduce`` over ``list(e ORDER BY id)`` bit for bit). Bounded
+    by cluster size — call on a bounded training sample."""
+    per = assigned.groupBy("_cluster").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_v").alias("e")))
+        ).alias("rows"),
+        F.count("*").alias("n"),
+    )
+    cent = per.select(
+        "_cluster",
+        F.transform(
+            F.aggregate(
+                "rows",
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, r: F.zip_with(acc, r.getField("e"), lambda a, b: a + b),
+            ),
+            lambda x: x / F.col("n").cast("double"),
+        ).alias("c"),
+    )
+    return {r["_cluster"]: list(r["c"]) for r in cent.collect()}
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_by: str = "hash",
+    seed: int = 42,
+    exact_fold: bool = False,
+    on_empty: str = "keep",
+    centers0: list[list[float]] | None = None,
+) -> tuple[list[list[float]], list[int], DataFrame]:
+    """Lloyd's k-means: ``iters`` rounds of (map-only literal argmin
+    assignment -> distributed centroid update -> driver model refresh).
+
+    Returns ``(centers, cluster_ids, assigned_df)`` where
+    ``assigned_df`` carries ``_cluster`` (original cluster id) and
+    ``_v`` (double vector). ``on_empty`` controls clusters that lose
+    all members: ``"keep"`` retains the stale centroid (production
+    default — cluster count is part of the contract), ``"drop"``
+    removes it (mirrorable in plain SQL, used by the oracle entries).
+
+    Train-on-sample: pass a filtered ``df`` here, then assign the full
+    corpus with ``assign_expr_with_ids(centers, cluster_ids)`` — a
+    map-only pass, no shuffle, no driver data movement.
+    """
+    data = spread(df).select(
+        F.col(id_col), _as_double_array(vec_col).alias("_v")
+    ).persist()
+    try:
+        if centers0 is None:
+            centers = seed_centers(data, k, id_col, "_v", seed_by=seed_by, seed=seed)
+        else:
+            centers = [[float(x) for x in c] for c in centers0]
+        ids = list(range(len(centers)))
+        dim = len(centers[0])
+        for _ in range(max(iters, 0)):
+            assigned = data.withColumn(
+                "_cluster", assign_expr_with_ids(centers, ids)
+            )
+            new = (
+                _update_centers_exact(assigned, id_col, dim)
+                if exact_fold
+                else _update_centers_mean(assigned)
+            )
+            if on_empty == "drop":
+                ids = [i for i in ids if i in new]
+                centers = [new[i] for i in ids]
+            else:
+                centers = [new.get(i, centers[pos]) for pos, i in enumerate(ids)]
+        assigned = data.withColumn("_cluster", assign_expr_with_ids(centers, ids))
+        return centers, ids, assigned
+    finally:
+        data.unpersist()
+
+
+def inertia(assigned: DataFrame, centers: list[list[float]], ids: list[int]) -> DataFrame:
+    """Within-cluster sum of squared distances (the k-means objective)
+    as a 1-row frame — map-only literal distance + one global agg."""
+    centers_lit = F.lit([[float(x) for x in c] for c in centers])
+    idx = F.array_position(
+        F.lit([int(i) for i in ids]), F.col("_cluster")
+    ).cast("int")
+    d2 = F.aggregate(
+        F.zip_with(
+            "_v", F.element_at(centers_lit, idx), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return assigned.select(d2.alias("_d2")).agg(
+        F.sum("_d2").alias("inertia"), F.count("*").alias("n_points")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centers: list[list[float]] | None = None,
+    ids: list[int] | None = None,
+    seed_by: str = "hash",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup: bucket vectors by nearest centroid, then exact
+    pairwise cosine ONLY within each cluster — pairs (id_a < id_b,
+    cluster, cos) with cos >= threshold.
+
+    The quadratic blowup is bounded per cluster: at 100 TB you pick k
+    so the expected cluster size stays constant (k ~ n / target_size),
+    making total pair work O(n * target_size). ``max_cluster`` is the
+    skew guard (same no-silent-caps contract as the LSH dedup family):
+    clusters larger than the cap are EXCLUDED from pairing — callers
+    see the drop via cluster_sizes(), nothing is silently truncated
+    mid-cluster.
+    """
+    data = spread(df).select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    if centers is None:
+        centers = seed_centers(data, k, id_col, "_v", seed_by=seed_by)
+    if ids is None:
+        ids = list(range(len(centers)))
+    assigned = data.withColumn("_cluster", assign_expr_with_ids(centers, ids)).select(
+        F.col(id_col), F.col("_v"), F.col("_cluster").alias("cluster")
+    )
+    if max_cluster is not None:
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_n"))
+        keep = sizes.filter(F.col("_n") <= max_cluster).select("cluster")
+        assigned = assigned.join(F.broadcast(keep), "cluster")
+    a = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def cluster_sizes(assigned: DataFrame) -> DataFrame:
+    """Cluster-size histogram (skew diagnostics for semantic_dedup's
+    max_cluster guard)."""
+    return assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))

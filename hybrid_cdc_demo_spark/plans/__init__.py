@@ -2,3 +2,4 @@ from hybrid_cdc_demo_spark.plans.catalog import ORACLE_SQL, QUERIES  # noqa: F40
 import hybrid_cdc_demo_spark.plans.northstar  # noqa: F401,E402  (registers entries)
 import hybrid_cdc_demo_spark.plans.curation_queries  # noqa: F401,E402  (registers entries)
 import hybrid_cdc_demo_spark.plans.stats_queries  # noqa: F401,E402  (registers entries)
+import hybrid_cdc_demo_spark.plans.ml_queries  # noqa: F401,E402  (registers entries)

@@ -1,0 +1,190 @@
+"""ML-adjacent north-star queries: distributed k-means, SemDeDup-style
+semantic dedup, and quality-classifier scoring/training.
+
+Determinism: the k-means entries train with the ``exact_fold`` sorted
+strict-left-fold centroid update on a bounded id-slice sample, so every
+IEEE intermediate matches a DuckDB ``list_reduce`` oracle bit for bit
+(same fold order, same ``list_prepend`` zero-init); assignments are
+integers, so the hash compare has no rounding surface at all. The
+classifier score is emitted as UNROUNDED log-odds (fixed-order
+products/sums of oracle-verified features) rather than a sigmoid —
+exp() is libm-divergent between engines (PLANS.md rule), and log-odds
+thresholding is equivalent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hybrid_cdc_demo_spark.operators import classifier as CL
+from hybrid_cdc_demo_spark.operators import clustering as C
+from hybrid_cdc_demo_spark.operators.similarity import _as_double_array
+from hybrid_cdc_demo_spark.plans.catalog import query
+from hybrid_cdc_demo_spark.sources.tables import load_table
+
+# DuckDB fragment: squared-L2 distance as the same strict left fold
+# (zero-init prepended) Spark's cell_assign_expr aggregate() computes.
+_D2 = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(t.e, (x,i) -> (x - c.c[i])*(x - c.c[i]))), "
+    "(a,b) -> a+b)"
+)
+
+# DuckDB fragment: deterministic centroid update — element-wise strict
+# left fold over members sorted by vec_id, then divide by the count.
+_FOLD_MEAN = """
+  SELECT cluster,
+         list_transform(
+           list_reduce(
+             list_prepend(list_transform(generate_series(1, 64), i -> 0.0), rows_),
+             (acc, r) -> list_transform(acc, (x,i) -> x + r[i])),
+           x -> x / CAST(n AS DOUBLE)) AS c
+  FROM {src}
+"""
+
+
+@query(
+    "ns_kmeans_assign",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), train AS (
+      SELECT * FROM emb WHERE vec_id < 500
+    ), c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS c
+      FROM (SELECT * FROM train ORDER BY vec_id LIMIT 8)
+    ), a0 AS (
+      SELECT t.vec_id, t.e, c.cluster
+      FROM train t CROSS JOIN c0 c
+      QUALIFY row_number() OVER (
+        PARTITION BY t.vec_id ORDER BY {_D2}, c.cluster) = 1
+    ), g1 AS (
+      SELECT cluster, list(e ORDER BY vec_id) AS rows_, COUNT(*) AS n
+      FROM a0 GROUP BY cluster
+    ), c1 AS ({_FOLD_MEAN.format(src="g1")}
+    ), a1 AS (
+      SELECT t.vec_id, t.e, c.cluster
+      FROM train t CROSS JOIN c1 c
+      QUALIFY row_number() OVER (
+        PARTITION BY t.vec_id ORDER BY {_D2}, c.cluster) = 1
+    ), g2 AS (
+      SELECT cluster, list(e ORDER BY vec_id) AS rows_, COUNT(*) AS n
+      FROM a1 GROUP BY cluster
+    ), c2 AS ({_FOLD_MEAN.format(src="g2")}
+    )
+    SELECT t.vec_id, CAST(c.cluster AS INT) AS cluster
+    FROM emb t CROSS JOIN c2 c
+    QUALIFY row_number() OVER (
+      PARTITION BY t.vec_id ORDER BY {_D2}, c.cluster) = 1
+    ORDER BY vec_id
+    """,
+)
+def ns_kmeans_assign(spark, sf_dir):
+    """Distributed Lloyd's k-means, HASH-VERIFIED end to end: train 2
+    exact-fold iterations on the bounded id-slice sample (vec_id <
+    500 — constant size at every SF, the train-on-sample production
+    shape), then assign the FULL corpus with a map-only nested-literal
+    argmin (no shuffle, no driver data movement; the model is k x 64
+    doubles). Assignments are integers — zero rounding surface."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 500)
+    centers, ids, _ = C.kmeans(
+        train, k=8, iters=2, seed_by="id", exact_fold=True, on_empty="drop"
+    )
+    full = emb.select(
+        "vec_id", _as_double_array("embedding").alias("_v")
+    )
+    return full.select(
+        "vec_id",
+        C.assign_expr_with_ids(centers, ids).cast("int").alias("cluster"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "ns_semantic_dedup",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS c
+      FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)
+    ), a AS (
+      SELECT t.vec_id, t.e, CAST(c.cluster AS INT) AS cluster
+      FROM emb t CROSS JOIN c0 c
+      QUALIFY row_number() OVER (
+        PARTITION BY t.vec_id ORDER BY {_D2}, c.cluster) = 1
+    )
+    SELECT p.cluster, p.id_a, p.id_b, p.cos
+    FROM (
+      SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+             list_dot_product(x.e, y.e)
+             / (sqrt(list_dot_product(x.e, x.e))
+                * sqrt(list_dot_product(y.e, y.e))) AS cos
+      FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ) p
+    WHERE p.cos >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def ns_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-then-dedup): nearest-seed-centroid bucketing
+    (map-only literal argmin) followed by exact pairwise cosine ONLY
+    within clusters — the equi-join on cluster bounds the quadratic
+    pair space to per-cluster work, which is how the all-pairs problem
+    stays tractable at 100 TB (k scales with the corpus so cluster
+    size stays constant). Cosine emitted unrounded: both engines
+    left-fold the dot products, bitwise-equal (see
+    ns_embedding_neardup_exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = C.semantic_dedup(emb, k=8, threshold=0.3, seed_by="id")
+    return pairs.select(
+        F.col("cluster").cast("int").alias("cluster"), "id_a", "id_b", "cos"
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "ns_quality_classifier",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0) AS ln_,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(LENGTH(text) AS DOUBLE) AS pr,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> list_contains(['the','a','an','and','of','in','to','is','it','that'], t))) AS DOUBLE)
+               / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS sr
+      FROM documents)
+    SELECT doc_id,
+           -1.4 + 1.0 * ln_ + 2.0 * pr + 8.0 * sr AS score,
+           CAST((-1.4 + 1.0 * ln_ + 2.0 * pr + 8.0 * sr) > 0 AS INT) AS keep
+    FROM sig ORDER BY doc_id
+    """,
+)
+def ns_quality_classifier(spark, sf_dir):
+    """Linear quality-filter scoring (fastText/CCNet-style) as a
+    map-only projection: fixed-weight log-odds over the oracle-verified
+    surface features, plus the keep/drop decision. Log-odds instead of
+    sigmoid keeps the output bitwise-reproducible (exp() diverges
+    between libm builds); thresholding is equivalent."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.score_documents(docs)
+    return scored.select(
+        "doc_id", "score", F.col("keep").cast("int").alias("keep")
+    ).orderBy("doc_id")
+
+
+@query("ns_lr_training")  # contract-pinned in tests/test_classifier.py
+def ns_lr_training(spark, sf_dir):
+    """Distributed full-batch gradient descent for logistic regression
+    (distilling the fixed-weight quality rule): one aggregation job
+    per iteration, map-side partial gradient sums, only the
+    O(num_features) model round-trips to the driver. Output is the
+    training curve (loss/accuracy per iteration, rounded to 3 decimals
+    — sub-ulp shuffle-order wobble rounds away). No SQL oracle: the
+    trained weights are iteration-order FP, so the contract test pins
+    monotone loss decrease and final accuracy instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = CL.doc_feature_exprs("text")
+    label = CL.logit_score(feats, CL.QUALITY_WEIGHTS) > 0
+    _, hist = CL.train_logistic(docs, feats, label, iters=8, lr=1.0)
+    return CL.history_df(spark, hist)

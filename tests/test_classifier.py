@@ -1,0 +1,72 @@
+"""Contract tests for operators/classifier.py — the pinned contract
+for the no-oracle ns_lr_training catalog entry (registered in
+test_query_contracts.PINNED_NO_ORACLE), plus scoring invariants.
+ns_quality_classifier itself is hash-verified in test_oracle_parity.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hybrid_cdc_demo_spark.operators import classifier as CL
+from hybrid_cdc_demo_spark.plans import QUERIES
+from hybrid_cdc_demo_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_score_documents_splits_corpus(spark, docs):
+    scored = CL.score_documents(docs)
+    n = docs.count()
+    kept = scored.filter("keep").count()
+    # fixed weights are tuned so both branches stay populated
+    assert 0 < kept < n
+    # keep is exactly score > 0
+    assert scored.filter((F.col("score") > 0) != F.col("keep")).count() == 0
+
+
+def test_logit_score_weight_arity():
+    with pytest.raises(ValueError):
+        CL.logit_score([F.lit(1.0)], [0.0, 1.0, 2.0])
+
+
+def test_scoring_plan_is_map_only(spark, docs):
+    plan = (
+        CL.score_documents(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lr_training_converges(spark, docs):
+    """Pinned contract for ns_lr_training: distributed GD on the
+    distillation task must monotonically reduce loss and recover the
+    separating rule to >=90% accuracy."""
+    feats = CL.doc_feature_exprs("text")
+    label = CL.logit_score(feats, CL.QUALITY_WEIGHTS) > 0
+    w, hist = CL.train_logistic(docs, feats, label, iters=8, lr=1.0)
+    losses = [h.loss for h in hist]
+    assert all(b < a + 1e-12 for a, b in zip(losses, losses[1:])), losses
+    assert hist[-1].accuracy >= 0.90
+    # the rule loads positively on stopword ratio (feature 3) — the
+    # trained model must agree on the sign in standardized space
+    assert w[3] > 0
+
+
+def test_lr_training_query_shape(spark):
+    df = QUERIES["ns_lr_training"](spark, SF)
+    assert df.dtypes == [
+        ("iteration", "int"),
+        ("loss", "double"),
+        ("accuracy", "double"),
+    ]
+    rows = df.collect()
+    assert [r["iteration"] for r in rows] == list(range(8))
+    assert rows[-1]["loss"] < rows[0]["loss"]

@@ -33,6 +33,7 @@ PINNED_NO_ORACLE = {
     "ns_sketch_cardinality": "test_sketches.py (tolerance vs exact + union consistency)",
     "ns_quantile_sketch": "test_sketches.py (rank error vs exact quantiles)",
     "ns_dedup_bucket_coverage": "test_query_contracts.py::test_ns_dedup_bucket_coverage_pinned",
+    "ns_lr_training": "test_classifier.py::test_lr_training_converges",
 }
 
 
