@@ -132,6 +132,7 @@ def kmeans(
     exact_fold: bool = False,
     on_empty: str = "keep",
     centers0: list[list[float]] | None = None,
+    partitions: int | None = None,
 ) -> tuple[list[list[float]], list[int], DataFrame]:
     """Lloyd's k-means: ``iters`` rounds of (map-only literal argmin
     assignment -> distributed centroid update -> driver model refresh).
@@ -146,8 +147,15 @@ def kmeans(
     Train-on-sample: pass a filtered ``df`` here, then assign the full
     corpus with ``assign_expr_with_ids(centers, cluster_ids)`` — a
     map-only pass, no shuffle, no driver data movement.
+
+    ``partitions`` compacts the training input to that many partitions
+    instead of spreading it to full parallelism — right when the
+    sample is small and the iteration cost is task scheduling, not
+    compute (Lloyd runs several driver-coordinated jobs; fewer tasks
+    per job beats idle-core scan parallelism on a few thousand rows).
     """
-    data = spread(df).select(
+    base = df if partitions is None else df.repartition(partitions)
+    data = (spread(base) if partitions is None else base).select(
         F.col(id_col), _as_double_array(vec_col).alias("_v")
     ).persist()
     try:

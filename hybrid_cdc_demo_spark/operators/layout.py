@@ -1,24 +1,19 @@
-"""Z-order (Morton-curve) data layout for multi-column file skipping.
+"""Data-layout operators: Z-order (Morton-curve) clustering for
+multi-dimensional scan pruning.
 
-The 100 TB problem: parquet scans skip files/row-groups whose footer
-min/max stats exclude the filter, but that only works for the column
-the data happens to be sorted by. A linear sort on `a` makes every
-file span the full range of `b`, so predicates on `b` prune nothing.
-Interleaving the bits of both columns' quantized values (the Morton /
-Z-order curve — the layout behind Delta Lake's OPTIMIZE ZORDER BY and
-the classic UB-tree) gives every file a narrow min/max box in EVERY
-clustered dimension, so selective predicates on any of them skip most
-of the data. This module implements it with plain DataFrame
-expressions: quantize each column into 2^bits buckets against its
-observed (or caller-supplied) bounds, interleave bucket bits into one
-long, range-partition + sort on that code, write parquet.
+Why this exists at 100 TB: parquet scans skip row groups / files whose
+column min-max stats exclude the predicate. A table sorted on ONE key
+prunes perfectly on that key and not at all on any other; interleaving
+the bits of several quantized keys (the Z-/Morton curve — the same
+layout Delta Lake's OPTIMIZE ZORDER BY and ClickHouse's
+mortonEncode use) gives every interleaved dimension partial locality,
+so selective predicates on ANY of them skip most of the data. The
+pruning benefit is asserted offline in tests/test_layout.py from real
+parquet footer stats (the same footer metadata the scan planner uses).
 
-Everything is JVM-side whole-stage-codegen expressions (shiftleft/
-shiftright/floor — no UDF); the only driver-side work is the bounds
-aggregate (one row) when bounds aren't supplied. `candidate_files`
-reads parquet footers (pyarrow, zero Spark jobs) and returns the
-files a min/max-pruning reader would have to touch for a conjunction
-of range predicates — the measurable skipping contract the tests pin.
+All curve math is static bit-arithmetic expression trees — JVM
+whole-stage-codegen, no UDFs, no shuffle beyond the final range
+repartition that turns key order into file order.
 """
 
 from __future__ import annotations
@@ -27,108 +22,125 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
-def _quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
-    """Bucket a value into [0, 2^bits) by linear position in [lo, hi];
-    values at/above hi clamp to the top bucket (span==0 → bucket 0)."""
-    n = 1 << bits
-    span = hi - lo
-    if span <= 0:
-        return F.lit(0).cast("long")
-    q = F.floor((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(n))
-    return F.greatest(F.lit(0), F.least(F.lit(n - 1), q)).cast("long")
+def quantize(col: Column, lo: Column | float, hi: Column | float, bits: int) -> Column:
+    """Linear quantization of a numeric column into [0, 2^bits - 1]
+    given (lo, hi) bounds — pure IEEE divide/multiply/floor, so the
+    ranks are deterministic and mirrorable in ANSI SQL. Values at or
+    beyond the bounds clamp to the edge buckets."""
+    lo_c = F.lit(lo) if not isinstance(lo, Column) else lo
+    hi_c = F.lit(hi) if not isinstance(hi, Column) else hi
+    top = (1 << bits) - 1
+    scaled = F.floor(
+        (col.cast("double") - lo_c.cast("double"))
+        / (hi_c.cast("double") - lo_c.cast("double"))
+        * F.lit(float(top))
+    ).cast("bigint")
+    return F.greatest(F.lit(0).cast("bigint"), F.least(F.lit(top).cast("bigint"), scaled))
 
 
-def zorder_code(
-    cols: list[str], bounds: dict[str, tuple[float, float]], bits: int = 8
+def interleave_bits(cols: list[Column], bits: int) -> Column:
+    """Morton interleave: bit i of column c lands at position
+    i * len(cols) + c. A static tree of bits x dims shift/mask/OR
+    terms (e.g. 2 dims x 10 bits = 20 terms) — constant plan size,
+    fully inside whole-stage codegen."""
+    ndim = len(cols)
+    z = F.lit(0).cast("bigint")
+    for c_idx, col in enumerate(cols):
+        c64 = col.cast("bigint")
+        for i in range(bits):
+            bit = F.shiftright(c64, i).bitwiseAND(F.lit(1).cast("bigint"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ndim + c_idx))
+    return z
+
+
+def zorder_key(
+    cols: list[Column],
+    bounds: list[tuple[float, float]] | None = None,
+    bits: int = 10,
 ) -> Column:
-    """Morton code column: the i-th bit of each column's bucket lands
-    at interleaved position i*ncols + col_index. bits*ncols must fit
-    a signed long (<= 62). The expression is bits×ncols shift/mask
-    terms — fully codegen'd, no UDF."""
-    ncols = len(cols)
-    if bits * ncols > 62:
-        raise ValueError(f"bits*ncols = {bits * ncols} exceeds long range")
-    code = F.lit(0).cast("long")
-    for ci, name in enumerate(cols):
-        lo, hi = bounds[name]
-        q = _quantize(F.col(name), lo, hi, bits)
-        for bi in range(bits):
-            bit = F.shiftright(q, bi).bitwiseAND(F.lit(1))
-            code = code + F.shiftleft(bit, bi * ncols + ci)
-    return code
+    """Z-curve key over ``cols``. With ``bounds`` (static [lo, hi) per
+    column — the production shape: bounds come from table stats, not a
+    per-write scan) each column is linearly quantized first; without,
+    columns are assumed pre-quantized non-negative ints."""
+    if bounds is not None:
+        cols = [quantize(c, lo, hi, bits) for c, (lo, hi) in zip(cols, bounds)]
+    return interleave_bits(cols, bits)
 
 
-def compute_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
-    """One-row min/max aggregate — the bounded-metadata job a real
-    OPTIMIZE ZORDER also runs (Delta uses table stats the same way)."""
+def column_bounds(df: DataFrame, col_names: list[str]) -> list[tuple[float, float]]:
+    """(min, max) per column in ONE aggregation — bounded driver-side
+    control data (2 doubles per column), the z-order analogue of the
+    IVF centroid collect."""
     aggs = []
-    for c in cols:
+    for c in col_names:
         aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
     row = df.agg(*aggs).collect()[0]
-    return {c: (float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])) for c in cols}
+    return [(float(row[f"_lo_{c}"]), float(row[f"_hi_{c}"])) for c in col_names]
 
 
 def zorder_write(
     df: DataFrame,
     path: str,
-    cols: list[str],
-    num_files: int,
-    bits: int = 8,
-    bounds: dict[str, tuple[float, float]] | None = None,
-) -> dict[str, tuple[float, float]]:
-    """Cluster ``df`` on the Z-curve of ``cols`` and write parquet:
-    repartitionByRange on the code (contiguous curve segments per
-    file — exactly one shuffle, same cost class as any sorted write)
-    + sortWithinPartitions so row groups inside a file are tight too.
-    Returns the bounds used (callers persist them to z-order
-    incremental appends against the same grid)."""
-    bounds = bounds or compute_bounds(df, cols)
-    code = zorder_code(cols, bounds, bits)
+    col_names: list[str],
+    bits: int = 10,
+    num_files: int = 16,
+    bounds: list[tuple[float, float]] | None = None,
+) -> None:
+    """Cluster ``df`` on the Z-curve of ``col_names`` and write
+    ``num_files`` parquet files: range-repartition by the key (one
+    shuffle — contiguous curve segments per file) then sort within
+    partitions, so every file covers a tight hyper-rectangle and its
+    footer min-max stats prune on every interleaved dimension.
+
+    On a real cluster ``num_files`` is sized to target file size
+    (~1 GB); the curve/sort plan is identical."""
+    if bounds is None:
+        bounds = column_bounds(df, col_names)
+    keyed = df.withColumn(
+        "_z", zorder_key([F.col(c) for c in col_names], bounds, bits)
+    )
     (
-        df.withColumn("_z", code)
-        .repartitionByRange(num_files, "_z")
+        keyed.repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
     )
-    return bounds
 
 
-def candidate_files(
+def file_pruning_stats(
     path: str, predicates: dict[str, tuple[float, float]]
 ) -> tuple[int, int]:
-    """(files a min/max-pruning reader must touch, total files) for a
-    conjunction of closed-range predicates — straight from parquet
-    footers, no Spark job. This is the same file-level elimination
-    Spark/Delta/Iceberg do from footer or manifest stats; it is the
-    operator's measurable contract."""
+    """(files_that_must_be_read, total_files) for a conjunction of
+    range predicates, decided from parquet FOOTER min-max stats alone
+    — exactly the skipping decision a scan planner makes. Driver-side
+    footer reads (no Spark job), same metadata trick the LSM sink's
+    batch stats use."""
     import pyarrow.parquet as pq
-    from pathlib import Path
+    import os
 
     total = 0
-    touched = 0
-    for f in Path(path).rglob("*.parquet"):
+    needed = 0
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
         total += 1
-        md = pq.ParquetFile(str(f)).metadata
-        names = md.schema.names
-        overlaps = True
-        for col, (lo, hi) in predicates.items():
-            idx = names.index(col)
-            cmin: float | None = None
-            cmax: float | None = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    cmin, cmax = None, None
-                    break
-                cmin = st.min if cmin is None else min(cmin, st.min)
-                cmax = st.max if cmax is None else max(cmax, st.max)
-            if cmin is None:
-                continue  # no stats → cannot prune on this column
-            if cmax < lo or cmin > hi:
-                overlaps = False
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        overlaps = False
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            rg_ok = True
+            for col_idx in range(row_group.num_columns):
+                col = row_group.column(col_idx)
+                cname = col.path_in_schema
+                if cname in predicates and col.statistics is not None:
+                    lo, hi = predicates[cname]
+                    if col.statistics.max < lo or col.statistics.min > hi:
+                        rg_ok = False
+                        break
+            if rg_ok:
+                overlaps = True
                 break
         if overlaps:
-            touched += 1
-    return touched, total
+            needed += 1
+    return needed, total

@@ -89,7 +89,8 @@ def ns_kmeans_assign(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") < 500)
     centers, ids, _ = C.kmeans(
-        train, k=8, iters=2, seed_by="id", exact_fold=True, on_empty="drop"
+        train, k=8, iters=2, seed_by="id", exact_fold=True, on_empty="drop",
+        partitions=4,  # 500-row sample: scheduling-bound, not compute-bound
     )
     full = emb.select(
         "vec_id", _as_double_array("embedding").alias("_v")

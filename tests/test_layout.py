@@ -1,139 +1,120 @@
-"""Z-order layout (operators/layout.py): the measurable contract is
-file-level min/max skipping in BOTH clustered dimensions — a linear
-sort gives it in one dimension only."""
+"""Z-order layout: curve-math properties plus the actual pruning
+benefit, measured from real parquet footer min-max stats (the same
+skipping decision the scan planner makes). Oracle parity for
+ns_zorder_curve lives in test_oracle_parity.py.
+"""
+
+import os
 
 import pyspark.sql.functions as F
 import pytest
 
-from hybrid_cdc_demo_spark.operators.layout import (
-    candidate_files,
-    compute_bounds,
-    zorder_code,
-    zorder_write,
-)
+from hybrid_cdc_demo_spark.operators import layout as L
 from hybrid_cdc_demo_spark.sources.tables import load_table
 
-N_FILES = 16
+SF = "/root/testdata/sf0.001"
+
+
+def _deinterleave(z: int, ndim: int, bits: int) -> list[int]:
+    vals = [0] * ndim
+    for i in range(bits):
+        for c in range(ndim):
+            vals[c] |= ((z >> (i * ndim + c)) & 1) << i
+    return vals
+
+
+def test_interleave_roundtrip(spark):
+    """interleave_bits is invertible: de-interleaving the key restores
+    the quantized inputs exactly."""
+    rows = [(a, b) for a in (0, 1, 5, 513, 1023) for b in (0, 2, 77, 1023)]
+    df = spark.createDataFrame(rows, "q0 long, q1 long").withColumn(
+        "z", L.interleave_bits([F.col("q0"), F.col("q1")], 10)
+    )
+    for r in df.collect():
+        assert _deinterleave(r["z"], 2, 10) == [r["q0"], r["q1"]]
+
+
+def test_quantize_clamps_and_orders(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (50.0,), (100.0,), (200.0,)], "v double"
+    ).select(L.quantize(F.col("v"), 0.0, 100.0, 10).alias("q"))
+    qs = [r["q"] for r in df.collect()]
+    assert qs[0] == 0 and qs[1] == 0  # below-range clamps to 0
+    assert qs[3] == 1023 and qs[4] == 1023  # at/above-range clamps to top
+    assert qs == sorted(qs)  # quantization is monotone
+
+
+def test_zorder_key_plan_is_codegen_only(spark):
+    ev = load_table(spark, SF, "events")
+    out = ev.select(
+        L.zorder_key(
+            [F.col("user_id"), F.col("value")],
+            bounds=[(0.0, 100.0), (0.0, 400.0)],
+            bits=10,
+        ).alias("z")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 @pytest.fixture(scope="module")
-def lineitem(spark, sf_dir):
-    return load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity"
-    )
-
-
-def test_zorder_code_interleaves_bits(spark):
-    # bucket(a)=0b10, bucket(b)=0b01 with 2 bits each over [0,4):
-    # interleaved (a bit i -> pos 2i, b bit i -> pos 2i+1) = 0b0110
-    df = spark.createDataFrame([(2.0, 1.0)], "a double, b double")
-    code = df.select(
-        zorder_code(["a", "b"], {"a": (0, 4), "b": (0, 4)}, bits=2).alias("z")
-    ).collect()[0]["z"]
-    assert code == 0b0110
-
-
-def test_zorder_write_preserves_rows(spark, lineitem, tmp_path):
-    path = str(tmp_path / "z")
-    zorder_write(lineitem, path, ["l_orderkey", "l_partkey"], N_FILES)
-    back = spark.read.parquet(path)
-    assert back.count() == lineitem.count()
-    assert (
-        back.agg(F.sum("l_orderkey")).collect()[0][0]
-        == lineitem.agg(F.sum("l_orderkey")).collect()[0][0]
-    )
-
-
-def test_zorder_prunes_both_dimensions(spark, lineitem, tmp_path):
-    """A selective box predicate on EITHER clustered column must skip
-    most files of the z-ordered layout; the linear-sorted layout only
-    skips on its sort column."""
-    zpath = str(tmp_path / "z")
-    lpath = str(tmp_path / "linear")
-    bounds = compute_bounds(lineitem, ["l_orderkey", "l_partkey"])
-    zorder_write(lineitem, zpath, ["l_orderkey", "l_partkey"], N_FILES,
-                 bounds=bounds)
+def layouts(spark, tmp_path_factory):
+    """Write the SAME events twice: z-ordered on (user_id, value) vs
+    sorted on user_id alone — the single-key layout every naive
+    pipeline ships with."""
+    ev = load_table(spark, SF, "events")
+    d = tmp_path_factory.mktemp("layout")
+    zp, up = str(d / "zorder"), str(d / "user_sorted")
+    L.zorder_write(ev, zp, ["user_id", "value"], bits=10, num_files=16)
     (
-        lineitem.repartitionByRange(N_FILES, "l_orderkey")
-        .sortWithinPartitions("l_orderkey")
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
         .write.mode("overwrite")
-        .parquet(lpath)
+        .parquet(up)
     )
-    # a ~1/8 slice in each dimension
-    (ok_lo, ok_hi), (pk_lo, pk_hi) = bounds["l_orderkey"], bounds["l_partkey"]
-    ok_box = (ok_lo, ok_lo + (ok_hi - ok_lo) / 8)
-    pk_box = (pk_lo, pk_lo + (pk_hi - pk_lo) / 8)
-
-    z_ok, z_total = candidate_files(zpath, {"l_orderkey": ok_box})
-    z_pk, _ = candidate_files(zpath, {"l_partkey": pk_box})
-    l_ok, l_total = candidate_files(lpath, {"l_orderkey": ok_box})
-    l_pk, _ = candidate_files(lpath, {"l_partkey": pk_box})
-
-    assert z_total == l_total == N_FILES
-    # linear layout: perfect on its sort column, useless on the other
-    assert l_ok <= N_FILES // 4
-    assert l_pk == N_FILES
-    # z-order: skips meaningfully in BOTH dimensions
-    assert z_ok <= N_FILES // 2
-    assert z_pk <= N_FILES // 2
-    # and the 2-D box touches fewer files than either 1-D slice
-    z_box, _ = candidate_files(
-        zpath, {"l_orderkey": ok_box, "l_partkey": pk_box}
-    )
-    assert z_box <= min(z_ok, z_pk)
+    bounds = L.column_bounds(ev, ["user_id", "value"])
+    return zp, up, bounds
 
 
-def test_zorder_code_rejects_overflow():
-    with pytest.raises(ValueError):
-        zorder_code(["a", "b", "c"], {c: (0, 1) for c in "abc"}, bits=21)
+def test_zorder_prunes_on_both_dimensions(layouts):
+    """The point of the curve: a narrow predicate on EITHER dimension
+    skips most files, where the single-key layout only prunes its own
+    sort key."""
+    zp, up, ((lo_u, hi_u), (lo_v, hi_v)) = layouts
+    puser = (lo_u + 0.4 * (hi_u - lo_u), lo_u + 0.45 * (hi_u - lo_u))
+    pval = (lo_v + 0.4 * (hi_v - lo_v), lo_v + 0.45 * (hi_v - lo_v))
+
+    z_user, z_total = L.file_pruning_stats(zp, {"user_id": puser})
+    z_val, _ = L.file_pruning_stats(zp, {"value": pval})
+    u_user, u_total = L.file_pruning_stats(up, {"user_id": puser})
+    u_val, _ = L.file_pruning_stats(up, {"value": pval})
+
+    # z-order: both dimensions prune to at most half the files
+    assert z_user <= z_total / 2
+    assert z_val <= z_total / 2
+    # user-sorted: perfect on its key, (near-)zero pruning on value
+    assert u_user <= u_total / 4
+    assert u_val >= 0.9 * u_total
+
+    # conjunction prunes at least as hard as either conjunct
+    z_both, _ = L.file_pruning_stats(zp, {"user_id": puser, "value": pval})
+    assert z_both <= min(z_user, z_val)
 
 
-def test_zorder_results_unchanged_by_layout(spark, lineitem, tmp_path):
-    """Clustering is physical only: a query over the z-ordered copy
-    returns exactly the source rows."""
-    path = str(tmp_path / "z")
-    zorder_write(lineitem, path, ["l_orderkey", "l_partkey"], N_FILES)
-    back = spark.read.parquet(path)
-    box = back.filter(
-        (F.col("l_orderkey") < 1000) & (F.col("l_partkey") < 500)
-    )
-    src = lineitem.filter(
-        (F.col("l_orderkey") < 1000) & (F.col("l_partkey") < 500)
-    )
-    assert sorted(map(tuple, box.collect())) == sorted(map(tuple, src.collect()))
+def test_zorder_write_preserves_rows(spark, layouts):
+    zp, _, _ = layouts
+    ev = load_table(spark, SF, "events")
+    back = spark.read.parquet(zp)
+    assert back.count() == ev.count()
+    assert set(back.columns) == set(ev.columns)
+    # every original event_id survives exactly once
+    assert back.select("event_id").distinct().count() == ev.count()
 
 
-def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
-    """Joining a date-partitioned fact to a FILTERED dim must plan a
-    dynamicpruning subquery on the fact's partition column: the fact
-    scan reads only partitions whose keys survive the dim filter,
-    discovered AT RUNTIME from the dim side — the mechanism that makes
-    star-schema joins over a 100 TB partitioned fact read only the
-    selected slice, without a literal partition predicate in the query."""
-    import pyspark.sql.functions as F
-
-    from hybrid_cdc_demo_spark.sources.tables import load_table
-
-    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
-    fact_path = str(tmp_path / "orders_by_month")
-    (
-        orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
-        .write.partitionBy("month")
-        .parquet(fact_path)
-    )
-    fact = spark.read.parquet(fact_path)
-    months = sorted(r["month"] for r in fact.select("month").distinct().collect())
-    # a real dim TABLE (DPP requires a selective predicate on a
-    # broadcastable scan side, not an inline literal frame)
-    dim_path = str(tmp_path / "month_dim")
-    spark.createDataFrame(
-        [(m, i % 4 + 1) for i, m in enumerate(months)],
-        "month string, quarter int",
-    ).write.parquet(dim_path)
-    dim = spark.read.parquet(dim_path)
-    # dim filtered on an attribute; no literal month predicate on the fact
-    joined = fact.join(dim.filter(F.col("quarter") == 1), "month").groupBy(
-        "month"
-    ).count()
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+def test_file_pruning_stats_counts_all_files(layouts):
+    zp, _, _ = layouts
+    n_parquet = sum(1 for f in os.listdir(zp) if f.endswith(".parquet"))
+    needed, total = L.file_pruning_stats(zp, {})
+    assert total == n_parquet
+    assert needed == total  # empty predicate reads everything
