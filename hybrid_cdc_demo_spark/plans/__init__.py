@@ -4,3 +4,4 @@ import hybrid_cdc_demo_spark.plans.curation_queries  # noqa: F401,E402  (registe
 import hybrid_cdc_demo_spark.plans.stats_queries  # noqa: F401,E402  (registers entries)
 import hybrid_cdc_demo_spark.plans.ml_queries  # noqa: F401,E402  (registers entries)
 import hybrid_cdc_demo_spark.plans.layout_queries  # noqa: F401,E402  (registers entries)
+import hybrid_cdc_demo_spark.plans.linkage_queries  # noqa: F401,E402  (registers entries)
