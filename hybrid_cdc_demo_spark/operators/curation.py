@@ -24,6 +24,7 @@ __all__ = [
     "weighted_mixture",
     "chunk_documents",
     "dataset_card",
+    "temperature_weights",
 ]
 
 
@@ -320,4 +321,72 @@ def dataset_card(
             F.expr("bit_xor(_fp)").alias("content_fp"),
         )
         .orderBy(*group_cols)
+    )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based sampling weights per group — the mC4/CC-100
+    scheme for rebalancing a multilingual/multi-source corpus:
+    q_i = p_i^alpha / sum_j p_j^alpha, where p_i is the group's doc
+    share. alpha < 1 upsamples the tail, alpha = 1 is proportional.
+
+    Determinism: p_i is an exact integer ratio; alpha = 0.5 (the
+    default, and the common published setting) uses sqrt, which IEEE
+    correctly rounds in every engine — unlike pow()/exp(), which are
+    libm-divergent (PLANS.md rule), so other alphas are rejected when
+    an oracle-exact result is required. The normalizer folds the
+    per-group terms in SORTED group order (collect into one bounded
+    array — group cardinality is tiny by definition), so the
+    double sum is reproducible bit for bit.
+
+    One aggregation shuffle on the group key + a broadcast of the
+    one-row normalizer: the 100 TB plan is the same shape.
+    """
+    if alpha == 0.5:
+        temper = F.sqrt
+    elif alpha == 1.0:
+        def temper(c):
+            return c
+    else:
+        raise ValueError(
+            f"alpha={alpha}: only 0.5 (sqrt) and 1.0 (identity) are "
+            "bitwise-reproducible across engines; pow() is libm-divergent"
+        )
+    counts = spread(df).groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    # everything after the groupBy runs over the tiny per-group frame:
+    # one unbounded window (single-partition exchange of #groups rows)
+    # computes total, shares, and the sorted-fold normalizer in ONE
+    # pass — a join formulation would re-run the corpus scan+aggregate
+    # once per branch (Spark does not dedupe common DataFrame lineage)
+    w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast(
+        "double"
+    )
+    base = counts.withColumn("share", share).withColumn(
+        "_s", temper(F.col("share"))
+    )
+    denom = F.aggregate(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(group_col).alias("g"), F.col("_s").alias("s"))
+            ).over(w)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x.getField("s"),
+    )
+    return (
+        base.withColumn("_denom", denom)
+        .select(
+            group_col,
+            "n_docs",
+            "share",
+            (F.col("_s") / F.col("_denom")).alias("weight"),
+        )
+        .orderBy(group_col)
     )

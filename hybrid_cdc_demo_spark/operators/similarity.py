@@ -56,6 +56,42 @@ def brute_force_topk(
     return scored.orderBy(F.desc("score"), id_col).limit(k)
 
 
+def batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors: (qid, rank,
+    id, score), rank 1..k per query.
+
+    ``queries`` is small (the realistic batch-inference shape) and is
+    broadcast, so scoring is a map-side expansion — every corpus
+    partition scores all queries locally, no corpus shuffle. The
+    per-query limit uses a rank window, which Spark >= 3.5 compiles
+    with WindowGroupLimit: each map task pre-reduces to its local
+    top-k per qid BEFORE the shuffle, so only queries x partitions x k
+    candidate rows move — the distributed grouped-top-k pattern
+    (plan-pinned in tests/test_plans-adjacent checks)."""
+    from pyspark.sql import Window
+
+    emb = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        qid_col,
+        id_col,
+        cosine(F.col("_v"), F.col(qvec_col)).alias("score"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
+    )
+
+
 def hyperplanes(dim: int, num_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic SRP hyperplane matrix (fixed seed → same buckets
     every run/cluster)."""

@@ -189,3 +189,76 @@ def ns_lr_training(spark, sf_dir):
     label = CL.logit_score(feats, CL.QUALITY_WEIGHTS) > 0
     _, hist = CL.train_logistic(docs, feats, label, iters=8, lr=1.0)
     return CL.history_df(spark, hist)
+
+
+@query(
+    "ns_simsearch_batch",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT qid, CAST(row_number() OVER w AS INT) AS rank, vec_id, score
+    FROM scored
+    WINDOW w AS (PARTITION BY qid ORDER BY score DESC, vec_id)
+    QUALIFY row_number() OVER w <= 5
+    ORDER BY qid, rank
+    """,
+)
+def ns_simsearch_batch(spark, sf_dir):
+    """Batch ANN baseline, HASH-VERIFIED: exact cosine top-5 for a
+    BATCH of 8 query vectors in one pass. The query set broadcasts, so
+    scoring is a map-side expansion; the per-query limit is a rank
+    window that Spark >= 3.5 compiles with WindowGroupLimit — each map
+    task pre-reduces to its local top-k per query BEFORE the shuffle,
+    so only queries x partitions x k rows move (the grouped-top-k
+    plan shape, pinned in tests/test_plans.py)."""
+    from hybrid_cdc_demo_spark.operators.similarity import batch_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), _as_double_array("embedding").alias("qv")
+    )
+    return batch_topk(emb, queries, k=5).orderBy("qid", "rank")
+
+
+@query(
+    "ns_temperature_sampling",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), t AS (
+      SELECT SUM(n_docs) AS n_total FROM c
+    ), b0 AS (
+      SELECT c.source, c.n_docs,
+             CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+      FROM c CROSS JOIN t
+    ), b AS (
+      SELECT source, n_docs, share, sqrt(share) AS s FROM b0
+    ), d AS (
+      SELECT list_reduce(list_prepend(0.0, list(s ORDER BY source)),
+                         (acc, x) -> acc + x) AS denom
+      FROM b
+    )
+    SELECT b.source, b.n_docs, b.share, b.s / d.denom AS weight
+    FROM b CROSS JOIN d ORDER BY source
+    """,
+)
+def ns_temperature_sampling(spark, sf_dir):
+    """mC4/CC-100 temperature resampling weights (alpha = 0.5) per
+    source, HASH-VERIFIED: shares are exact integer ratios, the
+    tempering is sqrt (IEEE correctly rounded — pow() would be
+    libm-divergent), and the normalizer folds the per-source terms in
+    sorted source order so the double sum is bitwise-reproducible.
+    One shuffle on the group key + two broadcast one-row frames."""
+    from hybrid_cdc_demo_spark.operators.curation import temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_weights(docs, "source", alpha=0.5)

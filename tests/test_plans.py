@@ -469,3 +469,32 @@ def test_unigram_likelihood_tf_collapse_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_batch_topk_uses_window_group_limit(spark):
+    """The batch-ANN per-query limit must compile with
+    WindowGroupLimit (map-side partial top-k per qid BEFORE the
+    shuffle) — without it every scored row shuffles, which is the
+    difference between queries*partitions*k and corpus-sized network
+    traffic at 100 TB."""
+    plan = plan_of(QUERIES["ns_simsearch_batch"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    # the query set rides in as a broadcast, not a shuffled join side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_full_assignment_no_exchange(spark):
+    """ns_kmeans_assign's scale-path (full-corpus assignment) is a
+    map-only literal argmin; the only Exchange allowed is the final
+    presentation sort's range partitioning."""
+    plan = plan_of(QUERIES["ns_kmeans_assign"](spark, SF))
+    assert plan.count("Exchange") == 1  # the ORDER BY vec_id only
+    assert "rangepartitioning" in plan
+
+
+def test_temperature_sampling_single_group_shuffle(spark):
+    """One hashpartitioning Exchange (the groupBy source) — the
+    normalizer and total ride back as broadcast one-row frames."""
+    plan = plan_of(QUERIES["ns_temperature_sampling"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side combine on the groupBy
