@@ -92,6 +92,26 @@ SHOWCASE = [
      "lives) into ONE partially-aggregated groupBy; BIT_XOR makes the "
      "content fingerprint independent of row order and partitioning. "
      "No joins, no windows, no driver data"),
+    ("ns_kmeans_assign", False,
+     "the scale path (full-corpus assignment) is scan + nested-literal "
+     "argmin projection — the ONLY Exchange is the presentation sort; "
+     "the trained model rides in as a literal, no join, no shuffle"),
+    ("ns_simsearch_batch", False,
+     "WindowGroupLimit below the qid Exchange: each map task "
+     "pre-reduces to its local top-k per query BEFORE the shuffle; "
+     "the query set enters via BroadcastExchange"),
+    ("ns_fuzzy_join", True,
+     "deletion-neighborhood blocking compiles to an equi-join "
+     "(SortMergeJoin/ShuffledHashJoin on the variant string) — no "
+     "CartesianProduct/BroadcastNestedLoopJoin anywhere"),
+    ("ns_zorder_curve", False,
+     "the Morton key is one whole-stage-codegen projection (static "
+     "shift/mask/OR tree); bounds ride in as literals from table "
+     "stats — no per-row join against a bounds frame"),
+    ("ns_temperature_sampling", False,
+     "ONE hashpartitioning Exchange (the groupBy) with partial_count "
+     "map-side combine; total + sorted-fold normalizer run in a "
+     "single unbounded window over the tiny per-group frame"),
 ]
 
 
