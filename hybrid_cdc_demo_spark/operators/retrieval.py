@@ -1,0 +1,222 @@
+"""Sparse text retrieval over the document corpus: BM25 scoring and
+PMI collocation mining — the inverted-index-shaped workloads a
+training-data pipeline runs for query-based curation (picking docs
+relevant to a benchmark/topic) and for phrase/stopword discovery.
+
+Scale shape (100 TB posture):
+
+* the *query side* of BM25 is a handful of terms — document-frequency
+  and corpus stats reduce to term-count / one-row frames that ride
+  into the scoring projection as broadcasts; the only wide exchange is
+  the per-(doc, term) partial-aggregated groupBy, whose cardinality is
+  bounded by |terms| x |matching docs|, not corpus size;
+* PMI joins the bigram counts against the unigram vocabulary twice —
+  both are key-partitioned equi-joins after map-side partial
+  aggregation (the explode never materializes the corpus token stream
+  through the driver);
+* top-k is `orderBy().limit()` = TakeOrderedAndProject (per-partition
+  heap + driver merge of k rows), never a global single-partition
+  window sort.
+
+Determinism (oracle hash-match): scores use only +,*,/ and integer
+counts — each IEEE op is correctly rounded, so identical expression
+trees produce identical bits in Spark and DuckDB. The classic
+``ln``-based idf / PMI-log are libm-divergent between engines (PLANS.md
+rule), so BM25 uses the *odds* form of Robertson idf,
+``(N - df + 0.5) / (df + 0.5)``, and PMI is reported as *lift*
+``p(xy) / (p(x) p(y))`` — ``log`` of either is monotone per term/pair,
+so ranking and thresholding are unchanged. Per-document sums over
+query terms fold in sorted term order (bounded arrays — |terms| is
+tiny), the established reproducible-sum pattern.
+
+Reference parity note: the reference engine has no retrieval surface —
+these operators come from the north-star training-data brief
+(benchmark-decontamination and corpus-curation pipelines score docs
+against probe queries; collocation lift is the standard phrase-table
+signal).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from hybrid_cdc_demo_spark.functions.text import words_lower
+
+
+def _sorted_fold_sum(key: F.Column, val: F.Column) -> F.Column:
+    """Aggregate expression: strict left fold of ``val`` in ascending
+    ``key`` order, zero-initialized — bitwise-reproducible double sum
+    regardless of shuffle/arrival order (bounded groups only)."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(key.alias("k"), val.alias("v")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x.getField("v"),
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for a fixed bag of query ``terms``.
+
+    score(d) = sum_t idf_odds(t) * tf(t,d)*(k1+1)
+                      / (tf + k1*(1-b) + k1*b*(dl/avgdl))
+
+    with idf_odds = (N - df + 0.5)/(df + 0.5) — the Robertson idf
+    without the engine-divergent ``ln`` (monotone-equivalent ranking).
+
+    Three bounded side inputs broadcast into one scoring projection:
+    corpus stats (1 row), per-term document frequency (|terms| rows).
+    Documents containing none of the terms score nothing and are
+    absent (standard inverted-index semantics).
+    """
+    if not terms:
+        raise ValueError("terms must be a non-empty term list")
+    toks = docs.select(
+        F.col(id_col),
+        words_lower(text_col).alias("_w"),
+    ).withColumn("_dl", F.size("_w"))
+    # corpus stats: one row, broadcast into the scoring projection
+    stats = toks.agg(
+        F.count("*").alias("_n_docs"), F.sum("_dl").alias("_sum_dl")
+    )
+    # per-(doc, term) tf over ONLY the query terms: the isin filter
+    # runs before the aggregation, so the exchange carries at most
+    # |terms| rows per document
+    tf = (
+        toks.select(id_col, "_dl", F.explode("_w").alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("_tf"), F.max("_dl").alias("_dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    idf = (F.col("_n_docs").cast("double") - F.col("_df").cast("double") + F.lit(0.5)) / (
+        F.col("_df").cast("double") + F.lit(0.5)
+    )
+    tf_d = F.col("_tf").cast("double")
+    sat = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d
+        + F.lit(k1 * (1.0 - b))
+        + (F.lit(k1 * b) * (F.col("_dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "term", (idf * sat).alias("_s"))
+    )
+    return scored.groupBy(id_col).agg(
+        _sorted_fold_sum(F.col("term"), F.col("_s")).alias("score")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    **kwargs,
+) -> DataFrame:
+    """Top-k documents by BM25 — ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject (distributed per-partition heaps, k rows to
+    the driver); the rank window runs on the k-row result only."""
+    id_col = kwargs.get("id_col", "doc_id")
+    top = (
+        bm25_scores(docs, terms, **kwargs)
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), id_col, "score"
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 3,
+    topk: int = 20,
+) -> DataFrame:
+    """Top collocations by PMI *lift* ``p(xy) / (p(x) p(y))`` over
+    adjacent word pairs (lift > 1 == positive PMI; ``log2(lift)`` is
+    the textbook PMI and is monotone per pair, so the ranking is
+    identical while staying libm-free).
+
+    Two partial-aggregated count jobs (unigrams, bigrams) + two
+    key-partitioned equi-joins of the floored bigram table against the
+    vocabulary; corpus totals ride in as a broadcast one-row frame.
+    The ``min_count`` floor prunes the bigram table BEFORE the joins —
+    at corpus scale the floor is what keeps the candidate set sparse.
+    """
+    w = docs.select(words_lower(text_col).alias("_w"))
+    uni = (
+        w.select(F.explode("_w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    big = (
+        w.select(
+            F.explode(
+                F.when(
+                    F.size("_w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_w") - 1),
+                        lambda i: F.struct(
+                            F.element_at("_w", i).alias("x"),
+                            F.element_at("_w", i + 1).alias("y"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    totals = w.agg(
+        F.sum(F.size("_w")).alias("_t"),
+        F.sum(
+            F.when(F.size("_w") >= 2, F.size("_w") - 1).otherwise(F.lit(0))
+        ).alias("_b"),
+    )
+    cx = uni.select(F.col("tok").alias("x"), F.col("c_tok").alias("c_x"))
+    cy = uni.select(F.col("tok").alias("y"), F.col("c_tok").alias("c_y"))
+    # lift = (c_xy/B) / ((c_x/T) * (c_y/T)) — every op correctly
+    # rounded; the exact expression tree is mirrored in the oracle
+    lift = (F.col("c_xy").cast("double") / F.col("_b").cast("double")) / (
+        (F.col("c_x").cast("double") / F.col("_t").cast("double"))
+        * (F.col("c_y").cast("double") / F.col("_t").cast("double"))
+    )
+    scored = (
+        big.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "c_xy",
+            lift.alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.desc("lift"), F.col("bigram")).limit(topk)
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.desc("lift"), F.col("bigram"))
+    return top.select(
+        F.row_number().over(win).cast("int").alias("rank"),
+        "bigram",
+        "c_xy",
+        "lift",
+    )

@@ -5,3 +5,4 @@ import hybrid_cdc_demo_spark.plans.stats_queries  # noqa: F401,E402  (registers 
 import hybrid_cdc_demo_spark.plans.ml_queries  # noqa: F401,E402  (registers entries)
 import hybrid_cdc_demo_spark.plans.layout_queries  # noqa: F401,E402  (registers entries)
 import hybrid_cdc_demo_spark.plans.linkage_queries  # noqa: F401,E402  (registers entries)
+import hybrid_cdc_demo_spark.plans.retrieval_queries  # noqa: F401,E402  (registers entries)

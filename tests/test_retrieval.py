@@ -1,0 +1,118 @@
+"""BM25 + PMI collocation operators (operators/retrieval.py).
+
+Oracle parity is covered by the parametrized test_oracle_parity sweep
+(ns_bm25_topk / ns_pmi_collocations are ORACLE_SQL entries); these
+tests pin the operator SEMANTICS on hand-built corpora where the
+expected scores are computable by hand, plus the plan-shape contract
+(distributed top-k, broadcast side inputs).
+"""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from hybrid_cdc_demo_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    pmi_collocations,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _bm25_ref(tf, dl, n_docs, df, avgdl, k1=1.2, b=0.75):
+    idf = (n_docs - df + 0.5) / (df + 0.5)
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b) + k1 * b * (dl / avgdl))
+
+
+def test_bm25_matches_hand_formula(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "durian durian durian durian"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, ["apple", "banana"]).collect()
+    }
+    # corpus: N=3, sum_dl=9, avgdl=3; df(apple)=2, df(banana)=1
+    exp1 = _bm25_ref(2, 3, 3, 2, 3.0) + _bm25_ref(1, 3, 3, 1, 3.0)
+    exp2 = _bm25_ref(1, 2, 3, 2, 3.0)
+    assert set(got) == {1, 2}  # doc 3 matches no term -> absent
+    assert math.isclose(got[1], exp1, rel_tol=1e-12)
+    assert math.isclose(got[2], exp2, rel_tol=1e-12)
+    # rarer term must out-weigh the common one at equal tf/dl
+    assert _bm25_ref(1, 3, 3, 1, 3.0) > _bm25_ref(1, 3, 3, 2, 3.0)
+
+
+def test_bm25_topk_rank_and_limit(spark):
+    docs = _docs(spark, [(i, "apple " + "pad " * (i % 5)) for i in range(30)])
+    out = bm25_topk(docs, ["apple"], k=7).collect()
+    assert [r["rank"] for r in out] == list(range(1, 8))
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # shorter docs (lower dl) must rank first at equal tf
+    assert out[0]["doc_id"] in {0, 5, 10, 15, 20, 25}
+
+
+def test_bm25_empty_terms_rejected(spark):
+    with pytest.raises(ValueError):
+        bm25_scores(_docs(spark, [(1, "x")]), [])
+
+
+def test_bm25_plan_is_distributed_topk(spark):
+    docs = _docs(spark, [(1, "apple banana"), (2, "apple")])
+    plan = bm25_topk(docs, ["apple"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # dfreq + stats ride as broadcasts
+
+
+def test_pmi_lift_matches_hand_formula(spark):
+    # corpus engineered so "rare pair" has high lift, "common x" low:
+    # 6 docs of "a b", 6 docs of "c d" interleaved with filler "a z"
+    rows = []
+    i = 0
+    for _ in range(6):
+        rows.append((i, "a b")); i += 1
+        rows.append((i, "c d")); i += 1
+        rows.append((i, "a z")); i += 1
+    docs = _docs(spark, rows)
+    out = {r["bigram"]: r for r in pmi_collocations(docs, min_count=3).collect()}
+    # totals: T = 36 tokens, B = 18 bigrams
+    # c(a)=12, c(b)=6, c(z)=6, c(c)=6, c(d)=6; c_xy("a b")=6, ("c d")=6, ("a z")=6
+    lift_ab = (6 / 18) / ((12 / 36) * (6 / 36))
+    lift_cd = (6 / 18) / ((6 / 36) * (6 / 36))
+    assert math.isclose(out["a b"]["lift"], lift_ab, rel_tol=1e-12)
+    assert math.isclose(out["c d"]["lift"], lift_cd, rel_tol=1e-12)
+    # "c d" is the tighter collocation (c less ambiguous than a)
+    assert out["c d"]["rank"] < out["a b"]["rank"]
+    assert out["a b"]["c_xy"] == 6
+
+
+def test_pmi_min_count_floor(spark):
+    docs = _docs(spark, [(1, "p q"), (2, "p q"), (3, "r s")])
+    out = pmi_collocations(docs, min_count=2).collect()
+    assert {r["bigram"] for r in out} == {"p q"}  # "r s" floored out
+
+
+def test_pmi_single_token_docs_contribute_no_bigrams(spark):
+    docs = _docs(spark, [(1, "solo"), (2, "x y"), (3, "x y")])
+    out = pmi_collocations(docs, min_count=2).collect()
+    assert {r["bigram"] for r in out} == {"x y"}
+    # T counts the solo token, B does not
+    assert math.isclose(
+        out[0]["lift"], (2 / 2) / ((2 / 5) * (2 / 5)), rel_tol=1e-12
+    )
+
+
+def test_pmi_plan_is_distributed_topk(spark):
+    docs = _docs(spark, [(1, "x y"), (2, "x y")])
+    plan = pmi_collocations(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
