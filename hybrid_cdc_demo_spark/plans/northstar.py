@@ -1077,3 +1077,30 @@ def ns_blocklist_filter(spark, sf_dir):
         expected_items=banned.count(),
     )
     return survivors.orderBy("event_id")
+
+
+@query(
+    "ns_prefix_dedup",
+    oracle="""
+    SELECT doc_id,
+           CAST(COALESCE(
+             starts_with(lead(text) OVER (ORDER BY text, doc_id), text),
+             FALSE) AS INT) AS is_prefix_dup
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def ns_prefix_dedup(spark, sf_dir):
+    """Sorted-neighbor prefix-containment dedup, HASH-VERIFIED against
+    the single-window oracle: a document is flagged iff its full text
+    survives elsewhere as an equal or longer string (keep-longest drops
+    the flags; exact-dup runs keep one). The oracle's global window is
+    the one-task formulation Spark must NOT run at scale — the operator
+    re-expresses it as range-repartition + in-partition sort (one
+    exchange, a global sort's exact plan) + a map-side Arrow successor
+    pass, with only the P partition-head texts crossing to the driver
+    (see operators/dedup.py:prefix_duplicate_flags). A hash match here
+    certifies the distributed neighbor stitching, partition boundaries
+    included."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_duplicate_flags(docs, "text", "doc_id").orderBy("doc_id")
