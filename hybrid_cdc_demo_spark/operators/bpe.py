@@ -1,0 +1,153 @@
+"""Distributed BPE tokenizer induction (Sennrich et al. 2016, public
+algorithm): train merge rules over the corpus the tokenizer will
+tokenize — the vocabulary-induction step of a training-data pipeline.
+
+Scale shape (100 TB posture): the classic reduction — BPE statistics
+are a function of the WORD-FREQUENCY TABLE, not the token stream, so
+one corpus-wide ``groupBy(word).count()`` collapses 100 TB of text to
+a vocabulary-sized frame (the only corpus-scale job), and every merge
+iteration runs distributed over that frame: adjacent-pair counts are
+an explode + partial-aggregated sum, the argmax pair is a
+TakeOrderedAndProject of ONE row, and the merge itself is a map-only
+higher-order fold over each word's symbol array (no UDF, no driver
+data beyond the single winning pair per step). Each iteration
+localCheckpoints the symbol table so k merges cost k passes, not
+O(k²) lineage recomputation.
+
+Determinism: counts are exact integers; argmax ties break
+lexicographically on the pair; the fold merges leftmost-first
+non-overlapping — the textbook greedy semantics, reproducible across
+engines (the first iteration's pair table is oracle-checked in
+ns_bpe_merges; the loop is contract-pinned on the classic
+low/lower/newest/widest corpus).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from hybrid_cdc_demo_spark.functions.text import words_lower
+from hybrid_cdc_demo_spark.operators.partitioning import spread
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the lowercased whitespace vocabulary — the
+    one corpus-scale aggregation; everything downstream is vocab-sized."""
+    return (
+        spread(docs)
+        .select(F.explode(words_lower(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def symbolize(wf: DataFrame, word_col: str = "word") -> DataFrame:
+    """Split each word into its character symbols (the BPE start
+    state) — a map-only projection."""
+    c = F.col(word_col)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1))
+    )
+    return wf.withColumn("sym", chars)
+
+
+def pair_counts(sym_df: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency: explode
+    + partial-aggregated sum (map-side combine), vocab-sized input."""
+    pairs = F.when(
+        F.size("sym") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("sym") - 1),
+            lambda i: F.struct(
+                F.element_at("sym", i).alias("a"),
+                F.element_at("sym", i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        sym_df.select(F.explode(pairs).alias("p"), "freq")
+        .select("p.a", "p.b", "freq")
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def merge_pair_expr(sym: F.Column, a: str, b: str) -> F.Column:
+    """Replace adjacent (a, b) with the merged symbol, leftmost-first
+    non-overlapping — a strict left fold building the new symbol
+    array; pure higher-order expression, whole-stage evaluated."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> list[dict]:
+    """Run ``num_merges`` BPE iterations; returns the merge table
+    [{step, left, right, merged, cnt}, ...]. Only ONE (pair, count)
+    row crosses to the driver per step.
+
+    ``partitions`` sizes the vocab-table stages: the iteration loop is
+    scheduling-bound when the vocabulary is small relative to the
+    cluster (each of the k steps launches its own jobs), so benchmarks
+    on small vocabs pass a small value; at corpus scale leave None and
+    the table keeps the session's parallelism."""
+    sym = symbolize(word_freq_table(docs, text_col)).select("freq", "sym")
+    if partitions:
+        sym = sym.coalesce(partitions)
+    # pin the start state: iterations re-scan the vocab table, not the corpus
+    sym = sym.localCheckpoint(eager=True)
+    merges: list[dict] = []
+    for step in range(1, num_merges + 1):
+        top = (
+            pair_counts(sym)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append(
+            {"step": step, "left": a, "right": b, "merged": a + b, "cnt": cnt}
+        )
+        sym = sym.select(
+            "freq", merge_pair_expr(F.col("sym"), a, b).alias("sym")
+        ).localCheckpoint(eager=True)  # k passes total, not O(k^2) lineage
+    return merges
+
+
+def merges_df(spark, merges: list[dict]) -> DataFrame:
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["merged"], m["cnt"]) for m in merges],
+        "step int, left string, right string, merged string, cnt long",
+    )
+
+
+def encode_expr(word: F.Column | str, merges: list[dict]) -> F.Column:
+    """Tokenize a word column with a trained merge list: start from
+    characters, apply each merge rule in training order — map-only,
+    the trained rules ride in as literals."""
+    c = F.col(word) if isinstance(word, str) else word
+    sym = F.transform(
+        F.sequence(F.lit(1), F.length(c)), lambda i: c.substr(i, F.lit(1))
+    )
+    for m in merges:
+        sym = merge_pair_expr(sym, m["left"], m["right"])
+    return sym

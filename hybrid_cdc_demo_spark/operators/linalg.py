@@ -1,0 +1,155 @@
+"""Distributed dense linear algebra over the embedding column: Gram
+matrix accumulation and PCA projection — the dimensionality-reduction
+leg of an embedding-curation pipeline (whitening before clustering /
+near-dup, compressing vectors for ANN).
+
+Scale shape (100 TB posture): the Gram matrix G = Xᵀ X is the classic
+"model fits on the driver, data never does" reduction — each partition
+folds its rows into a d×d partial (d² doubles, constant size) with
+numpy inside Arrow batches, and ONE aggregation shuffle of d²-sized
+partials produces the result; eigendecomposition runs on the driver
+over d² numbers (bounded model-sized data, same class as the IVF
+centroid read), and the projection rides back as a nested literal —
+map-only, no join, no shuffle (the kmeans-assign pattern).
+
+Determinism: the numpy fast path sums partials in arrival order (fine
+in production, not oracle-matchable). ``exact_fold=True`` computes
+each G[i,j] as a strict left fold in ascending vec_id order over
+exploded (i, j, xᵢ·xⱼ) terms — bitwise-reproducible and DuckDB-
+mirrorable, for the bounded training slice the PCA model derives from
+(train-on-sample, project-everything — the production shape, and the
+same split ns_kmeans_assign uses).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from hybrid_cdc_demo_spark.operators.similarity import _as_double_array
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    dim: int,
+    exact_fold: bool = False,
+) -> DataFrame:
+    """Upper-triangle Gram matrix G[i,j] = Σ_rows v[i]·v[j] (1-based
+    i ≤ j) as a (i, j, v) DataFrame of d(d+1)/2 rows.
+
+    exact_fold=False (production): per-partition numpy outer-product
+    partials via mapInPandas, one d²-row aggregation — the scan never
+    explodes. exact_fold=True (oracle-matchable): explode the i ≤ j
+    terms and fold each cell in sorted vec_id order.
+    """
+    emb = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    if exact_fold:
+        pairs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim)),
+                    lambda j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        (F.element_at("_v", i) * F.element_at("_v", j)).alias(
+                            "p"
+                        ),
+                    ),
+                ),
+            )
+        )
+        terms = emb.select(id_col, F.explode(pairs).alias("t")).select(
+            id_col, "t.i", "t.j", "t.p"
+        )
+        fold = F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("k"), F.col("p").alias("x")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("x"),
+        )
+        return terms.groupBy("i", "j").agg(fold.alias("v"))
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            x = np.stack(pdf["_v"].to_numpy())  # rows x dim
+            acc += x.T @ x
+        if any_rows:
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "v": acc[iu, ju]}
+            ).astype({"i": "int32", "j": "int32"})
+
+    partials = emb.mapInPandas(partial_gram, schema="i int, j int, v double")
+    return partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
+
+
+def pca_components(
+    gram_rows,
+    *,
+    dim: int,
+    n_components: int,
+):
+    """Driver-side eigendecomposition of a collected Gram upper
+    triangle (d² doubles — model-sized). Returns the top
+    ``n_components`` eigenvectors (rows) with a deterministic sign
+    convention (largest-|coordinate| positive) and their eigenvalues,
+    descending.
+    """
+    import numpy as np
+
+    g = np.zeros((dim, dim), dtype=np.float64)
+    for r in gram_rows:
+        g[r["i"] - 1, r["j"] - 1] = r["v"]
+        g[r["j"] - 1, r["i"] - 1] = r["v"]
+    vals, vecs = np.linalg.eigh(g)  # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T  # n_components x dim
+    for c in comps:  # sign convention: largest-|coord| positive
+        k = int(np.argmax(np.abs(c)))
+        if c[k] < 0.0:
+            c *= -1.0
+    return comps, vals[order]
+
+
+def project_expr(vec: F.Column, component) -> F.Column:
+    """Dot product of a vector column against one literal component —
+    a strict left fold in index order (deterministic), whole-stage
+    codegen'd, no join."""
+    lit = F.array(*[F.lit(float(x)) for x in component])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only projection of every row onto the literal components:
+    scan + one codegen projection, zero shuffles (presentation sort is
+    the caller's choice)."""
+    v = _as_double_array(vec_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            project_expr(v, c).alias(f"pc{k + 1}")
+            for k, c in enumerate(components)
+        ],
+    )

@@ -6,3 +6,4 @@ import hybrid_cdc_demo_spark.plans.ml_queries  # noqa: F401,E402  (registers ent
 import hybrid_cdc_demo_spark.plans.layout_queries  # noqa: F401,E402  (registers entries)
 import hybrid_cdc_demo_spark.plans.linkage_queries  # noqa: F401,E402  (registers entries)
 import hybrid_cdc_demo_spark.plans.retrieval_queries  # noqa: F401,E402  (registers entries)
+import hybrid_cdc_demo_spark.plans.tokenizer_queries  # noqa: F401,E402  (registers entries)

@@ -262,3 +262,68 @@ def ns_temperature_sampling(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_weights(docs, "source", alpha=0.5)
+
+
+@query(
+    "ns_pca_gram",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < 500
+    ), cell AS (
+      SELECT a.i AS i, b.i AS j
+      FROM (SELECT unnest(generate_series(1, 64)) AS i) a,
+           (SELECT unnest(generate_series(1, 64)) AS i) b
+      WHERE a.i <= b.i
+    ), g AS (
+      SELECT c.i, c.j,
+             list_reduce(
+               list_prepend(0.0, list(e.e[c.i] * e.e[c.j] ORDER BY e.vec_id)),
+               (a, x) -> a + x) AS v
+      FROM cell c CROSS JOIN emb e
+      GROUP BY c.i, c.j
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, v FROM g ORDER BY i, j
+    """,
+)
+def ns_pca_gram(spark, sf_dir):
+    """Distributed Gram-matrix accumulation (the PCA/whitening
+    reduction), HASH-VERIFIED on the bounded id-slice training sample:
+    every G[i,j] folds its xi*xj terms in ascending vec_id order, so
+    the 2,080-cell upper triangle is bitwise-equal to DuckDB's
+    list_reduce. The production path for the same operator is the
+    numpy partial-Gram mapInPandas (one d^2-sized partial per
+    partition, ONE aggregation shuffle — tested against this exact
+    fold in tests/test_linalg.py); train-on-sample bounds the
+    exact-fold cost exactly like ns_kmeans_assign."""
+    from hybrid_cdc_demo_spark.operators.linalg import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return gram_matrix(
+        emb, "embedding", "vec_id", dim=64, exact_fold=True
+    ).orderBy("i", "j")
+
+
+@query("ns_pca_project")  # contract-pinned in tests/test_linalg.py
+def ns_pca_project(spark, sf_dir):
+    """PCA projection of the FULL corpus onto the top-4 components of
+    the sample Gram matrix: eigendecomposition runs on the driver over
+    d^2 numbers (model-sized — the IVF-centroid class of driver data),
+    and the projection is a map-only nested-literal fold — no join, no
+    shuffle, the kmeans-assign scale shape. No SQL oracle (eigenvectors
+    are LAPACK-iteration FP); the contract test pins orthonormality,
+    descending captured variance, determinism across runs, and parity
+    between the numpy and exact-fold Gram paths."""
+    from hybrid_cdc_demo_spark.operators.linalg import (
+        gram_matrix,
+        pca_components,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 500)
+    rows = gram_matrix(
+        train, "embedding", "vec_id", dim=64, exact_fold=True
+    ).collect()  # d(d+1)/2 doubles — bounded model-sized driver data
+    comps, _ = pca_components(rows, dim=64, n_components=4)
+    return pca_project(emb, comps, "embedding", "vec_id").orderBy("vec_id")

@@ -1,0 +1,104 @@
+"""Distributed BPE trainer (operators/bpe.py).
+
+ns_bpe_merges' pair statistics are hash-checked by the oracle sweep;
+here we pin the trainer loop itself — the textbook corpus from the
+BPE paper, leftmost-first merge semantics, determinism, and the
+ns_bpe_vocab contract for the no-oracle registry entry.
+"""
+
+import pyspark.sql.functions as F
+
+from hybrid_cdc_demo_spark.operators.bpe import (
+    encode_expr,
+    merge_pair_expr,
+    train_bpe,
+    word_freq_table,
+)
+from hybrid_cdc_demo_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def _classic(spark):
+    # Sennrich et al. corpus shape: low x5, lower x2, newest x6, widest x3
+    return _docs(
+        spark,
+        ["low " * 5, "lower " * 2, "newest " * 6, "widest " * 3],
+    )
+
+
+def test_classic_corpus_first_merges(spark):
+    merges = train_bpe(_classic(spark), num_merges=3)
+    got = [(m["left"], m["right"], m["cnt"]) for m in merges]
+    # (e,s)=9 ties (s,t)=9 -> lexicographic; then (es,t)=9; then (l,o)=7
+    assert got == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7)]
+    assert [m["step"] for m in merges] == [1, 2, 3]
+    assert merges[1]["merged"] == "est"
+
+
+def test_max_count_is_nonincreasing(spark, sf_dir):
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges = train_bpe(docs, num_merges=6)
+    cnts = [m["cnt"] for m in merges]
+    # a merge can only create pairs no more frequent than itself
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_trainer_is_deterministic(spark):
+    a = train_bpe(_classic(spark), num_merges=4)
+    b = train_bpe(_classic(spark), num_merges=4)
+    assert a == b
+
+
+def test_merge_is_leftmost_nonoverlapping(spark):
+    df = spark.createDataFrame([(["b", "b", "b"],)], ["sym"])
+    out = df.select(merge_pair_expr(F.col("sym"), "b", "b").alias("m")).collect()
+    assert out[0]["m"] == ["bb", "b"]  # NOT ["b","bb"], NOT ["bb","bb"]
+
+
+def test_merge_handles_repeats_after_merge(spark):
+    df = spark.createDataFrame([(["a", "b", "a", "b"],)], ["sym"])
+    out = df.select(merge_pair_expr(F.col("sym"), "a", "b").alias("m")).collect()
+    assert out[0]["m"] == ["ab", "ab"]
+
+
+def test_encode_expr_applies_training_order(spark):
+    merges = train_bpe(_classic(spark), num_merges=3)
+    df = spark.createDataFrame([("lowest",), ("low",)], ["word"])
+    got = {
+        r["word"]: r["toks"]
+        for r in df.select(
+            "word", encode_expr("word", merges).alias("toks")
+        ).collect()
+    }
+    # es -> est -> lo: "lowest" = lo + w + est ; "low" = lo + w
+    assert got["lowest"] == ["lo", "w", "est"]
+    assert got["low"] == ["lo", "w"]
+
+
+def test_word_freq_drops_empty_tokens(spark):
+    wf = word_freq_table(_docs(spark, ["  ", "a a"])).collect()
+    assert {r["word"]: r["freq"] for r in wf} == {"a": 2}
+
+
+def test_ns_bpe_vocab_contract(spark):
+    df = QUERIES["ns_bpe_vocab"](spark, SF)
+    assert df.dtypes == [
+        ("step", "int"), ("left", "string"), ("right", "string"),
+        ("merged", "string"), ("cnt", "bigint"),
+    ]
+    rows = df.collect()
+    assert len(rows) == 6
+    assert [r["step"] for r in rows] == list(range(1, 7))
+    for r in rows:
+        assert r["merged"] == r["left"] + r["right"]
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True) and cnts[-1] >= 1

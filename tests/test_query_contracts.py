@@ -34,6 +34,8 @@ PINNED_NO_ORACLE = {
     "ns_quantile_sketch": "test_sketches.py (rank error vs exact quantiles)",
     "ns_dedup_bucket_coverage": "test_query_contracts.py::test_ns_dedup_bucket_coverage_pinned",
     "ns_lr_training": "test_classifier.py::test_lr_training_converges",
+    "ns_pca_project": "test_linalg.py::test_ns_pca_project_contract",
+    "ns_bpe_vocab": "test_bpe.py::test_ns_bpe_vocab_contract",
 }
 
 
