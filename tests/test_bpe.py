@@ -102,3 +102,51 @@ def test_ns_bpe_vocab_contract(spark):
         assert r["merged"] == r["left"] + r["right"]
     cnts = [r["cnt"] for r in rows]
     assert cnts == sorted(cnts, reverse=True) and cnts[-1] >= 1
+
+
+def _ref_bpe(word_freqs, num_merges):
+    """Pure-Python reference BPE (Sennrich greedy, leftmost-first
+    non-overlapping, count-then-lexicographic argmax)."""
+    table = [(tuple(w), f) for w, f in sorted(word_freqs.items())]
+    merges = []
+    for step in range(1, num_merges + 1):
+        pc = {}
+        for syms, f in table:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + f
+        if not pc:
+            break
+        (a, b), cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b, a + b, cnt))
+        new_table = []
+        for syms, f in table:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_table.append((tuple(out), f))
+        table = new_table
+    return merges
+
+
+def test_differential_vs_reference_random_corpora(spark):
+    import random
+    from collections import Counter
+
+    for seed in (5, 6, 7):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("xyz") for _ in range(rng.randint(1, 5)))
+            for _ in range(40)
+        ]
+        texts = [" ".join(words[k::4]) for k in range(4)]
+        wf = Counter(w for t in texts for w in t.split())
+        want = _ref_bpe(wf, 5)
+        got = train_bpe(_docs(spark, texts), num_merges=5)
+        assert [
+            (m["left"], m["right"], m["merged"], m["cnt"]) for m in got
+        ] == want, f"seed={seed}"

@@ -82,3 +82,32 @@ def test_plan_single_range_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_differential_vs_bruteforce_random_corpora(spark):
+    """Semantic contract on adversarial random corpora (dense prefix
+    structure over a 2-letter alphabet): flagged iff SOME other doc's
+    text extends mine (longer with my text as prefix, or equal with a
+    larger id). The operator computes this via the sorted-successor
+    trick + distributed stitching — the brute force is the definition."""
+    import random
+
+    for seed, parts in [(1, 3), (2, 7), (3, 16)]:
+        rng = random.Random(seed)
+        rows = [
+            (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 6))))
+            for i in range(60)
+        ]
+        want = {
+            i: int(
+                any(
+                    (t2.startswith(t1) and len(t2) > len(t1))
+                    or (t2 == t1 and j > i)
+                    for j, t2 in rows
+                    if j != i
+                )
+            )
+            for i, t1 in rows
+        }
+        got = _flags(spark, rows, partitions=parts)
+        assert got == want, f"seed={seed} parts={parts}"

@@ -116,3 +116,43 @@ def test_pmi_plan_is_distributed_topk(spark):
     plan = pmi_collocations(docs)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_differential_vs_reference_random_corpora(spark):
+    """Exact-math differential on random corpora: the operator must
+    equal the textbook formula computed in pure Python (same odds-form
+    idf), doc by doc, to fp tolerance."""
+    import random
+
+    for seed in (3, 4):
+        rng = random.Random(seed)
+        vocab = ["red", "green", "blue", "cyan", "teal", "pink"]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(50)
+        ]
+        terms = ["red", "blue", "pink"]
+        docs_toks = {i: t.split() for i, t in rows}
+        n = len(rows)
+        avgdl = sum(len(v) for v in docs_toks.values()) / n
+        dfreq = {
+            t: sum(1 for v in docs_toks.values() if t in v) for t in terms
+        }
+        want = {}
+        for i, toks in docs_toks.items():
+            s = 0.0
+            for t in sorted(terms):
+                tf = toks.count(t)
+                if not tf or not dfreq[t]:
+                    continue
+                idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                s += idf * (tf * 2.2) / (tf + 0.3 + 0.9 * (len(toks) / avgdl))
+            if s:
+                want[i] = s
+        got = {
+            r["doc_id"]: r["score"]
+            for r in bm25_scores(_docs(spark, rows), terms).collect()
+        }
+        assert set(got) == set(want), f"seed={seed}"
+        for i in want:
+            assert math.isclose(got[i], want[i], rel_tol=1e-12), (seed, i)

@@ -112,6 +112,19 @@ SHOWCASE = [
      "ONE hashpartitioning Exchange (the groupBy) with partial_count "
      "map-side combine; total + sorted-fold normalizer run in a "
      "single unbounded window over the tiny per-group frame"),
+    ("ns_bm25_topk", False,
+     "corpus stats and per-term document frequency enter the scoring "
+     "projection via BroadcastExchange; the only wide exchange is the "
+     "(doc, term) partial-aggregated groupBy; top-k is "
+     "TakeOrderedAndProject, never a global window sort"),
+    ("ns_prefix_dedup", False,
+     "the global sorted-neighbor pass is ONE rangepartitioning "
+     "exchange + in-partition sort + MapInPandas — no Window operator "
+     "anywhere (a window with no PARTITION BY would run in one task)"),
+    ("ns_pca_project", False,
+     "map-only nested-literal projection: scan + one codegen "
+     "projection; the model (4x64 doubles) rides in as literals — no "
+     "join, the presentation sort is the only Exchange"),
 ]
 
 
