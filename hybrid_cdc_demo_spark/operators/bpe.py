@@ -151,3 +151,36 @@ def encode_expr(word: F.Column | str, merges: list[dict]) -> F.Column:
     for m in merges:
         sym = merge_pair_expr(sym, m["left"], m["right"])
     return sym
+
+
+def encode_token_counts(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge list and report
+    per-document whitespace-token and BPE-token counts (the
+    tokens-per-doc accounting a training pipeline runs before packing).
+
+    Dictionary-encoded, the scale-right shape: each DISTINCT word is
+    encoded ONCE on the vocab-sized frame (the 6-fold merge chain runs
+    |vocab| times, not |corpus tokens| times), then the per-word token
+    count joins back to the exploded corpus on the word key and
+    re-aggregates per document. Both joins/aggs are hash-partitioned
+    equi-operations; the merge rules ride in as literals.
+    """
+    words = spread(docs).select(
+        F.col(id_col), F.explode(words_lower(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.select("word").distinct().select(
+        "word", F.size(encode_expr("word", merges)).alias("_n_bpe")
+    )
+    return (
+        words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_n_bpe").alias("n_bpe_tokens"),
+        )
+    )

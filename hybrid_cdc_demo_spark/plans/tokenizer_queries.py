@@ -80,3 +80,30 @@ def ns_bpe_vocab(spark, sf_dir):
         partitions=4,  # tiny synthetic vocab: scheduling-bound, not compute-bound
     )
     return merges_df(spark, merges).orderBy("step")
+
+
+@query("ns_bpe_encode")  # contract-pinned in tests/test_bpe.py
+def ns_bpe_encode(spark, sf_dir):
+    """Train-then-encode: tokenize the whole corpus with the 6 trained
+    merges and report per-document whitespace vs BPE token counts —
+    the tokens-per-doc accounting that feeds sequence packing.
+    Dictionary-encoded (each distinct word encoded once on the
+    vocab-sized frame, joined back on the word key), so the fold chain
+    cost scales with |vocab|, not corpus tokens. No SQL oracle (the
+    merge rules come from the iterative trainer); the contract test
+    pins per-word bounds (1 <= bpe tokens <= chars), whitespace-token
+    parity with the oracle-backed ns_text_stats surface, spot-checked
+    Python-reference encodes, and determinism."""
+    from hybrid_cdc_demo_spark.operators.bpe import encode_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=6, partitions=4)
+    return (
+        encode_token_counts(docs, merges)
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -150,3 +150,73 @@ def test_differential_vs_reference_random_corpora(spark):
         assert [
             (m["left"], m["right"], m["merged"], m["cnt"]) for m in got
         ] == want, f"seed={seed}"
+
+
+def test_train_bpe_exhausts_gracefully(spark):
+    # single 1-char word: no pairs ever -> empty merge list, and
+    # merges_df of an empty list still builds the typed frame
+    from hybrid_cdc_demo_spark.operators.bpe import merges_df
+
+    merges = train_bpe(_docs(spark, ["a", "a"]), num_merges=3)
+    assert merges == []
+    assert merges_df(spark, merges).count() == 0
+
+
+def test_ns_bpe_encode_contract(spark):
+    from hybrid_cdc_demo_spark.operators.bpe import train_bpe as _t  # noqa: F401
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    df = QUERIES["ns_bpe_encode"](spark, SF)
+    assert df.dtypes == [
+        ("doc_id", "bigint"), ("n_words", "bigint"), ("n_bpe_tokens", "bigint")
+    ]
+    rows = df.collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    # every doc with at least one word appears exactly once
+    assert len(rows) == sum(1 for t in docs.values() if t.split())
+    for r in rows:
+        words = docs[r["doc_id"]].lower().split()
+        n_chars = sum(len(w) for w in words)
+        assert r["n_words"] == len(words)
+        # each word is >= 1 token and <= its character count
+        assert r["n_words"] <= r["n_bpe_tokens"] <= n_chars
+    # merges actually compress: total bpe tokens strictly below chars
+    assert sum(r["n_bpe_tokens"] for r in rows) < sum(
+        len(w) for t in docs.values() for w in t.lower().split()
+    )
+
+
+def test_encode_token_counts_matches_python_reference(spark):
+    from hybrid_cdc_demo_spark.operators.bpe import encode_token_counts
+
+    corpus = _classic(spark)
+    merges = train_bpe(corpus, num_merges=3)
+
+    def ref_encode(word):
+        syms = list(word)
+        for m in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == m["left"]
+                    and syms[i + 1] == m["right"]
+                ):
+                    out.append(m["merged"]); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in encode_token_counts(corpus, merges).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for i, t in texts.items():
+        words = t.lower().split()
+        want = (len(words), sum(len(ref_encode(w)) for w in words))
+        assert got[i] == want, (i, t)

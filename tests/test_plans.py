@@ -498,3 +498,42 @@ def test_temperature_sampling_single_group_shuffle(spark):
     plan = plan_of(QUERIES["ns_temperature_sampling"](spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan  # map-side combine on the groupBy
+
+
+def test_bm25_broadcast_side_inputs_distributed_topk(spark):
+    """BM25: df + corpus stats must ride in as broadcasts (never a
+    shuffled join against the tiny side), and top-k must be
+    TakeOrderedAndProject — a global rank window here would serialize
+    the corpus through one task."""
+    plan = plan_of(QUERIES["ns_bm25_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2  # dfreq + stats
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_dedup_no_global_window(spark):
+    """The sorted-neighbor pass must be range-exchange + in-partition
+    sort + MapInPandas; a Window operator here means the one-task
+    global-window formulation leaked back in."""
+    plan = plan_of(QUERIES["ns_prefix_dedup"](spark, SF))
+    assert "Window" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_pca_projection_map_only(spark):
+    """The trained components ride in as literals: no join anywhere,
+    and the presentation sort is the only exchange."""
+    plan = plan_of(QUERIES["ns_pca_project"](spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # rangepartitioning + AQE read
+
+
+def test_bpe_pair_stats_partial_aggregated(spark):
+    """BPE merge statistics: the vocab-sized pair count must partial-
+    aggregate map-side below ONE exchange, and the argmax/top-k must
+    be TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["ns_bpe_merges"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial_sum" in plan or (
+        "HashAggregate" in plan and "Exchange hashpartitioning" in plan
+    )

@@ -111,3 +111,15 @@ def test_differential_vs_bruteforce_random_corpora(spark):
         }
         got = _flags(spark, rows, partitions=parts)
         assert got == want, f"seed={seed} parts={parts}"
+
+
+def test_empty_corpus(spark):
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+    assert prefix_duplicate_flags(empty).count() == 0

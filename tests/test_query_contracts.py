@@ -36,6 +36,7 @@ PINNED_NO_ORACLE = {
     "ns_lr_training": "test_classifier.py::test_lr_training_converges",
     "ns_pca_project": "test_linalg.py::test_ns_pca_project_contract",
     "ns_bpe_vocab": "test_bpe.py::test_ns_bpe_vocab_contract",
+    "ns_bpe_encode": "test_bpe.py::test_ns_bpe_encode_contract",
 }
 
 

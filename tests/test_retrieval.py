@@ -156,3 +156,14 @@ def test_bm25_differential_vs_reference_random_corpora(spark):
         assert set(got) == set(want), f"seed={seed}"
         for i in want:
             assert math.isclose(got[i], want[i], rel_tol=1e-12), (seed, i)
+
+
+def test_bm25_terms_absent_from_corpus(spark):
+    docs = _docs(spark, [(1, "alpha beta"), (2, "gamma")])
+    assert bm25_scores(docs, ["zzz"]).count() == 0
+    assert bm25_topk(docs, ["zzz"], k=5).count() == 0
+
+
+def test_pmi_floor_above_all_counts_is_empty(spark):
+    docs = _docs(spark, [(1, "x y"), (2, "x z")])
+    assert pmi_collocations(docs, min_count=99).count() == 0
