@@ -67,3 +67,68 @@ def skew_salted_join(
     salted_small = small.withColumn("__salt", salts)
     out = salted_large.join(salted_small, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "pos",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global enumeration: assign each row its 1-based
+    position in the total order of ``order_cols`` — the primitive
+    behind "shuffle the corpus once and write it in training order"
+    (order by a content-free hash), global sequence ids, and stable
+    pagination. Spark's own ``row_number()`` over an unpartitioned
+    window executes in ONE task; this is the scale-safe re-expression:
+
+    1. range-repartition + in-partition sort on the order key (a
+       global sort's exact plan, ONE wide exchange);
+    2. per-partition row counts — a partial-aggregated ≤P-row frame
+       to the driver (bounded control data, the partition-head class);
+    3. a map-side Arrow pass adds each partition's cumulative offset
+       to its local 0-based position.
+
+    The sorted frame is localCheckpoint'ed so both passes see the same
+    row→partition assignment (ContextCleaner-reclaimed, not
+    CacheManager-pinned). Ties in ``order_cols`` get positions in
+    partition order — pass a unique tiebreak column for a total order
+    (the oracle-matched callers always do).
+    """
+    import pyspark.sql.functions as F
+
+    spark = df.sparkSession
+    num = int(partitions or spark.sparkContext.defaultParallelism)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = (
+        df.repartitionByRange(num, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        int(r["_pid"]): r["n"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offset, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = offset
+        offset += counts[pid]
+    out_fields = [f for f in d.schema.fields if f.name != "_pid"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + f", {rank_col} long"
+    names = [f.name for f in out_fields]
+
+    def enumerate_batches(batches):
+        local = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf[names].copy()
+            out[rank_col] = range(base + local + 1, base + local + 1 + len(pdf))
+            local += len(pdf)
+            yield out
+
+    return d.mapInPandas(enumerate_batches, schema=out_schema)

@@ -522,3 +522,36 @@ def ns_dataset_card(spark, sf_dir):
     aggregated groupBy: no joins, no windows, no driver data."""
     docs = C.hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
     return C.dataset_card(docs, "doc_id", "text", ["source", "split"])
+
+
+@query(
+    "ns_corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pos
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def ns_corpus_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle for training order, HASH-VERIFIED:
+    every document gets its 1-based position in the total order of a
+    content-free id hash — shuffle once, write in training order,
+    reproducible across runs and engines (rand() is neither). The
+    oracle's global row_number() is the one-task formulation Spark
+    must not run at scale; the operator is the distributed
+    re-expression (operators/partitioning.py:global_rank): range
+    exchange + in-partition sort + per-partition counts (≤P rows to
+    the driver) + a map-side offset pass. A hash match certifies the
+    cross-partition offset stitching exactly."""
+    from hybrid_cdc_demo_spark.operators.partitioning import global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ranked = global_rank(
+        docs,
+        [F.sha2(F.col("doc_id").cast("string"), 256), F.col("doc_id")],
+        rank_col="pos",
+    )
+    return ranked.select("doc_id", "pos").orderBy("doc_id")
