@@ -47,11 +47,13 @@ from hybrid_cdc_demo_spark.operators.similarity import (
 )
 
 
-def assign_expr_with_ids(centers: list[list[float]], ids: list[int]) -> F.Column:
+def assign_expr_with_ids(
+    centers: list[list[float]], ids: list[int], vec="_v"
+) -> F.Column:
     """Nearest-centroid assignment returning the ORIGINAL cluster id
     for each centroid row (centers may be a surviving subset after
     empty clusters were dropped, so positions are not ids)."""
-    pos = cell_assign_expr(centers)  # 0-based position of the argmin
+    pos = cell_assign_expr(centers, vec)  # 0-based position of the argmin
     return F.element_at(F.lit([int(i) for i in ids]), pos + 1)
 
 
@@ -262,3 +264,173 @@ def cluster_sizes(assigned: DataFrame) -> DataFrame:
     """Cluster-size histogram (skew diagnostics for semantic_dedup's
     max_cluster guard)."""
     return assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+    exact_fold: bool = False,
+    seed_by: str = "hash",
+    partitions: int | None = None,
+) -> list[tuple[list[list[float]], list[int]]]:
+    """Product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``m`` contiguous subspaces and train an independent
+    k-means codebook per subspace. The subspaces are mathematically
+    independent, so the ``m`` Lloyd loops are trained JOINTLY: each
+    iteration is ONE pass over the sample — a per-row explode into
+    (subspace, cluster, subvector) terms and a single partial-
+    aggregated groupBy(subspace, cluster) — instead of m sequential
+    loops (m× the scheduled jobs for identical math). The model is
+    m·k·(dim/m) doubles on the driver (model-sized); training is
+    train-on-sample like every codebook in this repo. Empty clusters
+    are dropped (the SQL-mirrorable policy the oracle replays).
+
+    ``exact_fold=True`` makes the centroid update a per-(subspace,
+    cluster) sorted strict left fold — bitwise-reproducible against
+    DuckDB per subspace (ns_pq_encode's generated oracle).
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    base = df.repartition(partitions) if partitions else spread(df)
+    data = base.select(
+        F.col(id_col), _as_double_array(vec_col).alias("_v")
+    ).persist()
+    try:
+        if seed_by == "hash":
+            ordered = data.orderBy(F.xxhash64(F.col(id_col) + 42))
+        else:
+            ordered = data.orderBy(id_col)
+        seed_rows = [list(r["_v"]) for r in ordered.limit(k).collect()]
+        books = [
+            [v[s * sub : (s + 1) * sub] for v in seed_rows] for s in range(m)
+        ]
+        ids: list[list[int]] = [list(range(len(books[s]))) for s in range(m)]
+        for _ in range(max(iters, 0)):
+            terms = F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        assign_expr_with_ids(
+                            books[s], ids[s], F.slice("_v", s * sub + 1, sub)
+                        ).alias("cl"),
+                        F.slice("_v", s * sub + 1, sub).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+            ex = data.select(F.col(id_col), F.explode(terms).alias("p")).select(
+                id_col, "p.s", "p.cl", "p.sv"
+            )
+            if exact_fold:
+                per = ex.groupBy("s", "cl").agg(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(id_col).alias("i"), F.col("sv").alias("e"))
+                        )
+                    ).alias("rows"),
+                    F.count("*").alias("n"),
+                )
+                cent = per.select(
+                    "s",
+                    "cl",
+                    F.transform(
+                        F.aggregate(
+                            "rows",
+                            F.array_repeat(F.lit(0.0), sub),
+                            lambda acc, r: F.zip_with(
+                                acc, r.getField("e"), lambda a, b: a + b
+                            ),
+                        ),
+                        lambda x: x / F.col("n").cast("double"),
+                    ).alias("c"),
+                )
+                got = {(r["s"], r["cl"]): list(r["c"]) for r in cent.collect()}
+            else:
+                rows = (
+                    ex.select("s", "cl", F.posexplode("sv").alias("_pos", "_x"))
+                    .groupBy("s", "cl", "_pos")
+                    .agg(F.avg("_x").alias("_m"))
+                    .collect()
+                )
+                acc: dict = {}
+                for r in rows:
+                    acc.setdefault((r["s"], r["cl"]), {})[r["_pos"]] = r["_m"]
+                got = {key: [d[p] for p in sorted(d)] for key, d in acc.items()}
+            for s in range(m):
+                ids[s] = [i for i in ids[s] if (s, i) in got]
+                books[s] = [got[(s, i)] for i in ids[s]]
+        return [(books[s], ids[s]) for s in range(m)]
+    finally:
+        data.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[tuple[list[list[float]], list[int]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_prefix: str = "c",
+) -> DataFrame:
+    """Encode every vector as ``m`` small codes (nearest codebook
+    centroid per subspace) — a single map-only projection, the
+    codebooks ride in as literals; dim·8 bytes collapse to m codes
+    (64-float vector -> 4 bytes at m=4/k<=256). Integer output —
+    zero FP surface in the result."""
+    m = len(books)
+    sub = dim // m
+    v = _as_double_array(vec_col)
+    cols = [
+        assign_expr_with_ids(
+            centers, ids, F.slice(v, s * sub + 1, sub)
+        ).cast("int").alias(f"{code_prefix}{s + 1}")
+        for s, (centers, ids) in enumerate(books)
+    ]
+    return df.select(F.col(id_col), *cols)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    books: list[tuple[list[list[float]], list[int]]],
+    query: list[float],
+    dim: int,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: precompute the
+    query→centroid lookup table per subspace ON THE DRIVER (m·k
+    doubles), then approximate each corpus vector's squared L2 as the
+    sum of LUT entries selected by its codes — a map-only projection
+    over the encoded frame + TakeOrderedAndProject. This is the scan
+    shape FAISS IVF-PQ runs per probed cell; at 100 TB the encoded
+    table is ~dim·2/m% of the raw corpus and the scan never touches
+    the original vectors."""
+    m = len(books)
+    sub = dim // m
+    enc = pq_encode(df, books, dim, id_col, vec_col)
+    dist = None
+    for s, (centers, ids) in enumerate(books):
+        q = query[s * sub : (s + 1) * sub]
+        # LUT indexed by ORIGINAL cluster id (sparse ids -> map literal)
+        lut = {
+            int(cid): sum((a - b) * (a - b) for a, b in zip(q, c))
+            for c, cid in zip(centers, ids)
+        }
+        keys = sorted(lut)
+        term = F.element_at(
+            F.lit([lut[i] for i in keys]),
+            F.array_position(F.lit(keys), F.col(f"c{s + 1}")).cast("int"),
+        )
+        dist = term if dist is None else dist + term
+    return (
+        enc.select(F.col(id_col), dist.alias("adc_d2"))
+        .orderBy("adc_d2", id_col)
+        .limit(topk)
+    )

@@ -202,18 +202,19 @@ def embedding_neardup_pairs(
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 
-def cell_assign_expr(centers: list[list[float]]) -> F.Column:
-    """Nearest-centroid assignment for a ``_v`` double-array column:
-    one nested literal + transform + argmin — the expression tree is
-    CONSTANT-size in num_cells (per-center expressions would cost
-    thousands of driver roundtrips to build, and a running
+def cell_assign_expr(centers: list[list[float]], vec="_v") -> F.Column:
+    """Nearest-centroid assignment for a double-array column (default
+    ``_v``): one nested literal + transform + argmin — the expression
+    tree is CONSTANT-size in num_cells (per-center expressions would
+    cost thousands of driver roundtrips to build, and a running
     when(best)-chain even nests exponentially — driver OOM). Squared
     L2 metric (monotone with cosine for normalized embeddings)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
     centers_lit = F.lit([[float(x) for x in c] for c in centers])
     dists = F.transform(
         centers_lit,
         lambda c: F.aggregate(
-            F.zip_with("_v", c, lambda a, b: (a - b) * (a - b)),
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),

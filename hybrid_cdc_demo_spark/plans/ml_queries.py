@@ -327,3 +327,84 @@ def ns_pca_project(spark, sf_dir):
     ).collect()  # d(d+1)/2 doubles — bounded model-sized driver data
     comps, _ = pca_components(rows, dim=64, n_components=4)
     return pca_project(emb, comps, "embedding", "vec_id").orderBy("vec_id")
+
+
+def _pq_oracle(m: int = 4, sub: int = 16, k: int = 8) -> str:
+    """Generate the DuckDB mirror of PQ training+encoding: the
+    ns_kmeans_assign CTE chain (seed -> 2 exact-fold Lloyd iterations
+    -> argmin assignment), instantiated once per subspace over the
+    1-based inclusive list slice, joined on vec_id at the end."""
+    d2 = (
+        "list_reduce(list_prepend(0.0, "
+        "list_transform(t.e, (x,i) -> (x - c.c[i])*(x - c.c[i]))), "
+        "(a,b) -> a+b)"
+    )
+    fold = (
+        "SELECT cluster, list_transform(list_reduce(list_prepend("
+        "list_transform(generate_series(1, {sub}), i -> 0.0), rows_), "
+        "(acc, r) -> list_transform(acc, (x,i) -> x + r[i])), "
+        "x -> x / CAST(n AS DOUBLE)) AS c FROM {src}"
+    )
+    ctes = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        ctes.append(
+            f"emb{s} AS (SELECT vec_id, "
+            f"CAST(embedding AS DOUBLE[])[{lo}:{hi}] AS e FROM embeddings)"
+        )
+        ctes.append(f"train{s} AS (SELECT * FROM emb{s} WHERE vec_id < 500)")
+        ctes.append(
+            f"c0_{s} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS cluster, e AS c FROM "
+            f"(SELECT * FROM train{s} ORDER BY vec_id LIMIT {k}))"
+        )
+        for it in (0, 1):
+            ctes.append(
+                f"a{it}_{s} AS (SELECT t.vec_id, t.e, c.cluster "
+                f"FROM train{s} t CROSS JOIN c{it}_{s} c "
+                f"QUALIFY row_number() OVER (PARTITION BY t.vec_id "
+                f"ORDER BY {d2}, c.cluster) = 1)"
+            )
+            ctes.append(
+                f"g{it + 1}_{s} AS (SELECT cluster, "
+                f"list(e ORDER BY vec_id) AS rows_, COUNT(*) AS n "
+                f"FROM a{it}_{s} GROUP BY cluster)"
+            )
+            ctes.append(
+                f"c{it + 1}_{s} AS "
+                f"({fold.format(sub=sub, src=f'g{it + 1}_{s}')})"
+            )
+        ctes.append(
+            f"code{s} AS (SELECT t.vec_id, CAST(c.cluster AS INT) AS c{s + 1} "
+            f"FROM emb{s} t CROSS JOIN c2_{s} c "
+            f"QUALIFY row_number() OVER (PARTITION BY t.vec_id "
+            f"ORDER BY {d2}, c.cluster) = 1)"
+        )
+    joins = " ".join(f"JOIN code{s} USING (vec_id)" for s in range(1, m))
+    cols = ", ".join(f"c{s + 1}" for s in range(m))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vec_id, {cols} FROM code0 {joins} ORDER BY vec_id"
+    )
+
+
+@query("ns_pq_encode", oracle=_pq_oracle())
+def ns_pq_encode(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011), HASH-VERIFIED end to
+    end: train 4 independent 8-centroid codebooks (one per 16-dim
+    subspace) with the exact-fold Lloyd loop on the bounded id-slice
+    sample, then encode the FULL corpus as 4 small codes in one
+    map-only literal-argmin projection — 64 floats collapse to 4
+    bytes, the compression that makes billion-vector ANN feasible.
+    Codes are integers (zero FP surface in the result); the oracle
+    replays all four training chains in generated SQL, so the hash
+    match certifies the entire train->encode pipeline per subspace."""
+    from hybrid_cdc_demo_spark.operators.clustering import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 500)
+    books = pq_train(
+        train, dim=64, m=4, k=8, iters=2, exact_fold=True, seed_by="id",
+        partitions=4,  # 500-row sample: scheduling-bound, not compute-bound
+    )
+    return pq_encode(emb, books, dim=64).orderBy("vec_id")

@@ -1,0 +1,113 @@
+"""Product quantization (operators/clustering.py pq_*).
+
+ns_pq_encode's train->encode pipeline is hash-checked per subspace by
+the generated-SQL oracle sweep; these tests pin the ADC search
+quality (recall vs exact top-k), the reconstruction property on
+planted clusters, and the plan shapes (map-only encode, distributed
+top-k scan).
+"""
+
+import math
+import random
+
+import pyspark.sql.functions as F
+
+from hybrid_cdc_demo_spark.operators.clustering import (
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+
+
+def _planted(seed=13, n=120, dim=8, groups=4):
+    rng = random.Random(seed)
+    anchors = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(groups)]
+    vecs = []
+    for i in range(n):
+        a = anchors[i % groups]
+        vecs.append([x + rng.gauss(0, 0.02) for x in a])
+    return vecs, anchors
+
+
+def test_planted_clusters_share_codes(spark):
+    vecs, _ = _planted()
+    df = _emb(spark, vecs)
+    books = pq_train(df, dim=8, m=2, k=4, seed_by="id")
+    codes = {r["vec_id"]: (r["c1"], r["c2"]) for r in pq_encode(df, books, dim=8).collect()}
+    # members of the same planted group must collapse to one codeword
+    for g in range(4):
+        group_codes = {codes[i] for i in range(len(vecs)) if i % 4 == g}
+        assert len(group_codes) == 1, f"group {g} split across {group_codes}"
+    # distinct groups must not all collapse together
+    assert len({codes[g] for g in range(4)}) > 1
+
+
+def test_adc_topk_retrieves_query_group(spark):
+    """PQ quantizes away the within-cluster noise, so exact noise-level
+    ranking is unrecoverable BY DESIGN — the retrieval contract is at
+    the cluster level: every ADC top-k hit must come from the query's
+    planted group, and its ADC distance must sit far below any other
+    group's."""
+    vecs, _ = _planted(seed=29, n=200, dim=16)
+    df = _emb(spark, vecs)
+    q = vecs[0]
+    books = pq_train(df, dim=16, m=4, k=8, seed_by="id")
+    rows = pq_adc_topk(df, books, q, dim=16, topk=10).collect()
+    assert all(r["vec_id"] % 4 == 0 for r in rows), rows  # group 0 only
+    all_d = {
+        r["vec_id"]: r["adc_d2"]
+        for r in pq_adc_topk(df, books, q, dim=16, topk=200).collect()
+    }
+    worst_same = max(all_d[i] for i in all_d if i % 4 == 0)
+    best_other = min(all_d[i] for i in all_d if i % 4 != 0)
+    assert worst_same < best_other
+
+
+def test_adc_distance_approximates_exact(spark):
+    vecs, _ = _planted(seed=31, n=80, dim=8)
+    df = _emb(spark, vecs)
+    q = vecs[1]
+    books = pq_train(df, dim=8, m=2, k=4, seed_by="id")
+    rows = pq_adc_topk(df, books, q, dim=8, topk=80).collect()
+    for r in rows:
+        exact = sum((a - b) ** 2 for a, b in zip(vecs[r["vec_id"]], q))
+        # quantization error scales with distance (the corpus vector is
+        # replaced by its centroid): tight near zero, relative farther out
+        assert math.isclose(r["adc_d2"], exact, rel_tol=0.15, abs_tol=0.05), (
+            r, exact,
+        )
+
+
+def test_pq_encode_plan_is_map_only(spark):
+    vecs, _ = _planted(n=40, dim=8)
+    df = _emb(spark, vecs)
+    books = pq_train(df, dim=8, m=2, k=4, seed_by="id")
+    plan = pq_encode(df, books, dim=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_adc_plan_is_distributed_topk(spark):
+    vecs, _ = _planted(n=40, dim=8)
+    df = _emb(spark, vecs)
+    books = pq_train(df, dim=8, m=2, k=4, seed_by="id")
+    plan = (
+        pq_adc_topk(df, books, vecs[0], dim=8, topk=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_not_divisible_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_train(_emb(spark, [[1.0, 2.0, 3.0]]), dim=3, m=2, k=2)
