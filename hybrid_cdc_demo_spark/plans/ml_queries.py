@@ -408,3 +408,73 @@ def ns_pq_encode(spark, sf_dir):
         partitions=4,  # 500-row sample: scheduling-bound, not compute-bound
     )
     return pq_encode(emb, books, dim=64).orderBy("vec_id")
+
+
+def _pq_adc_oracle(m: int = 4, sub: int = 16, k: int = 8, topk: int = 10) -> str:
+    """Extend the PQ training oracle with the ADC search: per-subspace
+    query->centroid lookup tables (the same strict left fold) and the
+    left-associated 4-term distance sum, then the top-k."""
+    base = _pq_oracle(m=m, sub=sub, k=k)
+    ctes, tail = base.split("\nSELECT", 1)
+    extra = []
+    for s in range(m):
+        extra.append(
+            f"q{s} AS (SELECT e AS qv FROM emb{s} WHERE vec_id = 0)"
+        )
+        extra.append(
+            f"lut{s} AS (SELECT c.cluster, "
+            f"list_reduce(list_prepend(0.0, "
+            f"list_transform(q.qv, (x,i) -> (x - c.c[i])*(x - c.c[i]))), "
+            f"(a,b) -> a+b) AS d FROM c2_{s} c CROSS JOIN q{s} q)"
+        )
+    code_joins = " ".join(f"JOIN code{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cluster = c{s + 1}" for s in range(m)
+    )
+    dist = " + ".join(f"l{s}.d" for s in range(m))  # left-associated
+    return (
+        ctes
+        + ",\n"
+        + ",\n".join(extra)
+        + f""",
+    adc AS (
+      SELECT code0.vec_id, {dist} AS adc_d2
+      FROM code0 {code_joins} {lut_joins}
+    )
+    SELECT CAST(row_number() OVER w AS INT) AS rank, vec_id, adc_d2
+    FROM adc
+    WINDOW w AS (ORDER BY adc_d2, vec_id)
+    QUALIFY row_number() OVER w <= {topk}
+    ORDER BY rank
+    """
+    )
+
+
+@query("ns_pq_adc_topk", oracle=_pq_adc_oracle())
+def ns_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-10 for the min-id query vector,
+    HASH-VERIFIED end to end INCLUDING the search: the generated
+    oracle replays codebook training per subspace, builds the same
+    query->centroid lookup tables with the same strict left fold, and
+    sums the per-subspace terms in the same association order — so the
+    approximate distances are bitwise-equal and the ranking matches
+    exactly. Spark side: LUTs are m·k doubles computed driver-side;
+    the scan is a map-only projection over the encoded frame +
+    TakeOrderedAndProject (the FAISS IVF-PQ cell-scan shape)."""
+    from pyspark.sql import Window
+
+    from hybrid_cdc_demo_spark.operators.clustering import pq_adc_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 500)
+    books = pq_train(
+        train, dim=64, m=4, k=8, iters=2, exact_fold=True, seed_by="id",
+        partitions=4,
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    query_vec = [float(x) for x in qrow["embedding"]]
+    top = pq_adc_topk(emb, books, query_vec, dim=64, topk=10)
+    w = Window.orderBy("adc_d2", "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "vec_id", "adc_d2"
+    )
