@@ -111,3 +111,26 @@ def test_dim_not_divisible_rejected(spark):
 
     with pytest.raises(ValueError):
         pq_train(_emb(spark, [[1.0, 2.0, 3.0]]), dim=3, m=2, k=2)
+
+
+def test_adc_is_exact_on_centroid_members(spark):
+    """ADC property: when a corpus vector IS a codebook centroid in
+    every subspace, the quantization error is zero and the ADC
+    distance must equal the exact squared L2 bit for bit (LUT entries
+    are the exact per-subspace distances)."""
+    # 4 distinct anchor vectors, k=4 codebooks with zero noise: every
+    # vector quantizes to itself
+    anchors = [
+        [1.0, 0.0, 2.0, -1.0],
+        [-3.0, 0.5, 0.0, 4.0],
+        [0.25, -0.75, 1.5, 2.0],
+        [5.0, 5.0, -5.0, -5.0],
+    ]
+    vecs = [anchors[i % 4] for i in range(40)]
+    df = _emb(spark, vecs)
+    books = pq_train(df, dim=4, m=2, k=4, seed_by="id")
+    q = [0.1, 0.2, 0.3, 0.4]
+    rows = pq_adc_topk(df, books, q, dim=4, topk=40).collect()
+    for r in rows:
+        exact = sum((a - b) ** 2 for a, b in zip(vecs[r["vec_id"]], q))
+        assert math.isclose(r["adc_d2"], exact, rel_tol=1e-12), r

@@ -112,6 +112,11 @@ SHOWCASE = [
      "ONE hashpartitioning Exchange (the groupBy) with partial_count "
      "map-side combine; total + sorted-fold normalizer run in a "
      "single unbounded window over the tiny per-group frame"),
+    ("ns_pq_adc_topk", False,
+     "the ADC scan is a map-only projection over the encoded frame — "
+     "codes + lookup tables ride in as literals, no join against the "
+     "codebook — followed by TakeOrderedAndProject; 64 floats never "
+     "re-enter the plan after encoding"),
     ("ns_bm25_topk", False,
      "corpus stats and per-term document frequency enter the scoring "
      "projection via BroadcastExchange; the only wide exchange is the "
