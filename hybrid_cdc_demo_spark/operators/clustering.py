@@ -412,9 +412,26 @@ def pq_adc_topk(
     shape FAISS IVF-PQ runs per probed cell; at 100 TB the encoded
     table is ~dim·2/m% of the raw corpus and the scan never touches
     the original vectors."""
+    enc = pq_encode(df, books, dim, id_col, vec_col)
+    dist = adc_dist_expr(books, query, dim)
+    return (
+        enc.select(F.col(id_col), dist.alias("adc_d2"))
+        .orderBy("adc_d2", id_col)
+        .limit(topk)
+    )
+
+
+def adc_dist_expr(
+    books: list[tuple[list[list[float]], list[int]]],
+    query: list[float],
+    dim: int,
+    code_prefix: str = "c",
+) -> F.Column:
+    """The ADC distance as a column over code columns: per subspace a
+    query→centroid LUT (m·k doubles, driver-computed, rides as a
+    literal) indexed by the code, terms summed left-associated."""
     m = len(books)
     sub = dim // m
-    enc = pq_encode(df, books, dim, id_col, vec_col)
     dist = None
     for s, (centers, ids) in enumerate(books):
         q = query[s * sub : (s + 1) * sub]
@@ -426,11 +443,205 @@ def pq_adc_topk(
         keys = sorted(lut)
         term = F.element_at(
             F.lit([lut[i] for i in keys]),
-            F.array_position(F.lit(keys), F.col(f"c{s + 1}")).cast("int"),
+            F.array_position(
+                F.lit(keys), F.col(f"{code_prefix}{s + 1}")
+            ).cast("int"),
         )
         dist = term if dist is None else dist + term
-    return (
-        enc.select(F.col(id_col), dist.alias("adc_d2"))
-        .orderBy("adc_d2", id_col)
-        .limit(topk)
+    return dist
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: list[float],
+    dim: int,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k_codes: int = 8,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_partitions: int | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the FAISS billion-vector
+    layout, composed from this repo's coarse quantizer and PQ:
+
+    1. IVF cells prune the corpus (probe the nprobe nearest cells —
+       at 100 TB the encoded table persists partitionBy(_cell), so
+       pruning is file-level, as ivf_write already demonstrates);
+    2. PQ codebooks are trained on RESIDUALS ``v - cell_center``
+       (residuals concentrate near zero, so k codewords cover them
+       far better than raw vectors — the reason every production
+       IVF-PQ encodes residuals);
+    3. the scan is per probed cell: the query residual
+       ``q - cell_center`` builds that cell's LUTs driver-side, and
+       the ADC projection runs map-only over the cell's codes.
+
+    Returns the approximate L2 top-k as (id, adc_d2). Everything the
+    driver holds is model-sized: centers (cells·dim), codebooks
+    (m·k·dim/m), per-cell LUTs (m·k)."""
+    from functools import reduce
+
+    from hybrid_cdc_demo_spark.operators.similarity import ivf_index
+
+    indexed, centers = ivf_index(
+        df, id_col, vec_col, num_cells, seed, partitions=train_partitions
     )
+    centers_lit = F.lit([[float(x) for x in c] for c in centers])
+    resid = F.zip_with(
+        "_v",
+        F.element_at(centers_lit, F.col("_cell") + 1),
+        lambda a, b: a - b,
+    )
+    rdf = indexed.withColumn("_r", resid)
+    books = pq_train(
+        rdf, dim, m=m, k=k_codes, id_col=id_col, vec_col="_r",
+        partitions=train_partitions,
+    )
+    sub = dim // m
+    enc = rdf.select(
+        F.col(id_col),
+        "_cell",
+        *[
+            assign_expr_with_ids(
+                centers_s, ids_s, F.slice("_r", s * sub + 1, sub)
+            ).cast("int").alias(f"c{s + 1}")
+            for s, (centers_s, ids_s) in enumerate(books)
+        ],
+    ).localCheckpoint(eager=True)  # scanned once per probed cell
+    qv = [float(x) for x in query]
+    import numpy as np
+
+    by_l2 = sorted(
+        range(len(centers)),
+        key=lambda i: float(
+            np.sum((np.asarray(centers[i]) - np.asarray(qv)) ** 2)
+        ),
+    )
+    probe = by_l2[:nprobe]
+    scans = []
+    for cell in probe:
+        qr = [qv[i] - centers[cell][i] for i in range(dim)]
+        dist = adc_dist_expr(books, qr, dim)
+        scans.append(
+            enc.filter(F.col("_cell") == cell).select(
+                F.col(id_col), dist.alias("adc_d2")
+            )
+        )
+    allc = reduce(DataFrame.unionByName, scans)
+    return allc.orderBy("adc_d2", id_col).limit(topk)
+
+
+def ivfpq_write(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    num_cells: int = 16,
+    m: int = 4,
+    k_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_partitions: int | None = None,
+    extra_meta: dict | None = None,
+):
+    """Build the IVF-PQ index ONCE and persist it: PQ codes over
+    residuals written ``partitionBy(_cell)`` (each cell its own
+    parquet directory — the inverted file), coarse centers + codebooks
+    in a JSON sidecar. At 100 TB this is the production shape: one
+    index job, then every query scans only the probed cells' CODE
+    files (m small ints per vector, ~dim·8/m× smaller than the raw
+    corpus) via partition pruning."""
+    import json
+    import os
+
+    from hybrid_cdc_demo_spark.operators.similarity import ivf_index
+
+    indexed, centers = ivf_index(
+        df, id_col, vec_col, num_cells, seed, partitions=train_partitions
+    )
+    centers_lit = F.lit([[float(x) for x in c] for c in centers])
+    resid = F.zip_with(
+        "_v", F.element_at(centers_lit, F.col("_cell") + 1), lambda a, b: a - b
+    )
+    rdf = indexed.withColumn("_r", resid)
+    books = pq_train(
+        rdf, dim, m=m, k=k_codes, id_col=id_col, vec_col="_r",
+        partitions=train_partitions,
+    )
+    sub = dim // m
+    enc = rdf.select(
+        F.col(id_col),
+        "_cell",
+        *[
+            assign_expr_with_ids(
+                centers_s, ids_s, F.slice("_r", s * sub + 1, sub)
+            ).cast("int").alias(f"c{s + 1}")
+            for s, (centers_s, ids_s) in enumerate(books)
+        ],
+    )
+    enc.write.mode("overwrite").partitionBy("_cell").parquet(
+        os.path.join(path, "data")
+    )
+    meta = {
+        "id_col": id_col,
+        "dim": dim,
+        "num_cells": num_cells,
+        "m": m,
+        "k_codes": k_codes,
+        "seed": seed,
+        "centers": centers,
+        "books": [[c, i] for c, i in books],
+        **(extra_meta or {}),
+    }
+    tmp = os.path.join(path, ".index.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "index.json"))
+    return centers, books
+
+
+def ivfpq_topk_persisted(
+    spark,
+    path: str,
+    query: list[float],
+    topk: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k against a persisted IVF-PQ index: probe the nprobe
+    L2-nearest cells (driver-side over model-sized centers), build the
+    per-cell query-residual LUTs, and scan ONLY those cells' code
+    files — the ``_cell = n`` filters are PartitionFilters, so I/O is
+    ~ |index| * nprobe / num_cells and the raw vectors are never
+    read."""
+    import json
+    import os
+    from functools import reduce
+
+    import numpy as np
+
+    with open(os.path.join(path, "index.json")) as fh:
+        meta = json.load(fh)
+    centers = meta["centers"]
+    books = [(c, i) for c, i in meta["books"]]
+    dim, id_col = meta["dim"], meta["id_col"]
+    enc = spark.read.parquet(os.path.join(path, "data"))
+    qv = [float(x) for x in query]
+    probe = sorted(
+        range(len(centers)),
+        key=lambda i: float(
+            np.sum((np.asarray(centers[i]) - np.asarray(qv)) ** 2)
+        ),
+    )[:nprobe]
+    scans = []
+    for cell in probe:
+        qr = [qv[i] - centers[cell][i] for i in range(dim)]
+        scans.append(
+            enc.filter(F.col("_cell") == cell).select(
+                F.col(id_col), adc_dist_expr(books, qr, dim).alias("adc_d2")
+            )
+        )
+    allc = reduce(DataFrame.unionByName, scans)
+    return allc.orderBy("adc_d2", id_col).limit(topk)

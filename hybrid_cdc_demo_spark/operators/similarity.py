@@ -228,6 +228,7 @@ def ivf_index(
     vec_col: str = "embedding",
     num_cells: int = 64,
     seed: int = 42,
+    partitions: int | None = None,
 ):
     """Coarse-quantize the corpus into ``num_cells`` KMeans cells —
     the IVF partitioning (inverted file) used by every large-scale
@@ -243,8 +244,14 @@ def ivf_index(
     DataFrame ops: a coarse quantizer needs cell GEOMETRY, not
     convergence — ``nprobe`` absorbs boundary error — and a full
     iterative KMeans costs dozens of driver-coordinated jobs for
-    accuracy IVF doesn't use."""
-    data = spread(df).select(
+    accuracy IVF doesn't use.
+
+    ``partitions`` compacts the input to that many partitions instead
+    of spreading to full parallelism — right when the corpus slice is
+    small and index building is task-scheduling-bound (the kmeans
+    convention)."""
+    base = df if partitions is None else df.repartition(partitions)
+    data = (spread(base) if partitions is None else base).select(
         F.col(id_col), _as_double_array(vec_col).alias("_v")
     ).persist()
 

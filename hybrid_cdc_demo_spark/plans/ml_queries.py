@@ -478,3 +478,61 @@ def ns_pq_adc_topk(spark, sf_dir):
     return top.select(
         F.row_number().over(w).cast("int").alias("rank"), "vec_id", "adc_d2"
     )
+
+
+def ensure_ivfpq_index(
+    spark, sf_dir: str, num_cells: int = 16, m: int = 4, k_codes: int = 8,
+    seed: int = 42,
+) -> str:
+    """Build the persisted IVF-PQ index if absent or stale (same
+    corpus-fingerprint protocol as ensure_ivf_index; separate cache
+    subdir so the raw / SQ8 / PQ variants coexist)."""
+    import json
+    import os
+
+    from hybrid_cdc_demo_spark.operators.clustering import ivfpq_write
+    from hybrid_cdc_demo_spark.plans.northstar import (
+        corpus_fingerprint,
+        ivf_index_path,
+    )
+
+    path = ivf_index_path(sf_dir, num_cells, seed) + f"-pq{m}x{k_codes}"
+    fp = corpus_fingerprint(sf_dir)
+    meta_path = os.path.join(path, "index.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh).get("corpus_fingerprint") == fp:
+                return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivfpq_write(
+        emb, path, dim=64, num_cells=num_cells, m=m, k_codes=k_codes,
+        seed=seed, train_partitions=8,
+        extra_meta={"corpus_fingerprint": fp},
+    )
+    return path
+
+
+@query("ns_simsearch_ivfpq")  # contract-pinned in tests/test_pq.py
+def ns_simsearch_ivfpq(spark, sf_dir):
+    """IVF-PQ residual search for the min-id query vector — the
+    billion-vector production layout: the corpus is coarse-clustered
+    and PQ-encoded over RESIDUALS v - cell_center ONCE into a
+    partitionBy(_cell) code table (ensure_ivfpq_index — built untimed
+    by the bench warmup, exactly like the raw/SQ8 IVF variants); each
+    query probes the nprobe L2-nearest cells through file-level
+    partition pruning and runs the map-only ADC scan with per-cell
+    query-residual lookup tables, never touching the raw vectors. No
+    SQL oracle: the coarse centers use the production shuffle-order
+    mean; the PQ math itself is hash-certified by
+    ns_pq_encode/ns_pq_adc_topk, and the contract test pins
+    self-retrieval, full-probe degradation to exhaustive scan, and
+    the no-join plan."""
+    from hybrid_cdc_demo_spark.operators.clustering import ivfpq_topk_persisted
+
+    path = ensure_ivfpq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return ivfpq_topk_persisted(spark, path, q, topk=10, nprobe=4)

@@ -134,3 +134,115 @@ def test_adc_is_exact_on_centroid_members(spark):
     for r in rows:
         exact = sum((a - b) ** 2 for a, b in zip(vecs[r["vec_id"]], q))
         assert math.isclose(r["adc_d2"], exact, rel_tol=1e-12), r
+
+
+def test_ivfpq_residual_recall(spark):
+    """IVF-PQ composition: on planted clusters, probing a few cells
+    must retrieve the query's planted group; residual encoding keeps
+    ADC distances near exact within the probed cells."""
+    from hybrid_cdc_demo_spark.operators.clustering import ivfpq_topk
+
+    vecs, _ = _planted(seed=41, n=160, dim=16)
+    df = _emb(spark, vecs)
+    q = vecs[0]
+    rows = ivfpq_topk(
+        df, q, dim=16, num_cells=8, nprobe=3, m=4, k_codes=8, topk=10
+    ).collect()
+    assert len(rows) == 10
+    assert all(r["vec_id"] % 4 == 0 for r in rows), rows  # query's group
+    for r in rows:
+        exact = sum((a - b) ** 2 for a, b in zip(vecs[r["vec_id"]], q))
+        assert abs(r["adc_d2"] - exact) < 0.1, (r, exact)
+
+
+def test_ivfpq_full_probe_covers_all_cells(spark):
+    from hybrid_cdc_demo_spark.operators.clustering import ivfpq_topk
+
+    vecs, _ = _planted(seed=43, n=60, dim=8)
+    df = _emb(spark, vecs)
+    rows = ivfpq_topk(
+        df, vecs[2], dim=8, num_cells=4, nprobe=4, m=2, k_codes=4, topk=60
+    ).collect()
+    assert len(rows) == 60  # nprobe == num_cells -> every vector scanned
+    assert len({r["vec_id"] for r in rows}) == 60
+
+
+def test_ivfpq_plan_no_join_distributed_topk(spark):
+    from hybrid_cdc_demo_spark.operators.clustering import ivfpq_topk
+
+    vecs, _ = _planted(seed=47, n=60, dim=8)
+    df = _emb(spark, vecs)
+    out = ivfpq_topk(df, vecs[0], dim=8, num_cells=4, nprobe=2, m=2, k_codes=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ns_simsearch_ivfpq_contract(spark):
+    from hybrid_cdc_demo_spark.plans import QUERIES
+
+    df = QUERIES["ns_simsearch_ivfpq"](spark, SF)
+    assert df.dtypes == [("vec_id", "bigint"), ("adc_d2", "double")]
+    rows = df.collect()
+    assert len(rows) == 10
+    dists = [r["adc_d2"] for r in rows]
+    assert dists == sorted(dists)
+    # the query vector is corpus member 0 -> residual quantization error
+    # is small enough that it must retrieve itself first
+    assert rows[0]["vec_id"] == 0
+
+
+def test_ivfpq_persisted_prunes_partitions(spark, tmp_path):
+    """The persisted IVF-PQ probe must scan only the probed cells'
+    code files: _cell filters are PartitionFilters, and the files
+    actually read are a subset of the probed cell directories."""
+    from hybrid_cdc_demo_spark.operators.clustering import (
+        ivfpq_topk_persisted,
+        ivfpq_write,
+    )
+
+    vecs, _ = _planted(seed=53, n=120, dim=8)
+    df = _emb(spark, vecs)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write(df, path, dim=8, num_cells=6, m=2, k_codes=4, seed=7)
+    out = ivfpq_topk_persisted(spark, path, vecs[0], topk=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and any("_cell" in ln for ln in pf_lines), plan
+    import re
+
+    probed = {int(x) for x in re.findall(r"_cell#\d+L?\s*=\s*(\d+)", plan)}
+    assert len(probed) == 2
+    # files ACTUALLY touched at execution are only the probed cells'
+    enc = spark.read.parquet(path + "/data")
+    touched = [
+        r[0]
+        for r in enc.filter(F.col("_cell").isin(list(probed)))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    ]
+    assert touched and all(
+        any(f"_cell={c}" in f for c in probed) for f in touched
+    ), touched
+
+
+def test_ivfpq_persisted_matches_inline(spark, tmp_path):
+    from hybrid_cdc_demo_spark.operators.clustering import (
+        ivfpq_topk,
+        ivfpq_topk_persisted,
+        ivfpq_write,
+    )
+
+    vecs, _ = _planted(seed=59, n=100, dim=8)
+    df = _emb(spark, vecs)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write(df, path, dim=8, num_cells=4, m=2, k_codes=4, seed=3)
+    a = ivfpq_topk_persisted(spark, path, vecs[5], topk=8, nprobe=2).collect()
+    b = ivfpq_topk(
+        df, vecs[5], dim=8, num_cells=4, nprobe=2, m=2, k_codes=4, topk=8,
+        seed=3,
+    ).collect()
+    assert [(r["vec_id"], r["adc_d2"]) for r in a] == [
+        (r["vec_id"], r["adc_d2"]) for r in b
+    ]

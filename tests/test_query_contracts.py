@@ -37,6 +37,7 @@ PINNED_NO_ORACLE = {
     "ns_pca_project": "test_linalg.py::test_ns_pca_project_contract",
     "ns_bpe_vocab": "test_bpe.py::test_ns_bpe_vocab_contract",
     "ns_bpe_encode": "test_bpe.py::test_ns_bpe_encode_contract",
+    "ns_simsearch_ivfpq": "test_pq.py::test_ns_simsearch_ivfpq_contract",
 }
 
 
