@@ -555,3 +555,83 @@ def ns_corpus_shuffle(spark, sf_dir):
         rank_col="pos",
     )
     return ranked.select("doc_id", "pos").orderBy("doc_id")
+
+
+@query(
+    "ns_training_manifest",
+    oracle="""
+    WITH flags AS (
+      SELECT doc_id,
+             COALESCE(starts_with(lead(text) OVER (ORDER BY text, doc_id),
+                                  text), FALSE) AS dup
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0) AS ln_,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(LENGTH(text) AS DOUBLE) AS pr,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> list_contains(['the','a','an','and','of','in','to','is','it','that'], t))) AS DOUBLE)
+               / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS sr
+      FROM documents
+    ), surv AS (
+      SELECT d.doc_id, d.source,
+             len(string_split_regex(trim(d.text), '\\s+')) AS n_tok
+      FROM documents d
+      JOIN flags f ON f.doc_id = d.doc_id
+      JOIN sig s ON s.doc_id = d.doc_id
+      WHERE NOT f.dup
+        AND (-1.4 + 1.0 * s.ln_ + 2.0 * s.pr + 8.0 * s.sr) > 0
+    ), pos AS (
+      SELECT doc_id, source, n_tok,
+             row_number() OVER (
+               ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      FROM surv
+    ), packed AS (
+      SELECT doc_id, source, pos, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY pos) AS cum
+      FROM pos
+    )
+    SELECT doc_id, source, pos,
+           CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 512.0) AS BIGINT) AS bin_id
+    FROM packed
+    ORDER BY doc_id
+    """,
+)
+def ns_training_manifest(spark, sf_dir):
+    """End-to-end training-data manifest, HASH-VERIFIED through FOUR
+    composed operators: sorted-neighbor prefix dedup (keep maximal
+    texts) -> log-odds quality gate -> deterministic corpus shuffle
+    (global_rank over the id hash) -> per-source next-fit packing into
+    512-token bins. Every stage is the distributed form (range-sort
+    successor pass, map-only scoring, bounded-offset enumeration,
+    per-source window cumsum) while the oracle runs the plain
+    single-node SQL — a hash match certifies the whole pipeline
+    composition, not just each stage in isolation."""
+    from hybrid_cdc_demo_spark.operators.curation import pack_sequences
+    from hybrid_cdc_demo_spark.operators.classifier import score_documents
+    from hybrid_cdc_demo_spark.operators.dedup import prefix_duplicate_flags
+    from hybrid_cdc_demo_spark.operators.partitioning import global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep_ids = (
+        prefix_duplicate_flags(docs, partitions=8)
+        .filter(F.col("is_prefix_dup") == 0)
+        .select("doc_id")
+    )
+    surv = (
+        score_documents(docs)
+        .filter(F.col("keep"))
+        .join(keep_ids, "doc_id")
+        .select("doc_id", "source", T.token_count("text").alias("n_tok"))
+    )
+    ranked = global_rank(
+        surv,
+        [F.sha2(F.col("doc_id").cast("string"), 256), F.col("doc_id")],
+        rank_col="pos",
+        partitions=8,  # survivor slice is small; scale path leaves None
+    )
+    packed = pack_sequences(
+        ranked, "n_tok", "pos", budget=512, partition_col="source"
+    )
+    return packed.select("doc_id", "source", "pos", "bin_id").orderBy("doc_id")
