@@ -705,3 +705,104 @@ def prefix_duplicate_flags(
     return d.mapInPandas(
         flag_batches, schema=f"{id_col} long, is_prefix_dup int"
     )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Exact-substring (repeated k-token span) dedup accounting — the
+    token-window re-expression of Lee et al. 2021's ExactSubstr
+    deduplication (suffix-array dup spans ≥ 50 BPE tokens): a window is
+    *duplicated* when the same k-token sequence occurs ``min_count``+
+    times anywhere in the corpus, and every token covered by a
+    duplicated window counts as removable.
+
+    Returns one row per document: ``n_tokens``, ``n_windows``,
+    ``dup_windows`` (flagged window starts), ``covered_tokens``
+    (size of the UNION of flagged [pos, pos+k) intervals),
+    ``kept_tokens`` and ``dup_frac``.
+
+    Scale shape (100 TB posture):
+
+    * window grams are built with the zip_with shingle chain (pure
+      per-row map, no shuffle) and — by default — reduced to a 64-bit
+      ``xxhash64`` BEFORE the global count, so the wide exchange
+      carries 8-byte keys instead of ~8-word strings (the Lee et al.
+      fingerprint trick; a corpus-wide collision flips one count with
+      probability ~n²/2⁶⁵ and the hash is seeded deterministically);
+    * the duplicated-gram table is a keyed count with map-side partial
+      aggregation; flagged windows come from a LEFT SEMI equi-join on
+      the gram key (AQE broadcasts it when small);
+    * interval union is O(flagged) per doc, not O(k × flagged): one
+      running-max window over flagged starts computes each window's
+      overlap with everything before it (prev_end = max(pos + k) over
+      preceding rows), so no per-token explode ever happens;
+    * short docs (< k tokens) contribute zero windows and survive via
+      the final left join.
+    """
+    from hybrid_cdc_demo_spark.functions.text import words_lower
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), words_lower(text_col).alias("_w")
+    ).withColumn("_n", F.size("_w"))
+
+    gram = F.col("_g")
+    key = F.xxhash64(gram) if hash_grams else gram
+    wins = (
+        toks.select(
+            id_col,
+            F.posexplode(shingle_windows(F.col("_w"), k)).alias("_p0", "_g"),
+            F.col("_n"),
+        )
+        # shingle_windows emits one truncated window for docs with
+        # fewer than k tokens — a span query must drop those
+        .filter(F.col("_p0") <= F.col("_n") - k)
+        .select(
+            id_col, (F.col("_p0") + 1).alias("pos"), key.alias("_key")
+        )
+    )
+    dup = (
+        wins.groupBy("_key")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_key")
+    )
+    flagged = wins.join(dup, "_key", "left_semi")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + k).over(w)
+    contrib = (
+        F.col("pos") + k - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos")))
+    )
+    cov = (
+        flagged.withColumn("_contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("dup_windows"),
+            F.sum("_contrib").cast("long").alias("covered_tokens"),
+        )
+    )
+    n = F.col("_n").cast("long")
+    covered = F.coalesce(F.col("covered_tokens"), F.lit(0).cast("long"))
+    return (
+        toks.select(id_col, "_n")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            n.alias("n_tokens"),
+            F.greatest(F.col("_n") - (k - 1), F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce(F.col("dup_windows"), F.lit(0).cast("long")).alias("dup_windows"),
+            covered.alias("covered_tokens"),
+            (n - covered).alias("kept_tokens"),
+            (covered.cast("double") / n.cast("double")).alias("dup_frac"),
+        )
+    )

@@ -1104,3 +1104,53 @@ def ns_prefix_dedup(spark, sf_dir):
     included."""
     docs = load_table(spark, sf_dir, "documents")
     return D.prefix_duplicate_flags(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "ns_dedup_substring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(w) - 7)) AS t(i)
+    ), dup AS (
+      SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2
+    ), flagged AS (
+      SELECT doc_id, pos FROM wins WHERE g IN (SELECT g FROM dup)
+    ), merged AS (
+      SELECT doc_id, pos,
+             max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM flagged
+    ), cov AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows,
+             CAST(SUM(pos + 8 - GREATEST(pos, COALESCE(prev_end, pos))) AS BIGINT)
+               AS covered_tokens
+      FROM merged GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(GREATEST(len(w) - 7, 0) AS BIGINT) AS n_windows,
+           COALESCE(c.dup_windows, 0) AS dup_windows,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           CAST(len(w) AS BIGINT) - COALESCE(c.covered_tokens, 0) AS kept_tokens,
+           CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE)
+             / CAST(len(w) AS DOUBLE) AS dup_frac
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def ns_dedup_substring(spark, sf_dir):
+    """Exact-substring span dedup (Lee et al. 2021 ExactSubstr as
+    token windows), HASH-VERIFIED: per-document duplicated-window and
+    covered-token accounting for 8-token spans repeated anywhere in
+    the corpus. The Spark side counts 64-bit xxhash64 fingerprints of
+    the window grams (8-byte shuffle keys instead of ~8-word strings
+    — the scale trick), flags windows with a left-semi equi-join, and
+    unions the flagged [pos, pos+8) intervals with an O(flagged)
+    running-max window — never a per-token explode. Integer counts
+    plus one int/int double division keep both engines bitwise-equal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.span_dedup_stats(docs, "text", "doc_id", k=8).orderBy("doc_id")

@@ -272,3 +272,88 @@ def test_minhash_dropped_bucket_accounting(spark, corpus):
     full = D.minhash_lsh_candidates(sigs, dropped_out=ok)
     assert full.count() > 0
     assert ok["buckets_dropped"] == 0 and ok["pairs_suppressed"] == 0
+
+
+class TestSpanDedup:
+    """span_dedup_stats vs a brute-force Python reference."""
+
+    @staticmethod
+    def _brute(rows, k=8, min_count=2):
+        from collections import Counter
+
+        toks = {i: t.lower().strip().split() for i, t in rows}
+        wins = {
+            i: [tuple(w[j : j + k]) for j in range(len(w) - k + 1)]
+            for i, w in toks.items()
+        }
+        counts = Counter(g for ws in wins.values() for g in ws)
+        out = {}
+        for i, w in toks.items():
+            flagged = [
+                j for j, g in enumerate(wins[i]) if counts[g] >= min_count
+            ]
+            covered = set()
+            for j in flagged:
+                covered.update(range(j, j + k))
+            out[i] = (
+                len(w),
+                max(len(w) - k + 1, 0),
+                len(flagged),
+                len(covered),
+                len(w) - len(covered),
+            )
+        return out
+
+    def _check(self, spark, rows, k=8):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_windows"],
+                r["dup_windows"],
+                r["covered_tokens"],
+                r["kept_tokens"],
+            )
+            for r in D.span_dedup_stats(df, "text", "doc_id", k=k).collect()
+        }
+        assert got == self._brute(rows, k=k)
+
+    def test_planted_cross_doc_span(self, spark):
+        span = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        rows = [
+            (0, "x0 x1 x2 " + span + " y0 y1"),
+            (1, "z0 " + span + " z1 z2 z3 z4"),
+            (2, "totally unrelated words here only once spoken aloud now"),
+        ]
+        self._check(spark, rows)
+
+    def test_within_doc_repeat_counts(self, spark):
+        span = "a b c d e f g h"
+        rows = [(0, span + " filler0 filler1 " + span), (1, "q r s t u v w x y")]
+        self._check(spark, rows)
+
+    def test_short_docs_have_no_windows(self, spark):
+        rows = [(0, "one two three"), (1, "one two three"), (2, "a b c d e f g h")]
+        self._check(spark, rows)  # exact dups but < k tokens -> 0 windows
+
+    def test_overlapping_intervals_union_once(self, spark):
+        # doc 0 shares two OVERLAPPING 8-windows with doc 1 — the
+        # covered-token union must not double count the overlap
+        rows = [
+            (0, "p0 a b c d e f g h i p1 p2 p3"),
+            (1, "q0 q1 a b c d e f g h i q2"),
+        ]
+        self._check(spark, rows)
+
+    def test_string_grams_match_hashed(self, spark, corpus):
+        a = (
+            D.span_dedup_stats(corpus, "text", "doc_id", k=5, hash_grams=True)
+            .orderBy("doc_id")
+            .collect()
+        )
+        b = (
+            D.span_dedup_stats(corpus, "text", "doc_id", k=5, hash_grams=False)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert a == b
