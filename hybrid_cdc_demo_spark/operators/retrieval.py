@@ -220,3 +220,76 @@ def pmi_collocations(
         "c_xy",
         "lift",
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: Sequence[str],
+    *,
+    query_vec_id: int = 0,
+    n_cand: int = 50,
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    **bm25_kwargs,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused with Reciprocal Rank Fusion
+    (Cormack et al. 2009): ``rrf(d) = 1/(K + r_sparse) + 1/(K +
+    r_dense)`` over the BM25 top-``n_cand`` and the exact-cosine
+    top-``n_cand`` for one probe (query terms + query vector), the
+    standard RAG retrieval shape.
+
+    Scale shape: each leg reduces to its candidate list independently
+    (BM25 via TakeOrderedAndProject, cosine via the WindowGroupLimit
+    grouped-top-k) — the fusion join then touches ≤ 2 x n_cand rows
+    regardless of corpus size, so the full-outer join is a broadcast
+    at any scale. Ranks absent from a leg contribute 0 (reported as
+    rank 0).
+
+    Determinism (oracle hash-match): ranks are ints with unique id
+    tiebreaks; the fused score is two correctly-rounded divisions
+    summed in fixed syntactic order — bitwise-equal across engines.
+    """
+    from pyspark.sql import Window
+
+    from hybrid_cdc_demo_spark.operators.similarity import (
+        _as_double_array,
+        batch_topk,
+    )
+
+    sp_top = (
+        bm25_scores(docs, terms, id_col=id_col, **bm25_kwargs)
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(n_cand)
+    )
+    ws = Window.orderBy(F.desc("score"), F.col(id_col))
+    sp = sp_top.select(
+        F.col(id_col),
+        F.row_number().over(ws).cast("long").alias("r_sparse"),
+    )
+    queries = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.lit(0).alias("qid"), _as_double_array("embedding").alias("qv")
+    )
+    dn = batch_topk(emb, queries, k=n_cand).select(
+        F.col("vec_id").alias(id_col), F.col("rank").cast("long").alias("r_dense")
+    )
+    fused = sp.join(dn, id_col, "full_outer")
+    leg = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_k)) + r.cast("double")), F.lit(0.0)
+    )
+    scored = fused.select(
+        id_col,
+        F.coalesce(F.col("r_sparse"), F.lit(0).cast("long")).alias("r_sparse"),
+        F.coalesce(F.col("r_dense"), F.lit(0).cast("long")).alias("r_dense"),
+        (leg(F.col("r_sparse")) + leg(F.col("r_dense"))).alias("rrf"),
+    )
+    top = scored.orderBy(F.desc("rrf"), F.col(id_col)).limit(k)
+    wr = Window.orderBy(F.desc("rrf"), F.col(id_col))
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("rank"),
+        id_col,
+        "r_sparse",
+        "r_dense",
+        "rrf",
+    )

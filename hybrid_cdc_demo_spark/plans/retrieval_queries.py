@@ -123,3 +123,85 @@ def ns_pmi_collocations(spark, sf_dir):
     textbook PMI, so the ranking is identical without ln()."""
     docs = load_table(spark, sf_dir, "documents")
     return pmi_collocations(docs, min_count=3, topk=20)
+
+
+@query(
+    "ns_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(len(w)) AS sum_dl FROM toks
+    ), hits AS (
+      SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+      FROM hits WHERE term IN ({_TERMS_SQL})
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+              / (CAST(d.df AS DOUBLE) + 0.5))
+             * ((CAST(tf.tf AS DOUBLE) * {_K1P1})
+                / (CAST(tf.tf AS DOUBLE) + {_K1_1MB}
+                   + ({_K1B} * (CAST(tf.dl AS DOUBLE)
+                      / (CAST(s.sum_dl AS DOUBLE)
+                         / CAST(s.n_docs AS DOUBLE)))))) AS s
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    ), doc AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                         (a, x) -> a + x) AS score
+      FROM scored GROUP BY doc_id
+    ), sp AS (
+      SELECT doc_id,
+             CAST(row_number() OVER ws AS BIGINT) AS r_sparse
+      FROM doc
+      WINDOW ws AS (ORDER BY score DESC, doc_id)
+      QUALIFY row_number() OVER ws <= 50
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), dscored AS (
+      SELECT e.vec_id AS doc_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS s
+      FROM embeddings e CROSS JOIN q
+    ), dn AS (
+      SELECT doc_id, CAST(row_number() OVER wd AS BIGINT) AS r_dense
+      FROM dscored
+      WINDOW wd AS (ORDER BY s DESC, doc_id)
+      QUALIFY row_number() OVER wd <= 50
+    ), fused AS (
+      SELECT COALESCE(sp.doc_id, dn.doc_id) AS doc_id,
+             COALESCE(sp.r_sparse, 0) AS r_sparse,
+             COALESCE(dn.r_dense, 0) AS r_dense,
+             COALESCE(1.0 / (60.0 + CAST(sp.r_sparse AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / (60.0 + CAST(dn.r_dense AS DOUBLE)), 0.0) AS rrf
+      FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id
+    )
+    SELECT CAST(row_number() OVER w AS INT) AS rank,
+           doc_id, r_sparse, r_dense, rrf
+    FROM fused
+    WINDOW w AS (ORDER BY rrf DESC, doc_id)
+    QUALIFY row_number() OVER w <= 20
+    ORDER BY rank
+    """,
+)
+def ns_hybrid_rrf(spark, sf_dir):
+    """Hybrid sparse+dense retrieval via Reciprocal Rank Fusion,
+    HASH-VERIFIED: BM25 top-50 for the probe terms fused with exact
+    cosine top-50 for a probe vector by rrf = 1/(60+r_s) + 1/(60+r_d)
+    — the standard RAG two-tower merge. Each leg pre-reduces to 50
+    candidates (TakeOrderedAndProject / WindowGroupLimit), so the
+    full-outer fusion join is candidate-bounded at any corpus scale;
+    absent legs report rank 0 and contribute 0 to the fused score."""
+    from hybrid_cdc_demo_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(docs, emb, BM25_TERMS, query_vec_id=0).orderBy("rank")

@@ -167,3 +167,108 @@ def test_bm25_terms_absent_from_corpus(spark):
 def test_pmi_floor_above_all_counts_is_empty(spark):
     docs = _docs(spark, [(1, "x y"), (2, "x z")])
     assert pmi_collocations(docs, min_count=99).count() == 0
+
+
+class TestHybridRRF:
+    """hybrid_rrf_topk vs a brute-force Python fusion."""
+
+    def _fixture(self, spark):
+        # 6 docs; terms probe favors docs 1-3, vector probe favors 4-6
+        docs = _docs(
+            spark,
+            [
+                (1, "apple banana apple cherry"),
+                (2, "apple cherry plum"),
+                (3, "banana banana mango"),
+                (4, "durian fig grape"),
+                (5, "kiwi lemon mango"),
+                (6, "nectarine orange peach"),
+            ],
+        )
+        vecs = [
+            (0, [1.0, 0.0, 0.0]),  # the probe vector (vec_id 0)
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.1, 0.9, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+            (4, [0.9, 0.1, 0.0]),
+            (5, [0.8, 0.0, 0.6]),
+            (6, [1.0, 0.1, 0.0]),
+        ]
+        emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        return docs, emb, vecs
+
+    def test_matches_bruteforce(self, spark):
+        from hybrid_cdc_demo_spark.operators.retrieval import hybrid_rrf_topk
+
+        docs, emb, vecs = self._fixture(spark)
+        terms = ["apple", "banana"]
+        got = hybrid_rrf_topk(
+            docs, emb, terms, query_vec_id=0, n_cand=4, k=6, rrf_k=60
+        ).collect()
+
+        # brute-force sparse leg
+        toks = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+        n, sum_dl = len(toks), sum(len(w) for w in toks.values())
+        avgdl = sum_dl / n
+        dfq = {
+            t: sum(1 for w in toks.values() if t in w) for t in terms
+        }
+        sp_scores = {}
+        for i, w in toks.items():
+            s = 0.0
+            for t in sorted(terms):
+                tf = w.count(t)
+                if tf:
+                    s += _bm25_ref(tf, len(w), n, dfq[t], avgdl)
+            if s:
+                sp_scores[i] = s
+        sp_rank = {
+            i: r + 1
+            for r, (i, _) in enumerate(
+                sorted(sp_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+            )
+        }
+        # brute-force dense leg (cosine vs vec 0)
+        qv = vecs[0][1]
+        cos = {}
+        for vid, v in vecs:
+            dot = sum(a * b for a, b in zip(v, qv))
+            na = math.sqrt(sum(a * a for a in v))
+            nq = math.sqrt(sum(a * a for a in qv))
+            cos[vid] = dot / (na * nq)
+        dn_rank = {
+            i: r + 1
+            for r, (i, _) in enumerate(
+                sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+            )
+        }
+        fused = {}
+        for i in set(sp_rank) | set(dn_rank):
+            fused[i] = (1.0 / (60 + sp_rank[i]) if i in sp_rank else 0.0) + (
+                1.0 / (60 + dn_rank[i]) if i in dn_rank else 0.0
+            )
+        want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+        assert [(r["doc_id"], r["r_sparse"], r["r_dense"]) for r in got] == [
+            (i, sp_rank.get(i, 0), dn_rank.get(i, 0)) for i, _ in want
+        ]
+        for r, (_, f) in zip(got, want):
+            assert abs(r["rrf"] - f) < 1e-12
+
+    def test_both_legs_beat_single_leg_at_equal_rank(self, spark):
+        from hybrid_cdc_demo_spark.operators.retrieval import hybrid_rrf_topk
+
+        docs, emb, _ = self._fixture(spark)
+        rows = hybrid_rrf_topk(
+            docs, emb, ["apple", "banana"], query_vec_id=0, n_cand=6, k=6
+        ).collect()
+        by_doc = {r["doc_id"]: r for r in rows}
+        both = [r for r in rows if r["r_sparse"] > 0 and r["r_dense"] > 0]
+        for r in both:
+            for s in rows:
+                if (
+                    s["r_sparse"] == 0
+                    and s["r_dense"] >= r["r_dense"]
+                    and s["doc_id"] != r["doc_id"]
+                ):
+                    assert r["rrf"] > s["rrf"]
+        assert by_doc  # fixture sanity
