@@ -293,3 +293,80 @@ def hybrid_rrf_topk(
         "r_dense",
         "rrf",
     )
+
+
+def bigram_lm_coherence(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram-LM coherence: the mean corpus-estimated
+    transition probability ``avg over adjacent pairs of
+    c(x,y) / c(x)`` — the libm-free surrogate of the CCNet/KenLM
+    perplexity quality filter (document perplexity is monotone in the
+    mean log transition probability; the arithmetic mean of the
+    probabilities ranks fluent-vs-gibberish the same way without the
+    engine-divergent ``ln``). Low coherence = improbable word
+    transitions = the doc the perplexity filter would drop.
+
+    Scale shape: the unigram/bigram count model is two map-side
+    partial-aggregated count jobs over the corpus itself (train ==
+    score corpus, the CCNet arrangement); scoring joins each doc's
+    transition list against the model by key — two key-partitioned
+    equi-joins, never a broadcast of the full vocabulary. The per-doc
+    mean folds in sorted pair order (bounded by doc length) so the
+    double sum is bitwise-reproducible; docs with < 2 tokens report 0
+    transitions and NULL coherence.
+    """
+    from hybrid_cdc_demo_spark.functions.text import words_lower
+
+    w = docs.select(F.col(id_col), words_lower(text_col).alias("_w"))
+    pairs = w.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_w", i).alias("x"),
+                        F.element_at("_w", i + 1).alias("y"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("p"),
+    ).select(id_col, "p.x", "p.y")
+    uni = (
+        w.select(F.explode("_w").alias("x"))
+        .groupBy("x")
+        .agg(F.count("*").alias("c_x"))
+    )
+    big = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    p = F.col("c_xy").cast("double") / F.col("c_x").cast("double")
+    scored = (
+        pairs.join(big, ["x", "y"])
+        .join(uni, "x")
+        .select(
+            id_col,
+            F.concat_ws(" ", "x", "y").alias("_k"),
+            p.alias("_p"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_transitions"),
+        _sorted_fold_sum(F.col("_k"), F.col("_p")).alias("_s"),
+    )
+    return (
+        w.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_transitions"), F.lit(0).cast("long")).alias(
+                "n_transitions"
+            ),
+            (
+                F.col("_s") / F.col("n_transitions").cast("double")
+            ).alias("coherence"),
+        )
+    )

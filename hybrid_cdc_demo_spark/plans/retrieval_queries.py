@@ -205,3 +205,48 @@ def ns_hybrid_rrf(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return hybrid_rrf_topk(docs, emb, BM25_TERMS, query_vec_id=0).orderBy("rank")
+
+
+@query(
+    "ns_lm_coherence",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), uni AS (
+      SELECT tok AS x, COUNT(*) AS c_x
+      FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
+    ), dpairs AS (
+      SELECT doc_id, w[i] AS x, w[i + 1] AS y
+      FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    ), big AS (
+      SELECT x, y, COUNT(*) AS c_xy FROM dpairs GROUP BY x, y
+    ), scored AS (
+      SELECT d.doc_id, d.x || ' ' || d.y AS k,
+             CAST(b.c_xy AS DOUBLE) / CAST(u.c_x AS DOUBLE) AS p
+      FROM dpairs d JOIN big b USING (x, y) JOIN uni u USING (x)
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+             list_reduce(list_prepend(0.0, list(p ORDER BY k, p)),
+                         (a, v) -> a + v) AS s
+      FROM scored GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.n_transitions, 0) AS n_transitions,
+           a.s / CAST(a.n_transitions AS DOUBLE) AS coherence
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def ns_lm_coherence(spark, sf_dir):
+    """Bigram-LM coherence quality scores, HASH-VERIFIED: mean
+    corpus-estimated transition probability per document — the
+    libm-free stand-in for the CCNet perplexity filter (monotone
+    ranking without ln()). The count model is two partial-aggregated
+    corpus count jobs; scoring is two key-partitioned equi-joins of
+    each doc's transitions against the model; per-doc means fold in
+    sorted pair order for bitwise-reproducible doubles."""
+    from hybrid_cdc_demo_spark.operators.retrieval import bigram_lm_coherence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_coherence(docs).orderBy("doc_id")

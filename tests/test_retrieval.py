@@ -272,3 +272,43 @@ class TestHybridRRF:
                 ):
                     assert r["rrf"] > s["rrf"]
         assert by_doc  # fixture sanity
+
+
+class TestBigramCoherence:
+    def test_fluent_beats_gibberish_and_edges(self, spark):
+        from hybrid_cdc_demo_spark.operators.retrieval import bigram_lm_coherence
+
+        common = "the cat sat on the mat"
+        rows = [
+            (1, common),
+            (2, common),
+            (3, common),
+            (4, "mat the on sat cat the"),  # same unigrams, rare transitions
+            (5, "zq"),                       # 1 token -> no transitions
+        ]
+        got = {
+            r["doc_id"]: r
+            for r in bigram_lm_coherence(_docs(spark, rows)).collect()
+        }
+        assert got[1]["coherence"] > got[4]["coherence"]
+        assert got[5]["n_transitions"] == 0 and got[5]["coherence"] is None
+        assert got[1]["n_transitions"] == 5
+
+    def test_mean_matches_bruteforce(self, spark):
+        from collections import Counter
+
+        from hybrid_cdc_demo_spark.operators.retrieval import bigram_lm_coherence
+
+        rows = [(1, "a b a b c"), (2, "b c a a"), (3, "c c b a b")]
+        toks = {i: t.split() for i, t in rows}
+        uni = Counter(x for w in toks.values() for x in w)
+        big = Counter(
+            (w[j], w[j + 1]) for w in toks.values() for j in range(len(w) - 1)
+        )
+        got = {
+            r["doc_id"]: r["coherence"]
+            for r in bigram_lm_coherence(_docs(spark, rows)).collect()
+        }
+        for i, w in toks.items():
+            ps = [big[(w[j], w[j + 1])] / uni[w[j]] for j in range(len(w) - 1)]
+            assert abs(got[i] - sum(ps) / len(ps)) < 1e-12
