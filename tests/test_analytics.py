@@ -1,0 +1,91 @@
+"""Funnel / cohort-retention operator semantics on hand-built event
+fixtures (oracle parity runs in the parametrized sweep)."""
+
+import datetime
+
+import pytest
+
+from hybrid_cdc_demo_spark.operators.analytics import (
+    cohort_retention,
+    funnel_conversion,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, d, h), u, t, 0.0)
+            for i, (d, h, u, t) in enumerate(rows)
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
+class TestFunnel:
+    def test_strict_ordering_enforced(self, spark):
+        rows = [
+            # user 1: view -> click -> purchase (full funnel)
+            (1, 1, 1, "view"), (1, 2, 1, "click"), (1, 3, 1, "purchase"),
+            # user 2: click BEFORE view -> must stop at view
+            (2, 1, 2, "click"), (2, 2, 2, "view"),
+            # user 3: view -> purchase (skips click) -> stops at view
+            (3, 1, 3, "view"), (3, 2, 3, "purchase"),
+            # user 4: view -> click, no purchase
+            (4, 1, 4, "view"), (4, 2, 4, "click"),
+            # user 5: purchase only -> not even stage 1
+            (5, 1, 5, "purchase"),
+        ]
+        got = {
+            r["stage"]: r
+            for r in funnel_conversion(
+                _events(spark, rows), ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert got["view"]["n_users"] == 4
+        assert got["click"]["n_users"] == 2  # users 1 and 4
+        assert got["purchase"]["n_users"] == 1  # user 1 only
+        assert got["view"]["conv_from_prev"] is None
+        assert got["click"]["conv_from_prev"] == pytest.approx(0.5)
+        assert got["purchase"]["conv_from_first"] == pytest.approx(0.25)
+
+    def test_same_timestamp_does_not_advance(self, spark):
+        # click at the SAME instant as the view is not strictly after
+        rows = [(1, 1, 1, "view"), (1, 1, 1, "click")]
+        got = {
+            r["stage"]: r["n_users"]
+            for r in funnel_conversion(
+                _events(spark, rows), ["view", "click"]
+            ).collect()
+        }
+        assert got == {"view": 1, "click": 0}
+
+
+class TestCohortRetention:
+    def test_triangle_counts(self, spark):
+        rows = [
+            # user 1 first seen week 0 (Jan 1), active weeks 0 and 1
+            (1, 1, 1, "view"), (2, 1, 1, "view"), (9, 1, 1, "click"),
+            # user 2 first seen week 0, active week 0 only
+            (3, 1, 2, "view"),
+            # user 3 first seen week 1 (Jan 8), active weeks 1(=offset 0), 2
+            (8, 1, 3, "view"), (16, 1, 3, "purchase"),
+        ]
+        got = {
+            (r["cohort_week"], r["week_offset"]): (
+                r["n_active"],
+                r["cohort_size"],
+                r["retention"],
+            )
+            for r in cohort_retention(_events(spark, rows)).collect()
+        }
+        assert got[(0, 0)] == (2, 2, 1.0)
+        assert got[(0, 1)] == (1, 2, 0.5)
+        assert got[(1, 0)] == (1, 1, 1.0)
+        assert got[(1, 1)] == (1, 1, 1.0)
+        assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+    def test_offset_zero_is_full_cohort(self, spark):
+        rows = [(d, 1, u, "view") for u in (1, 2, 3) for d in (2, 5, 9)]
+        got = cohort_retention(_events(spark, rows)).collect()
+        zero = [r for r in got if r["week_offset"] == 0]
+        assert all(r["retention"] == 1.0 for r in zero)
