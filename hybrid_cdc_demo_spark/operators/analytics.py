@@ -134,3 +134,185 @@ def cohort_retention(
             F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    *,
+    purchase_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    purchasing users — the classic customer-value cut.
+
+    Scale shape: events reduce to one row per purchasing user (keyed
+    partial aggregation); the three quartile ranks come from THREE
+    chained :func:`global_rank` passes over that user-level frame —
+    the distributed total-order primitive (range-exchange + partition
+    offsets), never Spark's one-task unpartitioned ntile window.
+    Quartile = 1 + floor(4 * (rank-1) / n) with n broadcast — exact
+    integer semantics, identical in the oracle's row_number form.
+
+    Determinism: recency is day arithmetic on the NTZ date, monetary
+    accumulates in DECIMAL(18,6) (exact, order-free) and casts to
+    double once for output; ranks carry a user_id tiebreak.
+    """
+    from hybrid_cdc_demo_spark.operators.partitioning import global_rank
+
+    p = events.filter(F.col(type_col) == purchase_type).select(
+        F.col(user_col),
+        F.to_date(ts_col).alias("_d"),
+        F.col(value_col).cast("decimal(18,6)").alias("_v"),
+    )
+    anchor = events.agg(F.max(F.to_date(ts_col)).alias("_mxd"))
+    u = (
+        p.groupBy(user_col)
+        .agg(
+            F.max("_d").alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("_v").alias("_mon"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            user_col,
+            F.datediff(F.col("_mxd"), F.col("_last")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "_mon",
+        )
+    )
+    ranked = global_rank(u, [F.col("recency_days"), F.col(user_col)], "_pr")
+    ranked = global_rank(
+        ranked, [F.col("frequency").desc(), F.col(user_col)], "_pf"
+    )
+    ranked = global_rank(ranked, [F.col("_mon").desc(), F.col(user_col)], "_pm")
+    n = ranked.agg(F.count("*").cast("long").alias("_n"))
+
+    def q(pos: str) -> F.Column:
+        return (
+            F.lit(1)
+            + F.floor(
+                F.lit(4.0)
+                * (F.col(pos) - 1).cast("double")
+                / F.col("_n").cast("double")
+            )
+        ).cast("int")
+
+    return ranked.crossJoin(F.broadcast(n)).select(
+        user_col,
+        "recency_days",
+        "frequency",
+        F.col("_mon").cast("double").alias("monetary"),
+        q("_pr").alias("r_q"),
+        q("_pf").alias("f_q"),
+        q("_pm").alias("m_q"),
+        F.concat(
+            q("_pr").cast("string"), q("_pf").cast("string"), q("_pm").cast("string")
+        ).alias("segment"),
+    )
+
+
+def top_event_paths(
+    events: DataFrame,
+    *,
+    steps: int = 3,
+    topk: int = 20,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most common first-``steps`` event-type paths across users (the
+    clickstream path-analysis shape): each user's first events in time
+    order join into a '>'-separated path string, counted across users,
+    top-k reported.
+
+    Scale shape: the per-user window prunes to ``steps`` rows per user
+    BEFORE any aggregation (WindowGroupLimit pre-reduces map-side);
+    the path build is a bounded sorted fold per user; the final top-k
+    is TakeOrderedAndProject. Ties order by (ts, event_id) — a total
+    order, so paths are deterministic."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    firstn = (
+        events.select(
+            user_col,
+            F.col(type_col),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= steps)
+    )
+    paths = firstn.groupBy(user_col).agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_rn").alias("r"), F.col(type_col).alias("t"))
+                    )
+                ),
+                lambda s: s.getField("t"),
+            ),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    top = counts.orderBy(F.desc("n_users"), F.col("path")).limit(topk)
+    wr = Window.orderBy(F.desc("n_users"), F.col("path"))
+    return top.select(
+        F.row_number().over(wr).cast("int").alias("rank"), "path", "n_users"
+    )
+
+
+def daily_anomalies(
+    events: DataFrame,
+    *,
+    z_threshold: float = 2.0,
+    anchor: str = "2024-01-01",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-event-type daily-volume z-scores with anomaly flags — the
+    monitoring query behind every "traffic looks weird today" alert.
+
+    Scale shape: events collapse to (type, day) counts first (keyed
+    partial aggregation — output is |types| x |days| regardless of
+    volume); per-type mean/variance come from exact BIGINT sums of
+    counts and squared counts (one more tiny aggregation), broadcast
+    back into the z projection.
+
+    Determinism: all sums are exact longs; mean, sample variance
+    ((Σx² - (Σx)²/n) / (n-1)), sqrt and the z division are
+    correctly-rounded doubles over identical expression trees."""
+    d = events.select(
+        F.col(type_col).alias("etype"),
+        F.datediff(F.to_date(ts_col), F.lit(anchor).cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    counts = d.groupBy("etype", "day").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    stats = counts.groupBy("etype").agg(
+        F.count("*").cast("long").alias("_days"),
+        F.sum("n").cast("long").alias("_sx"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("_sxx"),
+    )
+    nd = F.col("_days").cast("double")
+    mean = F.col("_sx").cast("double") / nd
+    var = (
+        F.col("_sxx").cast("double")
+        - F.col("_sx").cast("double") * F.col("_sx").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return counts.join(F.broadcast(stats), "etype").select(
+        "etype",
+        "day",
+        "n",
+        z.alias("z"),
+        (F.abs(z) > F.lit(z_threshold)).cast("int").alias("is_anomaly"),
+    )

@@ -105,3 +105,137 @@ def ns_cohort_retention(spark, sf_dir):
     arithmetic on DATEs, immune to engine week-start semantics."""
     events = load_table(spark, sf_dir, "events")
     return cohort_retention(events).orderBy("cohort_week", "week_offset")
+
+
+@query(
+    "ns_rfm_segments",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), mx AS (
+      SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events
+    ), u AS (
+      SELECT user_id,
+             CAST(datediff('day', MAX(d), (SELECT mxd FROM mx)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(v) AS mon_dec
+      FROM p GROUP BY user_id
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u
+    ), r AS (
+      SELECT user_id,
+             row_number() OVER (ORDER BY recency_days, user_id) AS pr,
+             row_number() OVER (ORDER BY frequency DESC, user_id) AS pf,
+             row_number() OVER (ORDER BY mon_dec DESC, user_id) AS pm
+      FROM u
+    ), sc AS (
+      SELECT u.user_id, u.recency_days, u.frequency,
+             CAST(u.mon_dec AS DOUBLE) AS monetary,
+             CAST(1 + FLOOR(CAST(4.0 AS DOUBLE) * CAST(r.pr - 1 AS DOUBLE)
+                            / CAST(n.n_users AS DOUBLE)) AS INT) AS r_q,
+             CAST(1 + FLOOR(CAST(4.0 AS DOUBLE) * CAST(r.pf - 1 AS DOUBLE)
+                            / CAST(n.n_users AS DOUBLE)) AS INT) AS f_q,
+             CAST(1 + FLOOR(CAST(4.0 AS DOUBLE) * CAST(r.pm - 1 AS DOUBLE)
+                            / CAST(n.n_users AS DOUBLE)) AS INT) AS m_q
+      FROM u JOIN r USING (user_id) CROSS JOIN n
+    )
+    SELECT user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+             || CAST(m_q AS VARCHAR) AS segment
+    FROM sc ORDER BY user_id
+    """,
+)
+def ns_rfm_segments(spark, sf_dir):
+    """RFM quartile segmentation of purchasing users, HASH-VERIFIED:
+    recency/frequency/monetary per user (monetary in exact DECIMAL),
+    quartiles from three chained global_rank passes — the distributed
+    total-order primitive (range exchange + partition offsets + Arrow
+    enumeration), standing in for the oracle's one-task row_number
+    windows. Quartile = 1 + floor(4*(rank-1)/n), n broadcast."""
+    from hybrid_cdc_demo_spark.operators.analytics import rfm_segments
+
+    events = load_table(spark, sf_dir, "events")
+    return rfm_segments(events).orderBy("user_id")
+
+
+@query(
+    "ns_event_paths",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             array_to_string(
+               list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM paths GROUP BY path
+    )
+    SELECT CAST(row_number() OVER w AS INT) AS rank, path, n_users
+    FROM c
+    WINDOW w AS (ORDER BY n_users DESC, path)
+    QUALIFY row_number() OVER w <= 20
+    ORDER BY rank
+    """,
+)
+def ns_event_paths(spark, sf_dir):
+    """Top-20 first-three-event paths across users, HASH-VERIFIED —
+    the clickstream path-analysis query. The per-user rank window
+    prunes to 3 rows per user map-side (WindowGroupLimit) before any
+    aggregation; the path string builds with a bounded sorted fold;
+    top-k is TakeOrderedAndProject. (ts, event_id) gives a total
+    order, so paths are deterministic."""
+    from hybrid_cdc_demo_spark.operators.analytics import top_event_paths
+
+    events = load_table(spark, sf_dir, "events")
+    return top_event_paths(events, steps=3, topk=20).orderBy("rank")
+
+
+@query(
+    "ns_daily_anomaly",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS etype,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day
+      FROM events
+    ), c AS (
+      SELECT etype, day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY etype, day
+    ), s AS (
+      SELECT etype, CAST(COUNT(*) AS BIGINT) AS days,
+             CAST(SUM(n) AS BIGINT) AS sx,
+             CAST(SUM(n * n) AS BIGINT) AS sxx
+      FROM c GROUP BY etype
+    )
+    SELECT c.etype, c.day, c.n,
+           (CAST(c.n AS DOUBLE)
+              - CAST(s.sx AS DOUBLE) / CAST(s.days AS DOUBLE))
+           / sqrt((CAST(s.sxx AS DOUBLE)
+                     - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                       / CAST(s.days AS DOUBLE))
+                  / (CAST(s.days AS DOUBLE) - 1.0)) AS z,
+           CAST(abs((CAST(c.n AS DOUBLE)
+                      - CAST(s.sx AS DOUBLE) / CAST(s.days AS DOUBLE))
+                    / sqrt((CAST(s.sxx AS DOUBLE)
+                              - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                                / CAST(s.days AS DOUBLE))
+                           / (CAST(s.days AS DOUBLE) - 1.0))) > 2.0
+                AS INT) AS is_anomaly
+    FROM c JOIN s USING (etype)
+    ORDER BY c.etype, c.day
+    """,
+)
+def ns_daily_anomaly(spark, sf_dir):
+    """Per-type daily-volume z-scores with |z|>2 anomaly flags,
+    HASH-VERIFIED: events collapse to (type, day) counts (output
+    cardinality |types| x |days| regardless of volume); per-type
+    mean/sample-variance come from exact BIGINT sums of counts and
+    squared counts, broadcast back into the z projection. Every
+    float op is a correctly-rounded double over identical trees."""
+    from hybrid_cdc_demo_spark.operators.analytics import daily_anomalies
+
+    events = load_table(spark, sf_dir, "events")
+    return daily_anomalies(events).orderBy("etype", "day")

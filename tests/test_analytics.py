@@ -89,3 +89,76 @@ class TestCohortRetention:
         got = cohort_retention(_events(spark, rows)).collect()
         zero = [r for r in got if r["week_offset"] == 0]
         assert all(r["retention"] == 1.0 for r in zero)
+
+
+class TestRFM:
+    def test_quartiles_and_segments(self, spark):
+        # 4 purchasing users with strictly ordered R, F, M profiles:
+        # user u purchases u times on day u, 10*u value each
+        data = []
+        eid = 0
+        for u in (1, 2, 3, 4):
+            for _ in range(u):
+                data.append(
+                    (eid, datetime.datetime(2024, 1, u), u, "purchase", 10.0 * u)
+                )
+                eid += 1
+        data.append((eid, datetime.datetime(2024, 1, 8), 9, "view", 0.0))
+        ev = spark.createDataFrame(
+            data, ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        from hybrid_cdc_demo_spark.operators.analytics import rfm_segments
+
+        got = {r["user_id"]: r for r in rfm_segments(ev).collect()}
+        assert set(got) == {1, 2, 3, 4}
+        # recency: later purchase day = lower recency = better r_q
+        assert got[4]["recency_days"] < got[1]["recency_days"]
+        assert got[4]["r_q"] == 1 and got[1]["r_q"] == 4
+        # frequency: user 4 has most purchases
+        assert got[4]["frequency"] == 4 and got[4]["f_q"] == 1
+        assert got[1]["f_q"] == 4
+        assert got[4]["segment"] == "111"
+        assert got[1]["segment"] == "444"
+
+    def test_each_quartile_gets_n_over_4_users(self, spark):
+        rows = [(d, 1, u, "purchase") for u in range(1, 9) for d in (u,)]
+        from hybrid_cdc_demo_spark.operators.analytics import rfm_segments
+
+        got = rfm_segments(_events(spark, rows)).collect()
+        from collections import Counter
+
+        rq = Counter(r["r_q"] for r in got)
+        assert rq == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+class TestEventPaths:
+    def test_paths_and_ordering(self, spark):
+        rows = [
+            (1, 1, 1, "view"), (1, 2, 1, "click"), (1, 3, 1, "purchase"),
+            (1, 4, 1, "error"),  # 4th event ignored (steps=3)
+            (2, 1, 2, "view"), (2, 2, 2, "click"), (2, 3, 2, "purchase"),
+            (3, 1, 3, "view"), (3, 2, 3, "error"),
+        ]
+        from hybrid_cdc_demo_spark.operators.analytics import top_event_paths
+
+        got = top_event_paths(_events(spark, rows), steps=3, topk=5).collect()
+        assert (got[0]["path"], got[0]["n_users"]) == ("view>click>purchase", 2)
+        assert (got[1]["path"], got[1]["n_users"]) == ("view>error", 1)
+        assert [r["rank"] for r in got] == [1, 2]
+
+
+class TestDailyAnomaly:
+    def test_spike_is_flagged(self, spark):
+        rows = []
+        # 10 steady days of 5 views, one day with 50
+        for d in range(1, 11):
+            for _ in range(5 if d != 6 else 50):
+                rows.append((d, 1, 1, "view"))
+        from hybrid_cdc_demo_spark.operators.analytics import daily_anomalies
+
+        got = {r["day"]: r for r in daily_anomalies(_events(spark, rows)).collect()}
+        spike_day = got[max(got, key=lambda d: got[d]["n"])]
+        assert spike_day["n"] == 50 and spike_day["is_anomaly"] == 1
+        normal = [r for r in got.values() if r["n"] == 5]
+        assert all(r["is_anomaly"] == 0 for r in normal)
+        assert spike_day["z"] > 2.0 and all(r["z"] < 0 for r in normal)
