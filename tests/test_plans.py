@@ -537,3 +537,59 @@ def test_bpe_pair_stats_partial_aggregated(spark):
     assert "partial_count" in plan or "partial_sum" in plan or (
         "HashAggregate" in plan and "Exchange hashpartitioning" in plan
     )
+
+
+def test_span_dedup_shuffles_hashed_keys_only(spark):
+    """ns_dedup_substring's wide exchanges must carry the 64-bit
+    xxhash64 fingerprint, never the multi-word gram string, and the
+    coverage union must be a running-max window — no per-token
+    explode stage."""
+    df = QUERIES["ns_dedup_substring"](spark, SF)
+    opt = optimized_of(df)
+    assert "xxhash64" in opt
+    plan = plan_of(df)
+    # interval union: exactly one window over the flagged rows
+    assert plan.count("Window") >= 1
+    # the gram strings appear in the per-row projection but must not
+    # be a groupBy key: the dup-count aggregate keys on the hash
+    agg_keys = [
+        ln for ln in plan.splitlines() if "HashAggregate(keys=[_key" in ln
+    ]
+    assert agg_keys, plan[:2000]
+
+
+def test_event_paths_prunes_per_user_topn_mapside(spark):
+    """The first-3-events window must compile with WindowGroupLimit so
+    each map task pre-reduces to 3 rows per user before the shuffle."""
+    plan = plan_of(QUERIES["ns_event_paths"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hybrid_rrf_legs_prereduce(spark):
+    """Both RRF legs must pre-reduce to their candidate lists BEFORE
+    fusion — Catalyst's LimitPushDownThroughWindow turns each leg's
+    rank window into TakeOrderedAndProject (per-partition heaps) with
+    the row_number recomputed over the bounded result: three
+    TakeOrderedAndProject nodes (sparse 50, dense 50, fused 20), and
+    every Window sits ABOVE one of them, never over the raw corpus."""
+    plan = plan_of(QUERIES["ns_hybrid_rrf"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "limit=50" in plan and "limit=20" in plan
+
+
+def test_funnel_partial_aggregates_per_stage(spark):
+    """Every funnel stage is a partial-aggregated MIN per user —
+    HashAggregate pairs around each exchange, no window over raw
+    events."""
+    plan = plan_of(QUERIES["ns_funnel_conversion"](spark, SF))
+    assert "partial_min" in plan
+    # the only window is the 3-row rate window at the very top
+    assert plan.count("WindowGroupLimit") == 0
+
+
+def test_anomaly_stats_broadcast_back(spark):
+    """Per-type stats (5 rows) must broadcast into the z projection,
+    not shuffle the counts table again."""
+    plan = plan_of(QUERIES["ns_daily_anomaly"](spark, SF))
+    assert "BroadcastHashJoin" in plan
