@@ -316,3 +316,95 @@ def daily_anomalies(
         z.alias("z"),
         (F.abs(z) > F.lit(z_threshold)).cast("int").alias("is_anomaly"),
     )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix between event types: for
+    every consecutive pair in each user's (ts, event_id)-ordered
+    stream, count (from, to) and report the row-normalized transition
+    probability — the behavioral model behind next-action prediction
+    and session simulation.
+
+    Scale shape: ONE user-keyed window (lag) emits the transition
+    pairs — per-user state is a single row, the shuffle is the same
+    user_id key everything else uses; counts collapse to |types|²
+    cells regardless of volume, and row sums ride back in as a
+    broadcast. p = n/row_n is one int/int division (hash-exact)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.lag(type_col).over(w).alias("from_etype"),
+            F.col(type_col).alias("to_etype"),
+        )
+        .filter(F.col("from_etype").isNotNull())
+    )
+    counts = pairs.groupBy("from_etype", "to_etype").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_etype").agg(
+        F.sum("n").cast("long").alias("_row_n")
+    )
+    return counts.join(F.broadcast(totals), "from_etype").select(
+        "from_etype",
+        "to_etype",
+        "n",
+        (F.col("n").cast("double") / F.col("_row_n").cast("double")).alias("p"),
+    )
+
+
+def daily_gapfill(
+    events: DataFrame,
+    *,
+    anchor: str = "2024-01-01",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Calendar-dense daily event counts: a generated day spine from
+    the corpus min to max day, zero-filled where no events landed,
+    with a trailing ``window_days`` ROWS average that is only correct
+    BECAUSE the spine is dense (a RANGE frame over sparse days sees
+    gaps; a ROWS frame over the dense spine is a true calendar
+    window) — the densification step every time-series chart needs.
+
+    Scale shape: events collapse to per-day counts first (keyed
+    partial aggregation, |days| rows out); the spine generates from a
+    broadcast 1-row min/max frame — sequence+explode, never a driver
+    loop. The trailing window is unpartitioned but runs over the
+    CALENDAR-bounded spine (thousands of rows for years of data), not
+    the event stream — document-scale never touches it."""
+    d = events.select(
+        F.datediff(F.to_date(ts_col), F.lit(anchor).cast("date"))
+        .cast("long")
+        .alias("day")
+    )
+    counts = d.groupBy("day").agg(F.count("*").cast("long").alias("n"))
+    bounds = d.agg(F.min("day").alias("_lo"), F.max("day").alias("_hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day")
+    )
+    filled = (
+        spine.join(counts, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), Window.currentRow)
+    return filled.select(
+        "day",
+        "n_events",
+        "is_gap",
+        (
+            F.sum("n_events").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias(f"avg_{window_days}d"),
+    )

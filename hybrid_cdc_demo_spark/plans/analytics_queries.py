@@ -239,3 +239,82 @@ def ns_daily_anomaly(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     return daily_anomalies(events).orderBy("etype", "day")
+
+
+@query(
+    "ns_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_etype
+      FROM events
+    ), c AS (
+      SELECT from_etype, event_type AS to_etype,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM o WHERE from_etype IS NOT NULL
+      GROUP BY from_etype, event_type
+    ), t AS (
+      SELECT from_etype, CAST(SUM(n) AS BIGINT) AS row_n
+      FROM c GROUP BY from_etype
+    )
+    SELECT c.from_etype, c.to_etype, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+    FROM c JOIN t USING (from_etype)
+    ORDER BY c.from_etype, c.to_etype
+    """,
+)
+def ns_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix between event types,
+    HASH-VERIFIED: one user-keyed lag window emits consecutive-pair
+    transitions (per-user state = a single row), counts collapse to
+    |types|² cells regardless of event volume, row totals broadcast
+    back for the probability division — the next-action behavioral
+    model."""
+    from hybrid_cdc_demo_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return event_transition_matrix(events).orderBy("from_etype", "to_etype")
+
+
+@query(
+    "ns_daily_gapfill",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day
+      FROM events
+    ), c AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY day
+    ), b AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+    ), spine AS (
+      SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b
+    ), filled AS (
+      SELECT s.day,
+             COALESCE(c.n, 0) AS n_events,
+             CAST(c.n IS NULL AS INT) AS is_gap
+      FROM spine s LEFT JOIN c USING (day)
+    )
+    SELECT day, n_events, is_gap,
+           CAST(SUM(n_events) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_7d
+    FROM filled
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def ns_daily_gapfill(spark, sf_dir):
+    """Calendar-dense daily counts with zero-filled gaps and a
+    trailing 7-row average, HASH-VERIFIED: events collapse to per-day
+    counts, the day spine generates from a broadcast 1-row min/max
+    frame (sequence+explode — never a driver loop), and the ROWS
+    window is a true calendar window BECAUSE the spine is dense. The
+    unpartitioned window runs over the calendar-bounded spine
+    (thousands of rows for years), never the event stream."""
+    from hybrid_cdc_demo_spark.operators.analytics import daily_gapfill
+
+    events = load_table(spark, sf_dir, "events")
+    return daily_gapfill(events).orderBy("day")

@@ -162,3 +162,57 @@ class TestDailyAnomaly:
         normal = [r for r in got.values() if r["n"] == 5]
         assert all(r["is_anomaly"] == 0 for r in normal)
         assert spike_day["z"] > 2.0 and all(r["z"] < 0 for r in normal)
+
+
+class TestTransitions:
+    def test_probabilities_row_normalize(self, spark):
+        rows = [
+            (1, 1, 1, "view"), (1, 2, 1, "click"), (1, 3, 1, "view"),
+            (1, 4, 1, "click"), (1, 5, 1, "purchase"),
+            (2, 1, 2, "view"), (2, 2, 2, "view"),
+        ]
+        from hybrid_cdc_demo_spark.operators.analytics import (
+            event_transition_matrix,
+        )
+
+        got = {
+            (r["from_etype"], r["to_etype"]): (r["n"], r["p"])
+            for r in event_transition_matrix(_events(spark, rows)).collect()
+        }
+        # view -> click twice, view -> view once
+        assert got[("view", "click")] == (2, pytest.approx(2 / 3))
+        assert got[("view", "view")] == (1, pytest.approx(1 / 3))
+        assert got[("click", "view")][0] == 1
+        assert got[("click", "purchase")][0] == 1
+        # no cross-user transition (user 1 last event -> user 2 first)
+        assert ("purchase", "view") not in got
+
+    def test_row_sums_to_one(self, spark):
+        rows = [(d, h, u, t) for u in (1, 2) for d, h, t in
+                [(1, 1, "view"), (1, 2, "click"), (2, 1, "error"), (2, 2, "view")]]
+        from collections import defaultdict
+
+        from hybrid_cdc_demo_spark.operators.analytics import (
+            event_transition_matrix,
+        )
+
+        sums = defaultdict(float)
+        for r in event_transition_matrix(_events(spark, rows)).collect():
+            sums[r["from_etype"]] += r["p"]
+        assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
+
+
+class TestGapfill:
+    def test_gaps_zero_filled_and_flagged(self, spark):
+        rows = [(1, 1, 1, "view"), (1, 2, 1, "view"), (4, 1, 1, "view")]
+        from hybrid_cdc_demo_spark.operators.analytics import daily_gapfill
+
+        got = {r["day"]: r for r in daily_gapfill(_events(spark, rows)).collect()}
+        days = sorted(got)
+        assert days == [days[0], days[0] + 1, days[0] + 2, days[0] + 3]
+        assert got[days[0]]["n_events"] == 2 and got[days[0]]["is_gap"] == 0
+        assert got[days[1]]["n_events"] == 0 and got[days[1]]["is_gap"] == 1
+        assert got[days[2]]["n_events"] == 0
+        assert got[days[3]]["n_events"] == 1
+        # trailing average over the DENSE spine: day 3's 4-row window
+        assert got[days[3]]["avg_7d"] == pytest.approx(3 / 4)
