@@ -318,3 +318,87 @@ def ns_daily_gapfill(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     return daily_gapfill(events).orderBy("day")
+
+
+@query(
+    "ns_prequential_anomaly",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS etype, event_id, ts,
+             CAST(value AS DECIMAL(18,6)) AS x
+      FROM events
+    ), s AS (
+      SELECT etype, event_id, CAST(x AS DOUBLE) AS x,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx
+      FROM v
+      WINDOW w AS (PARTITION BY etype ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT etype, event_id, x,
+             CASE WHEN n >= 2
+                    AND (sxx - sx * sx / CAST(n AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1.0) > 0.0
+                  THEN (x - sx / CAST(n AS DOUBLE))
+                       / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0))
+                  ELSE NULL END AS z
+      FROM s
+    )
+    SELECT etype, event_id, x, z,
+           CASE WHEN z IS NULL THEN NULL
+                ELSE CAST(abs(z) > 2.0 AS INT) END AS is_anomaly
+    FROM z ORDER BY etype, event_id
+    """,
+)
+def ns_prequential_anomaly(spark, sf_dir):
+    """Prequential (prior-only) anomaly scores, HASH-VERIFIED: every
+    event's value z-scored against the running moments of all EARLIER
+    events of its type — the batch contract of the streaming detector
+    (streaming/anomaly.py scores each micro-batch against state before
+    folding it in; replaying ordered batches equals this query). The
+    expanding window accumulates count/sum/sumsq in exact DECIMAL
+    (order-free bits), casts once to double, and the z tree is
+    identical in both engines. One shuffle on the event-type key;
+    per-row state is the expanding frame's 3 accumulators."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    x_dec = F.col("value").cast("decimal(18,6)")
+    v = ev.select(
+        F.col("event_type").alias("etype"),
+        "event_id",
+        "ts",
+        x_dec.alias("_x"),
+    )
+    w = (
+        Window.partitionBy("etype")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = v.select(
+        "etype",
+        "event_id",
+        F.col("_x").cast("double").alias("x"),
+        F.count(F.lit(1)).over(w).cast("long").alias("_n"),
+        F.sum("_x").over(w).cast("double").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).over(w).cast("double").alias("_sxx"),
+    )
+    nd = F.col("_n").cast("double")
+    var = (F.col("_sxx") - F.col("_sx") * F.col("_sx") / nd) / (nd - F.lit(1.0))
+    z = F.when(
+        (F.col("_n") >= 2) & (var > 0.0),
+        (F.col("x") - F.col("_sx") / nd) / F.sqrt(var),
+    ).otherwise(F.lit(None).cast("double"))
+    out = s.select("etype", "event_id", "x", z.alias("z"))
+    return out.select(
+        "etype",
+        "event_id",
+        "x",
+        "z",
+        F.when(
+            F.col("z").isNull(), F.lit(None).cast("int")
+        ).otherwise((F.abs("z") > 2.0).cast("int")).alias("is_anomaly"),
+    ).orderBy("etype", "event_id")
