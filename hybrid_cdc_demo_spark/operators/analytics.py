@@ -408,3 +408,92 @@ def daily_gapfill(
             / F.count(F.lit(1)).over(w).cast("double")
         ).alias(f"avg_{window_days}d"),
     )
+
+
+def purchase_attribution(
+    events: DataFrame,
+    *,
+    window_days: int = 1,
+    touch_types: Sequence[str] = ("view", "click"),
+    purchase_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Marketing attribution per purchase: linear credit split across
+    the user's touches (views/clicks) in the ``window_days`` before
+    the purchase, plus the last-touch winner — the two standard
+    attribution models, emitted as one detail row per purchase so no
+    order-dependent double sum ever happens (roll-ups are the
+    consumer's choice of exact-decimal aggregation).
+
+    Scale shape: the touch lookup is a user-keyed equi-join with a
+    range residual (t_ts in (p_ts - window, p_ts]) — output bounded by
+    per-user touch density x purchases, never a cartesian; the
+    per-purchase aggregation is partial-aggregated on the purchase
+    id. Last touch = lexicographic MAX of (ts, event_id, type) — a
+    total order, so ties are impossible.
+
+    Determinism: counts are exact longs; each credit is one
+    double-multiply-divide over identical trees; no float ever sums.
+    """
+    p = events.filter(F.col(type_col) == purchase_type).select(
+        F.col(user_col),
+        F.col(id_col).alias("purchase_eid"),
+        F.col(ts_col).alias("_pts"),
+        F.col(value_col).alias("_val"),
+    )
+    t = events.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_teid"),
+        F.col(type_col).alias("_ttype"),
+    )
+    j = p.join(
+        t,
+        [
+            p[user_col] == t[user_col],
+            F.col("_tts") <= F.col("_pts"),
+            F.col("_tts") > F.col("_pts") - F.expr(f"INTERVAL {window_days} DAY"),
+        ],
+        "left",
+    )
+    agg = j.groupBy("purchase_eid").agg(
+        # user/value are group constants; MIN is order-free in every
+        # engine (first() is arrival-order-dependent)
+        F.min(p[user_col]).alias("user_id"),
+        F.min("_val").cast("double").alias("value"),
+        *[
+            F.count(F.when(F.col("_ttype") == tt, 1)).cast("long").alias(f"n_{tt}")
+            for tt in touch_types
+        ],
+        F.count("_teid").cast("long").alias("n_touches"),
+        F.max(
+            F.struct(
+                F.col("_tts").alias("ts"),
+                F.col("_teid").alias("eid"),
+                F.col("_ttype").alias("t"),
+            )
+        ).getField("t").alias("last_touch"),
+    )
+    nt = F.col("n_touches").cast("double")
+    credit_cols = [
+        F.when(
+            F.col("n_touches") > 0,
+            F.col("value") * F.col(f"n_{tt}").cast("double") / nt,
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"credit_{tt}")
+        for tt in touch_types
+    ]
+    return agg.select(
+        "purchase_eid",
+        "user_id",
+        "value",
+        *[f"n_{tt}" for tt in touch_types],
+        "n_touches",
+        *credit_cols,
+        "last_touch",
+    )

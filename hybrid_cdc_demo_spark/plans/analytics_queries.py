@@ -402,3 +402,57 @@ def ns_prequential_anomaly(spark, sf_dir):
             F.col("z").isNull(), F.lit(None).cast("int")
         ).otherwise((F.abs("z") > 2.0).cast("int")).alias("is_anomaly"),
     ).orderBy("etype", "event_id")
+
+
+@query(
+    "ns_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_eid, ts AS pts, value AS val
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts AS tts, event_id AS teid, event_type AS ttype
+      FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.purchase_eid, p.user_id, p.val, t.tts, t.teid, t.ttype
+      FROM p LEFT JOIN t ON p.user_id = t.user_id
+        AND t.tts <= p.pts AND t.tts > p.pts - INTERVAL 1 DAY
+    ), a AS (
+      SELECT purchase_eid,
+             MIN(user_id) AS user_id,
+             CAST(MIN(val) AS DOUBLE) AS value,
+             CAST(COUNT(CASE WHEN ttype = 'view' THEN 1 END) AS BIGINT)
+               AS n_view,
+             CAST(COUNT(CASE WHEN ttype = 'click' THEN 1 END) AS BIGINT)
+               AS n_click,
+             CAST(COUNT(teid) AS BIGINT) AS n_touches,
+             (list(ttype ORDER BY tts DESC, teid DESC)
+                FILTER (WHERE teid IS NOT NULL))[1] AS last_touch
+      FROM j GROUP BY purchase_eid
+    )
+    SELECT purchase_eid, user_id, value, n_view, n_click, n_touches,
+           CASE WHEN n_touches > 0
+                THEN value * CAST(n_view AS DOUBLE)
+                     / CAST(n_touches AS DOUBLE)
+                ELSE 0.0 END AS credit_view,
+           CASE WHEN n_touches > 0
+                THEN value * CAST(n_click AS DOUBLE)
+                     / CAST(n_touches AS DOUBLE)
+                ELSE 0.0 END AS credit_click,
+           last_touch
+    FROM a ORDER BY purchase_eid
+    """,
+)
+def ns_attribution(spark, sf_dir):
+    """Linear + last-touch marketing attribution per purchase,
+    HASH-VERIFIED: a user-keyed equi-join with a 1-day range residual
+    finds each purchase's preceding touches (output bounded by
+    per-user touch density, never cartesian); one partial-aggregated
+    pass per purchase yields touch counts, the lexicographic-max
+    (ts, id, type) last-touch winner, and linear credits as single
+    double expressions — no float is ever summed, so the detail table
+    is bitwise-deterministic and roll-ups stay the consumer's choice."""
+    from hybrid_cdc_demo_spark.operators.analytics import purchase_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    return purchase_attribution(events, window_days=1).orderBy("purchase_eid")

@@ -216,3 +216,58 @@ class TestGapfill:
         assert got[days[3]]["n_events"] == 1
         # trailing average over the DENSE spine: day 3's 4-row window
         assert got[days[3]]["avg_7d"] == pytest.approx(3 / 4)
+
+
+class TestAttribution:
+    def test_linear_and_last_touch(self, spark):
+        rows = [
+            # user 1: 2 views + 1 click in the day before purchase
+            (1, 1, 1, "view"), (1, 2, 1, "view"), (1, 3, 1, "click"),
+            (1, 4, 1, "purchase"),
+            # user 2: touch OUTSIDE the 1-day window, then purchase
+            (1, 1, 2, "view"), (3, 2, 2, "purchase"),
+            # user 3: purchase with no touches at all
+            (2, 1, 3, "purchase"),
+        ]
+        ev = spark.createDataFrame(
+            [
+                (i, datetime.datetime(2024, 1, d, h), u, t, 8.0)
+                for i, (d, h, u, t) in enumerate(rows)
+            ],
+            ["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        from hybrid_cdc_demo_spark.operators.analytics import (
+            purchase_attribution,
+        )
+
+        got = {
+            r["user_id"]: r
+            for r in purchase_attribution(ev, window_days=1).collect()
+        }
+        u1 = got[1]
+        assert (u1["n_view"], u1["n_click"], u1["n_touches"]) == (2, 1, 3)
+        assert u1["credit_view"] == pytest.approx(8.0 * 2 / 3)
+        assert u1["credit_click"] == pytest.approx(8.0 / 3)
+        assert u1["last_touch"] == "click"
+        u2 = got[2]  # the view 2 days earlier is out of window
+        assert u2["n_touches"] == 0 and u2["last_touch"] is None
+        assert u2["credit_view"] == 0.0
+        u3 = got[3]
+        assert u3["n_touches"] == 0
+
+    def test_last_touch_tiebreak_on_event_id(self, spark):
+        # two touches at the SAME timestamp: higher event_id wins
+        ev = spark.createDataFrame(
+            [
+                (1, datetime.datetime(2024, 1, 1, 1), 1, "view", 0.0),
+                (2, datetime.datetime(2024, 1, 1, 1), 1, "click", 0.0),
+                (3, datetime.datetime(2024, 1, 1, 2), 1, "purchase", 4.0),
+            ],
+            ["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        from hybrid_cdc_demo_spark.operators.analytics import (
+            purchase_attribution,
+        )
+
+        (row,) = purchase_attribution(ev, window_days=1).collect()
+        assert row["last_touch"] == "click"
