@@ -132,3 +132,88 @@ def global_rank(
             yield out
 
     return d.mapInPandas(enumerate_batches, schema=out_schema)
+
+
+def global_rank_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    rank_col: str = "pos",
+    cum_col: str = "cum",
+    cum_type: str = "decimal(28,6)",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed total-order enumeration PLUS exact prefix sums: each
+    row gets its 1-based position in the ``order_cols`` total order
+    and the running sum of ``value_col`` up to and including itself —
+    the scale-safe form of ``SUM(v) OVER (ORDER BY ...)`` (which Spark
+    executes in ONE task when the window has no PARTITION BY).
+
+    Same plan as :func:`global_rank` — one range exchange + in-
+    partition sort, then a ≤P-row control frame to the driver — but
+    the per-partition summary now carries (row count, exact DECIMAL
+    value sum), so the driver prefix-folds BOTH offsets and the Arrow
+    pass emits position and cumulative sum in the same sweep. The
+    value must be a DECIMAL column: partition subtotals and the Python
+    ``decimal.Decimal`` prefix fold are then exact, so the cumulative
+    sums are bitwise-reproducible regardless of partitioning.
+
+    Ties in ``order_cols`` get positions in partition order — pass a
+    unique tiebreak column for a total order (callers here always do).
+    """
+    import decimal
+
+    import pyspark.sql.functions as F
+
+    spark = df.sparkSession
+    num = int(partitions or spark.sparkContext.defaultParallelism)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = (
+        df.repartitionByRange(num, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    summaries = {
+        int(r["_pid"]): (int(r["n"]), r["s"])
+        for r in d.groupBy("_pid")
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("s"))
+        .collect()
+    }
+    count_off, sum_off = 0, decimal.Decimal(0)
+    offsets: dict[int, tuple[int, decimal.Decimal]] = {}
+    for pid in sorted(summaries):
+        offsets[pid] = (count_off, sum_off)
+        n, s = summaries[pid]
+        count_off += n
+        sum_off += decimal.Decimal(s) if s is not None else 0
+    out_fields = [f for f in d.schema.fields if f.name != "_pid"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + f", {rank_col} long, {cum_col} {cum_type}"
+    names = [f.name for f in out_fields]
+
+    def sweep(batches):
+        import itertools
+
+        local_n = 0
+        local_s = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base_n, base_s = offsets[int(pdf["_pid"].iloc[0])]
+            if local_s is None:
+                local_s = base_s
+            out = pdf[names].copy()
+            out[rank_col] = range(
+                base_n + local_n + 1, base_n + local_n + 1 + len(pdf)
+            )
+            vals = [decimal.Decimal(v) for v in pdf[value_col]]
+            out[cum_col] = list(
+                itertools.accumulate(vals, initial=local_s)
+            )[1:]
+            local_n += len(pdf)
+            local_s = local_s + sum(vals)
+            yield out
+
+    return d.mapInPandas(sweep, schema=out_schema)

@@ -456,3 +456,72 @@ def ns_attribution(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     return purchase_attribution(events, window_days=1).orderBy("purchase_eid")
+
+
+@query(
+    "ns_pareto_revenue",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), u AS (
+      SELECT user_id, SUM(v) AS mon FROM p GROUP BY user_id
+    ), t AS (
+      SELECT SUM(mon) AS total FROM u
+    ), r AS (
+      SELECT user_id, mon,
+             CAST(row_number() OVER win AS BIGINT) AS rank,
+             SUM(mon) OVER (ORDER BY mon DESC, user_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM u WINDOW win AS (ORDER BY mon DESC, user_id)
+    )
+    SELECT r.rank, r.user_id, CAST(r.mon AS DOUBLE) AS monetary,
+           CAST(r.cum AS DOUBLE) AS cum_revenue,
+           CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share
+    FROM r CROSS JOIN t ORDER BY r.rank
+    """,
+)
+def ns_pareto_revenue(spark, sf_dir):
+    """Revenue concentration curve (the Pareto 80/20 cut),
+    HASH-VERIFIED: users ranked by exact-DECIMAL purchase revenue with
+    their running revenue share — rank AND prefix sum come from ONE
+    global_rank_cumsum pass (range exchange + ≤P-row control frame +
+    Arrow sweep), the scale-safe form of the oracle's unpartitioned
+    SUM OVER window (one task in Spark). Cumulative sums fold in
+    python Decimal over exact partition subtotals, so every cum_share
+    double is bitwise-reproducible."""
+    import pyspark.sql.functions as F
+
+    from hybrid_cdc_demo_spark.operators.partitioning import (
+        global_rank_cumsum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("value").cast("decimal(18,6)").alias("_v"))
+        .groupBy("user_id")
+        .agg(F.sum("_v").alias("_mon"))
+    )
+    total = u.agg(F.sum("_mon").alias("_total"))
+    ranked = global_rank_cumsum(
+        u,
+        [F.col("_mon").desc(), F.col("user_id")],
+        "_mon",
+        rank_col="rank",
+        cum_col="_cum",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "user_id",
+            F.col("_mon").cast("double").alias("monetary"),
+            F.col("_cum").cast("double").alias("cum_revenue"),
+            (
+                F.col("_cum").cast("double") / F.col("_total").cast("double")
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )

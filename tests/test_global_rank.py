@@ -5,6 +5,8 @@ the cross-partition offset stitching under adversarial partition
 counts.
 """
 
+import decimal
+
 import pyspark.sql.functions as F
 
 from hybrid_cdc_demo_spark.operators.partitioning import global_rank
@@ -58,3 +60,55 @@ def test_plan_has_no_global_window(spark):
     )
     assert "Window" not in plan
     assert "MapInPandas" in plan
+
+
+class TestGlobalRankCumsum:
+    def _run(self, spark, rows, partitions):
+        import decimal
+
+        from hybrid_cdc_demo_spark.operators.partitioning import (
+            global_rank_cumsum,
+        )
+
+        df = spark.createDataFrame(rows, ["i", "v"]).select(
+            "i", F.col("v").cast("decimal(18,6)").alias("v")
+        )
+        out = global_rank_cumsum(
+            df, ["v", "i"], "v", partitions=partitions
+        ).collect()
+        got = {r["i"]: (r["pos"], r["cum"]) for r in out}
+        # reference: single-process prefix sum in (v, i) order
+        ref = {}
+        run = decimal.Decimal(0)
+        for pos, (i, v) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0])), start=1
+        ):
+            run += decimal.Decimal(str(v)).quantize(decimal.Decimal("0.000001"))
+            ref[i] = (pos, run)
+        return got, ref
+
+    def test_matches_reference_across_partition_counts(self, spark):
+        import random
+
+        rng = random.Random(17)
+        rows = [(i, round(rng.uniform(0, 100), 2)) for i in range(300)]
+        for parts in (1, 3, 8, 64):
+            got, ref = self._run(spark, rows, parts)
+            assert {k: (p, decimal.Decimal(c)) for k, (p, c) in got.items()} == {
+                k: (p, c) for k, (p, c) in ref.items()
+            }, f"partitions={parts}"
+
+    def test_ties_keep_exact_totals(self, spark):
+        rows = [(i, 1.5) for i in range(10)]
+        got, ref = self._run(spark, rows, 4)
+        # every prefix is an exact multiple of 1.5 — no float drift
+        assert sorted(c for _, c in got.values()) == sorted(
+            c for _, c in ref.values()
+        )
+
+    def test_empty_partitions_do_not_shift_offsets(self, spark):
+        rows = [(1, 5.0), (2, 3.0)]
+        got, ref = self._run(spark, rows, 16)  # far more partitions than rows
+        assert {k: v[0] for k, v in got.items()} == {2: 1, 1: 2}
+        assert got[1][1] == ref[1][1]
+
