@@ -525,3 +525,45 @@ def ns_pareto_revenue(spark, sf_dir):
         )
         .orderBy("rank")
     )
+
+
+@query(
+    "ns_winsorize",
+    oracle="""
+    WITH n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+    ), r AS (
+      SELECT event_id, value,
+             row_number() OVER (ORDER BY value, event_id) AS rk
+      FROM events
+    ), b AS (
+      SELECT
+        MAX(CASE WHEN rk = GREATEST((n.n * 1 + 99) // 100, 1)
+                 THEN value END) AS lo,
+        MAX(CASE WHEN rk = GREATEST((n.n * 99 + 99) // 100, 1)
+                 THEN value END) AS hi
+      FROM r CROSS JOIN n
+    )
+    SELECT e.event_id, e.value, b.lo AS lo_bound, b.hi AS hi_bound,
+           CASE WHEN e.value < b.lo THEN b.lo
+                WHEN e.value > b.hi THEN b.hi
+                ELSE e.value END AS clipped,
+           CAST(e.value < b.lo OR e.value > b.hi AS INT) AS is_clipped
+    FROM events e CROSS JOIN b
+    ORDER BY e.event_id
+    """,
+)
+def ns_winsorize(spark, sf_dir):
+    """Exact p1/p99 winsorization of event values, HASH-VERIFIED: the
+    tail boundaries come from TakeOrderedAndProject heaps (the rank-r
+    boundary is the lexicographic max of the r smallest rows — r ≪ n
+    for tail quantiles, so NO global sort or full ranking shuffle ever
+    runs, unlike the oracle's row_number formulation); clipping is a
+    map-side CASE over the two broadcast boundary rows. Percentile
+    ranks use integer ceiling arithmetic — float ceil(0.01*n) rounds
+    differently across engines. Pairs with ns_quantile_sketch: exact
+    tails here, approximate mid-distribution there."""
+    from hybrid_cdc_demo_spark.operators.quality import winsorize
+
+    events = load_table(spark, sf_dir, "events")
+    return winsorize(events, "value", "event_id").orderBy("event_id")

@@ -119,3 +119,46 @@ def test_streaming_pipeline_quality_rules_quarantine(spark, tmp_path):
     qrows = dlq.filter(F.col("destination") == "quality").collect()
     assert len(qrows) == 1
     assert json.loads(qrows[0]["columns"])["user_id"] == "u2"
+
+
+class TestWinsorize:
+    def test_exact_boundaries_and_clipping(self, spark):
+        from hybrid_cdc_demo_spark.operators.quality import winsorize
+
+        # 100 rows with values 1..100: p1 = 1 (rank ceil(1) = 1),
+        # p99 = 99 (rank 99)
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], ["id", "v"]
+        )
+        got = {r["id"]: r for r in winsorize(df, "v", "id").collect()}
+        assert got[50]["lo_bound"] == 1.0 and got[50]["hi_bound"] == 99.0
+        assert got[100]["clipped"] == 99.0 and got[100]["is_clipped"] == 1
+        assert got[99]["clipped"] == 99.0 and got[99]["is_clipped"] == 0
+        assert got[1]["is_clipped"] == 0  # equals the lo boundary
+        assert sum(r["is_clipped"] for r in got.values()) == 1
+
+    def test_matches_numpy_reference(self, spark):
+        import random
+
+        from hybrid_cdc_demo_spark.operators.quality import winsorize
+
+        rng = random.Random(3)
+        vals = [round(rng.gauss(50, 20), 2) for _ in range(500)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+        )
+        got = winsorize(df, "v", "id").collect()
+        sv = sorted(vals)
+        lo = sv[(500 * 1 + 99) // 100 - 1]
+        hi = sv[(500 * 99 + 99) // 100 - 1]
+        for r in got:
+            assert r["lo_bound"] == lo and r["hi_bound"] == hi
+            assert r["clipped"] == min(max(vals[r["id"]], lo), hi)
+
+    def test_tiny_frames_clamp_rank_to_one(self, spark):
+        from hybrid_cdc_demo_spark.operators.quality import winsorize
+
+        df = spark.createDataFrame([(1, 5.0), (2, 7.0)], ["id", "v"])
+        got = {r["id"]: r for r in winsorize(df, "v", "id").collect()}
+        assert got[1]["lo_bound"] == 5.0  # rank clamps to 1
+        assert all(r["is_clipped"] == 0 for r in got.values())
