@@ -130,6 +130,39 @@ SHOWCASE = [
      "map-only nested-literal projection: scan + one codegen "
      "projection; the model (4x64 doubles) rides in as literals — no "
      "join, the presentation sort is the only Exchange"),
+    ("ns_dedup_substring", False,
+     "exact-substring span dedup: the wide exchanges key on the "
+     "64-bit xxhash64 gram fingerprint (8-byte shuffle keys, never "
+     "the multi-word gram string); duplicated windows flag via a "
+     "LEFT SEMI equi-join and the covered-token interval union is "
+     "ONE running-max window over flagged rows — no per-token "
+     "explode stage exists"),
+    ("ns_hybrid_rrf", False,
+     "both retrieval legs pre-reduce BEFORE fusion: "
+     "LimitPushDownThroughWindow turns each leg's rank window into "
+     "TakeOrderedAndProject (limit=50) with the row_number "
+     "recomputed over the bounded result; the full-outer fusion "
+     "join therefore touches <= 100 rows at any corpus size"),
+    ("ns_funnel_conversion", False,
+     "every funnel stage is a partial-aggregated MIN(ts) per user "
+     "gated strictly-after the previous stage — all exchanges key on "
+     "user_id, nothing wider than |users| moves, and the only "
+     "window is the 3-row rate window at the top"),
+    ("ns_prequential_anomaly", False,
+     "expanding-window moments per event type: ONE hash exchange on "
+     "the type key serves the window; count/sum/sumsq accumulate in "
+     "exact DECIMAL inside the frame (order-free bits) and the z "
+     "projection is pure codegen above it"),
+    ("ns_winsorize", False,
+     "exact tail order statistics WITHOUT a global sort: each "
+     "boundary is a TakeOrderedAndProject heap (r rows to one "
+     "reducer, r << n) + 1-row aggregate, broadcast into a map-side "
+     "clip CASE — the oracle's full row_number ranking never runs"),
+    ("ns_pareto_revenue", False,
+     "rank + exact prefix sum in ONE global_rank_cumsum pass: a "
+     "rangepartitioning exchange + in-partition sort + Arrow sweep "
+     "with <= P-row driver control data — the scale-safe form of an "
+     "unpartitioned SUM OVER window (one task in Spark)"),
 ]
 
 
