@@ -80,12 +80,16 @@ def funnel_conversion(
         counts = row if counts is None else counts.unionAll(row)
     w = Window.orderBy("stage_idx")
     n = F.col("n_users").cast("double")
+    prev, head = F.lag("n_users").over(w), F.first("n_users").over(w)
+    # guards: an empty stage makes the NEXT rate undefined (NULL), and
+    # Spark 4's ANSI mode raises DIVIDE_BY_ZERO even for doubles — the
+    # When predicate short-circuits so the division never evaluates
     return counts.select(
         "stage_idx",
         "stage",
         "n_users",
-        (n / F.lag("n_users").over(w).cast("double")).alias("conv_from_prev"),
-        (n / F.first("n_users").over(w).cast("double")).alias("conv_from_first"),
+        F.when(prev > 0, n / prev.cast("double")).alias("conv_from_prev"),
+        F.when(head > 0, n / head.cast("double")).alias("conv_from_first"),
     )
 
 
@@ -308,7 +312,13 @@ def daily_anomalies(
         F.col("_sxx").cast("double")
         - F.col("_sx").cast("double") * F.col("_sx").cast("double") / nd
     ) / (nd - F.lit(1.0))
-    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    # the days>=2 conjunct short-circuits, so neither the (n-1) sample
+    # divisor nor sqrt(0) ever divides under ANSI; constant-volume or
+    # single-day types report NULL z (no baseline to deviate from)
+    z = F.when(
+        (F.col("_days") >= 2) & (var > 0.0),
+        (F.col("n").cast("double") - mean) / F.sqrt(var),
+    )
     return counts.join(F.broadcast(stats), "etype").select(
         "etype",
         "day",

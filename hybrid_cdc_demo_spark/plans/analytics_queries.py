@@ -44,10 +44,14 @@ FUNNEL_STAGES = ["view", "click", "purchase"]
       SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
     )
     SELECT stage_idx, stage, n_users,
-           CAST(n_users AS DOUBLE)
-             / CAST(lag(n_users) OVER w AS DOUBLE) AS conv_from_prev,
-           CAST(n_users AS DOUBLE)
-             / CAST(first_value(n_users) OVER w AS DOUBLE) AS conv_from_first
+           CASE WHEN lag(n_users) OVER w > 0
+                THEN CAST(n_users AS DOUBLE)
+                     / CAST(lag(n_users) OVER w AS DOUBLE) END
+             AS conv_from_prev,
+           CASE WHEN first_value(n_users) OVER w > 0
+                THEN CAST(n_users AS DOUBLE)
+                     / CAST(first_value(n_users) OVER w AS DOUBLE) END
+             AS conv_from_first
     FROM c
     WINDOW w AS (ORDER BY stage_idx)
     ORDER BY stage_idx
@@ -211,18 +215,28 @@ def ns_event_paths(spark, sf_dir):
       FROM c GROUP BY etype
     )
     SELECT c.etype, c.day, c.n,
-           (CAST(c.n AS DOUBLE)
-              - CAST(s.sx AS DOUBLE) / CAST(s.days AS DOUBLE))
-           / sqrt((CAST(s.sxx AS DOUBLE)
-                     - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
-                       / CAST(s.days AS DOUBLE))
-                  / (CAST(s.days AS DOUBLE) - 1.0)) AS z,
-           CAST(abs((CAST(c.n AS DOUBLE)
-                      - CAST(s.sx AS DOUBLE) / CAST(s.days AS DOUBLE))
-                    / sqrt((CAST(s.sxx AS DOUBLE)
-                              - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
-                                / CAST(s.days AS DOUBLE))
-                           / (CAST(s.days AS DOUBLE) - 1.0))) > 2.0
+           CASE WHEN s.days >= 2
+                 AND (CAST(s.sxx AS DOUBLE)
+                        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                          / CAST(s.days AS DOUBLE))
+                     / (CAST(s.days AS DOUBLE) - 1.0) > 0.0
+                THEN (CAST(c.n AS DOUBLE)
+                       - CAST(s.sx AS DOUBLE) / CAST(s.days AS DOUBLE))
+                     / sqrt((CAST(s.sxx AS DOUBLE)
+                               - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                                 / CAST(s.days AS DOUBLE))
+                            / (CAST(s.days AS DOUBLE) - 1.0)) END AS z,
+           CAST(abs(CASE WHEN s.days >= 2
+                          AND (CAST(s.sxx AS DOUBLE)
+                                 - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                                   / CAST(s.days AS DOUBLE))
+                              / (CAST(s.days AS DOUBLE) - 1.0) > 0.0
+                         THEN (CAST(c.n AS DOUBLE)
+                                - CAST(s.sx AS DOUBLE) / CAST(s.days AS DOUBLE))
+                              / sqrt((CAST(s.sxx AS DOUBLE)
+                                        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                                          / CAST(s.days AS DOUBLE))
+                                     / (CAST(s.days AS DOUBLE) - 1.0)) END) > 2.0
                 AS INT) AS is_anomaly
     FROM c JOIN s USING (etype)
     ORDER BY c.etype, c.day
