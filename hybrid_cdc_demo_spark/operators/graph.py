@@ -1,0 +1,197 @@
+"""Graph analytics over corpus-derived graphs: triangle counting /
+clustering coefficient (degree-ordered orientation) and PageRank
+(damped power iteration) — the two canonical distributed-graph
+workloads, here over the word co-occurrence graph the text corpus
+induces (nodes = tokens, edges = adjacent-word pairs).
+
+Scale design (100 TB posture):
+
+* Edges materialize from the corpus with one partial-aggregated
+  DISTINCT — the token stream never leaves its map task un-reduced.
+* Triangle counting uses DEGREE-ORDERED ORIENTATION (count each edge
+  u–v once as u→v where (deg u, u) < (deg v, v)): every wedge join
+  fans out by ORIENTED out-degree, which is O(√E) for any graph —
+  the standard trick that keeps a power-law hub from exploding the
+  join (an a<b<c orientation by name alone leaves hub fan-out
+  unbounded; the oracle uses that simpler form because DuckDB only
+  needs correctness). Each triangle is counted exactly once.
+* PageRank is the classic iterate-on-DataFrame loop: one keyed join +
+  one keyed aggregation per iteration, a broadcast 1-row frame for
+  the dangling mass, and ``localCheckpoint`` every few iterations to
+  truncate lineage (without it the plan doubles per iteration and
+  round 30 would compile for minutes). Ranks are doubles summed in
+  shuffle order, so PageRank is CONTRACT-verified (mass conservation,
+  hand-graph differential) rather than hash-matched.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def token_edges(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    directed: bool = False,
+) -> DataFrame:
+    """Distinct adjacent-token edges. Undirected edges normalize to
+    (a, b) with a < b; directed edges keep bigram order (src, dst).
+    Self-loops (repeated words) are dropped."""
+    from hybrid_cdc_demo_spark.functions.text import words_lower
+
+    w = docs.select(words_lower(text_col).alias("_w"))
+    pairs = (
+        w.select(
+            F.explode(
+                F.when(
+                    F.size("_w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_w") - 1),
+                        lambda i: F.struct(
+                            F.element_at("_w", i).alias("x"),
+                            F.element_at("_w", i + 1).alias("y"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .filter(F.col("x") != F.col("y"))
+    )
+    if directed:
+        return pairs.select(
+            F.col("x").alias("src"), F.col("y").alias("dst")
+        ).distinct()
+    return pairs.select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    ).distinct()
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One row: (n_nodes, n_edges, n_triangles, n_wedges,
+    global_clustering) for an undirected edge set (a < b per row).
+
+    Degree-ordered orientation: each edge points from its
+    lexicographically-smaller (degree, node) endpoint, so the wedge
+    join's fan-out per node is its ORIENTED out-degree — O(√E) even
+    on power-law graphs. The closing semi-join checks (u, w); each
+    triangle has exactly one orientation-consistent wedge, so the
+    count is exact with no division by symmetry."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(
+        F.col("node").alias("a"), F.col("deg").alias("_da")
+    )
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    e = edges.join(da, "a").join(db, "b")
+    fwd = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o2 = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    wedges = oriented.join(o2, "v").select("u", "w")
+    closing = oriented.select(
+        F.col("u"), F.col("v").alias("w")
+    )
+    tri = wedges.join(closing, ["u", "w"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    wedge_total = deg.agg(
+        F.sum(
+            (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+        ).alias("n_wedges")
+    )
+    counts = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.lit(3.0)
+        * F.col("n_triangles").cast("double")
+        / F.col("n_wedges").cast("double"),
+    )
+    return (
+        nodes.crossJoin(counts)
+        .crossJoin(tri)
+        .crossJoin(wedge_total)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            cc.alias("global_clustering"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Damped PageRank over a directed (src, dst) edge set; returns
+    (node, rank) with Σrank = 1 (dangling mass redistributed
+    uniformly). One keyed join + one keyed aggregation per iteration;
+    lineage truncated with localCheckpoint every few rounds."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("_out")
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for it in range(iterations):
+        with_out = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "rank", "_out")
+        dangling = with_out.filter(F.col("_out").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        contribs = (
+            edges.join(
+                with_out.filter(F.col("_out").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("_out").cast("double")).alias("_c"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
