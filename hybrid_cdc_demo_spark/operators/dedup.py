@@ -746,7 +746,7 @@ def span_dedup_stats(
       the final left join.
     """
     from hybrid_cdc_demo_spark.functions.text import words_lower
-    from pyspark.sql import Window
+    from pyspark.sql import Window  # noqa: F811 — used by both windows
 
     toks = df.select(
         F.col(id_col), words_lower(text_col).alias("_w")
@@ -767,13 +767,19 @@ def span_dedup_stats(
             id_col, (F.col("_p0") + 1).alias("pos"), key.alias("_key")
         )
     )
-    dup = (
-        wins.groupBy("_key")
-        .agg(F.count("*").alias("_c"))
+    # corpus-wide occurrence count as a WINDOW over the gram key, not
+    # a groupBy + semi-join back: the window consumes the same single
+    # exchange the flagging needs, so the tokenize+window+explode
+    # subtree runs ONCE (the join formulation re-computed it per
+    # consumer — column pruning makes the two subtrees non-identical,
+    # so ReuseExchange can never dedupe them). Per-key window state is
+    # one counter; skew equals the duplicate count of one gram.
+    wc = Window.partitionBy("_key")
+    flagged = (
+        wins.withColumn("_c", F.count("*").over(wc))
         .filter(F.col("_c") >= min_count)
-        .select("_key")
+        .select(id_col, "pos")
     )
-    flagged = wins.join(dup, "_key", "left_semi")
     w = (
         Window.partitionBy(id_col)
         .orderBy("pos")

@@ -540,22 +540,20 @@ def test_bpe_pair_stats_partial_aggregated(spark):
 
 
 def test_span_dedup_shuffles_hashed_keys_only(spark):
-    """ns_dedup_substring's wide exchanges must carry the 64-bit
-    xxhash64 fingerprint, never the multi-word gram string, and the
-    coverage union must be a running-max window — no per-token
-    explode stage."""
+    """ns_dedup_substring's wide exchange must carry the 64-bit
+    xxhash64 fingerprint, never the multi-word gram string; the
+    corpus-wide occurrence count is a WINDOW over that one exchange
+    (so the tokenize+window+explode subtree runs once — the old
+    groupBy + semi-join formulation recomputed it per consumer); the
+    coverage union is a second, per-doc running-max window. No
+    per-token explode stage exists."""
     df = QUERIES["ns_dedup_substring"](spark, SF)
     opt = optimized_of(df)
     assert "xxhash64" in opt
     plan = plan_of(df)
-    # interval union: exactly one window over the flagged rows
-    assert plan.count("Window") >= 1
-    # the gram strings appear in the per-row projection but must not
-    # be a groupBy key: the dup-count aggregate keys on the hash
-    agg_keys = [
-        ln for ln in plan.splitlines() if "HashAggregate(keys=[_key" in ln
-    ]
-    assert agg_keys, plan[:2000]
+    assert "hashpartitioning(_key" in plan  # the one gram exchange
+    assert plan.count("Window") >= 2  # occurrence count + interval union
+    assert "HashAggregate(keys=[_key" not in plan  # no second pass
 
 
 def test_event_paths_prunes_per_user_topn_mapside(spark):

@@ -131,12 +131,14 @@ SHOWCASE = [
      "projection; the model (4x64 doubles) rides in as literals — no "
      "join, the presentation sort is the only Exchange"),
     ("ns_dedup_substring", False,
-     "exact-substring span dedup: the wide exchanges key on the "
+     "exact-substring span dedup: ONE wide exchange keyed on the "
      "64-bit xxhash64 gram fingerprint (8-byte shuffle keys, never "
-     "the multi-word gram string); duplicated windows flag via a "
-     "LEFT SEMI equi-join and the covered-token interval union is "
-     "ONE running-max window over flagged rows — no per-token "
-     "explode stage exists"),
+     "the multi-word gram string); the corpus-wide occurrence count "
+     "is a WINDOW over that exchange — the groupBy+semi-join "
+     "formulation recomputed the tokenize+explode subtree per "
+     "consumer (column pruning defeats ReuseExchange), and the "
+     "window rewrite halved the sf0.1 runtime — then the interval "
+     "union is a per-doc running-max window; no per-token explode"),
     ("ns_hybrid_rrf", False,
      "both retrieval legs pre-reduce BEFORE fusion: "
      "LimitPushDownThroughWindow turns each leg's rank window into "
