@@ -153,16 +153,24 @@ def rfm_segments(
     purchasing users — the classic customer-value cut.
 
     Scale shape: events reduce to one row per purchasing user (keyed
-    partial aggregation); the three quartile ranks come from THREE
-    chained :func:`global_rank` passes over that user-level frame —
-    the distributed total-order primitive (range-exchange + partition
-    offsets), never Spark's one-task unpartitioned ntile window.
+    partial aggregation, localCheckpoint'ed once); the three quartile
+    ranks come from ONE :func:`global_rank` pass — the distributed
+    total-order primitive (range-exchange + partition offsets), never
+    Spark's one-task unpartitioned ntile window — over a slim
+    3-rows-per-user union keyed (metric, sort_key, user). Because
+    every user contributes exactly one row per metric, the per-metric
+    rank is ``global_pos - metric_idx * n`` — no second pass. (Round 4
+    ran three CHAINED global_rank passes here: ~9 scheduled jobs over
+    the user frame; the union form is one exchange + one control-frame
+    collect, ~2× fewer jobs and one barrier instead of three.)
     Quartile = 1 + floor(4 * (rank-1) / n) with n broadcast — exact
     integer semantics, identical in the oracle's row_number form.
 
     Determinism: recency is day arithmetic on the NTZ date, monetary
     accumulates in DECIMAL(18,6) (exact, order-free) and casts to
-    double once for output; ranks carry a user_id tiebreak.
+    double once for output; descending metrics sort by their exact
+    DECIMAL negation (never a double cast — two monetary totals a ULP
+    apart must not tie); ranks carry a user_id tiebreak.
     """
     from hybrid_cdc_demo_spark.operators.partitioning import global_rank
 
@@ -188,13 +196,42 @@ def rfm_segments(
             "frequency",
             "_mon",
         )
+        .localCheckpoint(eager=True)  # 3 union branches, one compute
     )
-    ranked = global_rank(u, [F.col("recency_days"), F.col(user_col)], "_pr")
-    ranked = global_rank(
-        ranked, [F.col("frequency").desc(), F.col(user_col)], "_pf"
+    _KEY = "decimal(28,6)"
+    legs = [
+        F.col("recency_days").cast(_KEY),  # ascending
+        (-F.col("frequency")).cast(_KEY),  # descending via negation
+        (-F.col("_mon")).cast(_KEY),  # exact decimal negation
+    ]
+    stacked = None
+    for i, key in enumerate(legs):
+        leg = u.select(
+            F.lit(i).alias("_m"), key.alias("_k"), F.col(user_col)
+        )
+        stacked = leg if stacked is None else stacked.unionAll(leg)
+    pos = global_rank(
+        stacked, [F.col("_m"), F.col("_k"), F.col(user_col)], "_pos"
     )
-    ranked = global_rank(ranked, [F.col("_mon").desc(), F.col(user_col)], "_pm")
-    n = ranked.agg(F.count("*").cast("long").alias("_n"))
+    n = u.agg(F.count("*").cast("long").alias("_n"))
+    # per-metric rank from the single total order: each metric owns a
+    # contiguous n-row band, so rank = pos - m*n; pivot back to one
+    # row per user (user-keyed shuffle, same key as everything above).
+    ranks = (
+        pos.crossJoin(F.broadcast(n))
+        .select(
+            user_col,
+            "_m",
+            (F.col("_pos") - F.col("_m") * F.col("_n")).alias("_r"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.max(F.when(F.col("_m") == 0, F.col("_r"))).alias("_pr"),
+            F.max(F.when(F.col("_m") == 1, F.col("_r"))).alias("_pf"),
+            F.max(F.when(F.col("_m") == 2, F.col("_r"))).alias("_pm"),
+        )
+    )
+    ranked = u.join(ranks, user_col)
 
     def q(pos: str) -> F.Column:
         return (

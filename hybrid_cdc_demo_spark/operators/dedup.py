@@ -44,6 +44,50 @@ def exact_dedup_canonical(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
+def quality_weighted_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Duplicate-cluster representative selection with savings
+    accounting: cluster documents by whitespace/case-normalized text
+    and keep the HIGHEST-quality copy per cluster (tiebreak: lowest
+    id), reporting cluster size and the bytes the drop saves — the
+    "which copy do you keep" decision every curation pipeline makes
+    after duplicate detection (exact_dedup_canonical answers only
+    "how many copies").
+
+    Scale shape: one keyed aggregation on the normalized text. The
+    argmax is a single ``max(struct(quality, -id, id, ...))`` — partial-
+    aggregable map-side (each task keeps one best-so-far row per local
+    key), so the shuffle carries one candidate per key per task, never
+    the copies. No window, no second pass.
+    """
+    key = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    q = F.col(quality_col).cast("long")
+    best = F.struct(
+        q.alias("q"),
+        (-F.col(id_col)).alias("negid"),
+        F.col(id_col).alias("id"),
+    )
+    return (
+        df.select(key.alias("_key"), best.alias("_best"), q.alias("_q"))
+        .groupBy("_key")
+        .agg(
+            F.max("_best").alias("b"),
+            F.count("*").cast("long").alias("cluster_size"),
+            F.sum("_q").alias("_qsum"),
+        )
+        .select(
+            F.col("b.id").alias("kept_doc_id"),
+            F.col("b.q").alias("kept_quality"),
+            "cluster_size",
+            (F.col("_qsum") - F.col("b.q")).cast("long").alias("bytes_dropped"),
+        )
+    )
+
+
 def _shifted(toks: F.Column, j: int) -> F.Column:
     """``toks`` shifted left by ``j`` positions (slice arguments are
     evaluated once per row)."""

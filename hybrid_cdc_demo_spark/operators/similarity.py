@@ -92,6 +92,53 @@ def batch_topk(
     )
 
 
+def hard_negatives_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    qid_col: str = "qid",
+    qlabel_col: str = "qlabel",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors whose label DIFFERS
+    from the query's — the near-miss examples a retrieval model must
+    learn to push away (the batch-negative upgrade every embedding
+    trainer runs after the random-negative warmup).
+
+    Same scale shape as :func:`batch_topk`: the query batch broadcasts
+    so scoring is a map-side expansion over corpus partitions (no
+    corpus shuffle); the label-exclusion predicate filters BEFORE the
+    rank window, and Spark >= 3.5's WindowGroupLimit pre-reduces each
+    map task to its local top-k per query before the single
+    queries x partitions x k shuffle.
+    """
+    from pyspark.sql import Window
+
+    emb = df.select(
+        F.col(id_col), F.col(label_col), _as_double_array(vec_col).alias("_v")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(label_col) != F.col(qlabel_col))
+        .select(
+            qid_col,
+            id_col,
+            label_col,
+            cosine(F.col("_v"), F.col(qvec_col)).alias("score"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, label_col, "score")
+    )
+
+
 def hyperplanes(dim: int, num_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic SRP hyperplane matrix (fixed seed → same buckets
     every run/cluster)."""

@@ -155,7 +155,8 @@ def ns_cohort_retention(spark, sf_dir):
 def ns_rfm_segments(spark, sf_dir):
     """RFM quartile segmentation of purchasing users, HASH-VERIFIED:
     recency/frequency/monetary per user (monetary in exact DECIMAL),
-    quartiles from three chained global_rank passes — the distributed
+    quartiles from ONE global_rank pass over a slim 3-rows-per-user
+    metric union (per-metric rank = pos - metric*n) — the distributed
     total-order primitive (range exchange + partition offsets + Arrow
     enumeration), standing in for the oracle's one-task row_number
     windows. Quartile = 1 + floor(4*(rank-1)/n), n broadcast."""

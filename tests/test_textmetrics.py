@@ -1,0 +1,147 @@
+"""Unit tests for the text-metrics tier: character entropy, Zipf
+slope, hard-negative mining, and quality-weighted canonical dedup.
+Oracle parity at sf0.01 is covered by test_oracle_parity; these pin
+the operator semantics on constructed inputs."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hybrid_cdc_demo_spark.operators.dedup import quality_weighted_dedup
+from hybrid_cdc_demo_spark.operators.similarity import hard_negatives_topk
+
+
+def _docs(spark, rows):
+    # rows: (doc_id, text); n_chars derived
+    return spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows], ["doc_id", "text", "n_chars"]
+    )
+
+
+class TestCharEntropy:
+    def _entropy(self, spark, text):
+        from hybrid_cdc_demo_spark.plans.textmetrics_queries import (
+            ns_text_entropy,
+        )
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            _docs(spark, [(0, text)]).withColumn(
+                "lang", F.lit("en")
+            ).withColumn("source", F.lit("t")).write.parquet(
+                os.path.join(d, "documents.parquet")
+            )
+            rows = ns_text_entropy(spark, d).collect()
+        return rows[0]
+
+    def test_uniform_two_symbols_is_one_bit(self, spark):
+        r = self._entropy(spark, "abab")
+        assert r["entropy"] == 1.0
+        assert r["n"] == 4 and r["alphabet"] == 2
+
+    def test_single_symbol_is_zero_bits(self, spark):
+        r = self._entropy(spark, "aaaa")
+        assert r["entropy"] == 0.0
+
+    def test_known_mixed_distribution(self, spark):
+        # 'aabc': p = 1/2, 1/4, 1/4 -> H = 1.5 bits
+        r = self._entropy(spark, "aabc")
+        assert r["entropy"] == 1.5
+        assert r["alphabet"] == 3
+
+
+class TestZipfSlope:
+    def test_exact_zipf_corpus_has_slope_minus_one(self, spark):
+        # token k appears 120/k times -> ln f = ln 120 - ln rank,
+        # an exact line with slope -1 (ranks tie-broken by token).
+        from hybrid_cdc_demo_spark.plans.textmetrics_queries import (
+            ns_zipf_slope,
+        )
+        import os
+        import tempfile
+
+        words = []
+        for k in range(1, 7):
+            words += [f"t{k}"] * (120 // k)
+        text = " ".join(words)
+        with tempfile.TemporaryDirectory() as d:
+            _docs(spark, [(0, text)]).withColumn(
+                "lang", F.lit("en")
+            ).withColumn("source", F.lit("t")).write.parquet(
+                os.path.join(d, "documents.parquet")
+            )
+            r = ns_zipf_slope(spark, d).collect()[0]
+        assert r["n_terms"] == 6
+        assert r["slope"] == pytest.approx(-1.0, abs=1e-3)
+
+
+class TestHardNegatives:
+    def test_same_label_neighbors_excluded(self, spark):
+        # q = [1,0]; nearest by cosine is same-label v1 -> must be
+        # skipped; top negative is the different-label v2.
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),
+                (1, [0.99, 0.1], 0),  # same label, most similar
+                (2, [0.8, 0.6], 1),
+                (3, [0.0, 1.0], 1),
+                (4, [-1.0, 0.0], 2),
+            ],
+            ["vec_id", "embedding", "label"],
+        )
+        probes = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+        )
+        got = hard_negatives_topk(emb, probes, k=3).orderBy("rank").collect()
+        assert [r["vec_id"] for r in got] == [2, 3, 4]
+        assert all(r["label"] != 0 for r in got)
+        assert got[0]["score"] > got[1]["score"] > got[2]["score"]
+
+    def test_rank_is_dense_per_query(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0], i % 2) for i in range(8)],
+            ["vec_id", "embedding", "label"],
+        )
+        probes = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+        )
+        got = hard_negatives_topk(emb, probes, k=2).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["qid"], []).append(r["rank"])
+        assert all(sorted(v) == [1, 2] for v in by_q.values())
+
+
+class TestQualityWeightedDedup:
+    def test_normalization_clusters_and_argmax(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (10, "Hello  World"),  # normalizes to "hello world"
+                (11, "hello world"),
+                (12, "  HELLO WORLD  "),
+                (20, "unique doc"),
+            ],
+        )
+        got = {
+            r["kept_doc_id"]: r
+            for r in quality_weighted_dedup(
+                docs, "text", "doc_id", "n_chars"
+            ).collect()
+        }
+        # longest copy wins: doc 12 has 15 chars raw
+        assert set(got) == {12, 20}
+        assert got[12]["cluster_size"] == 3
+        assert got[12]["kept_quality"] == 15
+        assert got[12]["bytes_dropped"] == 12 + 11
+        assert got[20]["cluster_size"] == 1
+        assert got[20]["bytes_dropped"] == 0
+
+    def test_tiebreak_lowest_id(self, spark):
+        docs = _docs(spark, [(5, "same"), (3, "same"), (9, "same")])
+        got = quality_weighted_dedup(docs, "text", "doc_id", "n_chars").collect()
+        assert len(got) == 1 and got[0]["kept_doc_id"] == 3
