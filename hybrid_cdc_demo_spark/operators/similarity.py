@@ -139,6 +139,79 @@ def hard_negatives_topk(
     )
 
 
+def mmr_select(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` items maximizing
+    ``lam * rel(v) - (1 - lam) * max_{s in selected} cos(v, s)`` —
+    the diversity-aware sampler used to de-redundify retrieval results
+    and curate diverse training subsets (pure top-k returns k copies
+    of the same neighborhood; MMR spreads the picks).
+
+    Scale shape: the candidate corpus is NEVER collected. Relevance is
+    one broadcast-query map pass, localCheckpoint'ed so the greedy
+    loop re-scans a materialized (id, vec, rel) frame. Each of the k
+    iterations broadcasts the selected vectors (bounded driver state,
+    k x dim doubles) as literal arrays, computes the marginal score
+    map-side, and takes argmax via TakeOrderedAndProject — one bounded
+    1-row collect per pick. k distributed jobs total; the inherently
+    sequential greedy dependency is the algorithm, not the plan.
+
+    Returns (rank, id, relevance, mmr_score) with rank 1..k in pick
+    order; ties broken by id.
+    """
+    emb = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    scored = (
+        emb.crossJoin(F.broadcast(query))
+        .select(
+            id_col,
+            "_v",
+            cosine(F.col("_v"), F.col(query_vec_col)).alias("rel"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    picked: list[tuple] = []  # (rank, id, rel, mmr_score)
+    picked_ids: list = []
+    picked_vecs: list[list[float]] = []
+    for rank in range(1, k + 1):
+        cand = scored
+        if picked_ids:
+            cand = cand.filter(~F.col(id_col).isin(picked_ids))
+            sel_lit = F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in vec])
+                    for vec in picked_vecs
+                ]
+            )
+            max_sim = F.array_max(
+                F.transform(sel_lit, lambda s: cosine(F.col("_v"), s))
+            )
+            score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim
+        else:
+            score = F.lit(lam) * F.col("rel")
+        top = (
+            cand.withColumn("_s", score)
+            .orderBy(F.desc("_s"), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((rank, top[id_col], top["rel"], float(top["_s"])))
+        picked_ids.append(top[id_col])
+        picked_vecs.append(list(top["_v"]))
+    id_type = dict(df.select(id_col).dtypes)[id_col]
+    return spark.createDataFrame(
+        picked, f"rank int, {id_col} {id_type}, relevance double, mmr_score double"
+    )
+
+
 def hyperplanes(dim: int, num_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic SRP hyperplane matrix (fixed seed → same buckets
     every run/cluster)."""

@@ -231,6 +231,30 @@ def ns_hard_negatives(spark, sf_dir):
     return hard_negatives_topk(emb, probes, k=5).orderBy("qid", "rank")
 
 
+@query("ns_mmr_diverse")  # greedy-iterative: contract-pinned, no SQL oracle
+def ns_mmr_diverse(spark, sf_dir):
+    """Maximal-marginal-relevance diverse top-10 (lambda=0.7) against
+    the min-id probe vector — the diversity-aware alternative to plain
+    cosine top-k (which returns one neighborhood k times). Greedy by
+    construction: k bounded argmax jobs over a checkpointed relevance
+    frame, selected vectors broadcast as literals, corpus never
+    collected. Verified against an exact numpy reference in
+    tests/test_textmetrics.py (no SQL oracle: the greedy recursion is
+    not expressible as a DuckDB query)."""
+    from hybrid_cdc_demo_spark.operators.similarity import (
+        _as_double_array,
+        mmr_select,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    min_id = emb.agg(F.min("vec_id").alias("mid"))
+    qv = (
+        emb.join(F.broadcast(min_id), emb.vec_id == F.col("mid"))
+        .select(_as_double_array("embedding").alias("qv"))
+    )
+    return mmr_select(emb, qv, k=10, lam=0.7)
+
+
 @query(
     "ns_dedup_canonical",
     oracle="""

@@ -39,6 +39,7 @@ PINNED_NO_ORACLE = {
     "ns_bpe_encode": "test_bpe.py::test_ns_bpe_encode_contract",
     "ns_simsearch_ivfpq": "test_pq.py::test_ns_simsearch_ivfpq_contract",
     "ns_pagerank_tokens": "test_graph.py::TestPageRank::test_ns_pagerank_tokens_contract",
+    "ns_mmr_diverse": "test_textmetrics.py::TestMMR (exact numpy greedy reference)",
 }
 
 

@@ -116,6 +116,86 @@ class TestHardNegatives:
         assert all(sorted(v) == [1, 2] for v in by_q.values())
 
 
+class TestMMR:
+    @staticmethod
+    def _numpy_mmr(vecs, qv, k, lam):
+        import numpy as np
+
+        v = np.asarray(vecs, dtype=float)
+        q = np.asarray(qv, dtype=float)
+
+        def cos(a, b):
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        rel = [cos(row, q) for row in v]
+        picked, order = [], []
+        while len(order) < k:
+            best, best_s = None, None
+            for i in range(len(v)):
+                if i in order:
+                    continue
+                s = lam * rel[i]
+                if picked:
+                    s -= (1 - lam) * max(cos(v[i], p) for p in picked)
+                # tie-break by id, matching the operator
+                if best_s is None or s > best_s + 1e-12:
+                    best, best_s = i, s
+            order.append(best)
+            picked.append(v[best])
+        return order
+
+    def test_matches_exact_greedy_reference(self, spark):
+        import random
+
+        from hybrid_cdc_demo_spark.operators.similarity import mmr_select
+
+        rng = random.Random(11)
+        vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+        qv = [rng.uniform(-1, 1) for _ in range(8)]
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+        )
+        q = spark.createDataFrame([(qv,)], ["qv"])
+        got = mmr_select(emb, q, k=6, lam=0.7).orderBy("rank").collect()
+        want = self._numpy_mmr(vecs, qv, 6, 0.7)
+        assert [r["vec_id"] for r in got] == want
+        # rank 1 is the plain relevance argmax
+        rels = {r["vec_id"]: r["relevance"] for r in got}
+        assert got[0]["relevance"] == max(rels.values())
+
+    def test_diversity_beats_plain_topk_on_clustered_corpus(self, spark):
+        # two tight clusters; plain top-k returns only cluster A,
+        # MMR with strong diversity pressure must mix in cluster B
+        from hybrid_cdc_demo_spark.operators.similarity import mmr_select
+
+        a = [[1.0, 0.01 * i, 0.0] for i in range(5)]  # near the query
+        b = [[0.0, 0.0, 1.0 + 0.01 * i] for i in range(5)]  # orthogonal
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(a + b)], ["vec_id", "embedding"]
+        )
+        q = spark.createDataFrame([([1.0, 0.0, 0.0],)], ["qv"])
+        got = mmr_select(emb, q, k=4, lam=0.3).collect()
+        picked = {r["vec_id"] for r in got}
+        assert any(i >= 5 for i in picked), "no cluster-B pick -> no diversity"
+
+    def test_ns_mmr_diverse_pinned(self, spark):
+        from hybrid_cdc_demo_spark.plans import QUERIES
+
+        df = QUERIES["ns_mmr_diverse"](spark, "/root/testdata/sf0.001")
+        rows = df.orderBy("rank").collect()
+        assert df.dtypes == [
+            ("rank", "int"),
+            ("vec_id", "bigint"),
+            ("relevance", "double"),
+            ("mmr_score", "double"),
+        ]
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        ids = [r["vec_id"] for r in rows]
+        assert len(set(ids)) == 10
+        # probe is the min-id vector -> it is its own best pick
+        assert ids[0] == 0 and rows[0]["relevance"] == 1.0
+
+
 class TestQualityWeightedDedup:
     def test_normalization_clusters_and_argmax(self, spark):
         docs = _docs(
