@@ -591,3 +591,51 @@ def test_anomaly_stats_broadcast_back(spark):
     not shuffle the counts table again."""
     plan = plan_of(QUERIES["ns_daily_anomaly"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_entropy_char_explode_collapses_mapside(spark):
+    """The char-level explode is corpus x 1 wide; the (doc, char)
+    aggregation must partial-aggregate BEFORE its exchange so only
+    |docs| x |alphabet| rows shuffle, and the per-doc fold must run
+    over the collected bounded array (no third shuffle)."""
+    plan = plan_of(QUERIES["ns_text_entropy"](spark, SF))
+    # map-side combine on (doc,ch) AND on the per-doc fold inputs
+    assert "partial_count" in plan and "partial_collect_list" in plan
+    assert "Generate explode" in plan
+    # two hash shuffles: (doc,ch) then (doc); the sort is the output ORDER BY
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_zipf_head_avoids_global_sort(spark):
+    """The vocabulary head must be TakeOrderedAndProject (per-partition
+    heaps); the rank window and the least-squares fold then run over
+    100 rows, so the single-partition window exchange is bounded."""
+    plan = plan_of(QUERIES["ns_zipf_slope"](spark, SF))
+    assert "TakeOrderedAndProject" in plan and "limit=100" in plan
+
+
+def test_hard_negatives_prereduce_and_broadcast(spark):
+    """The probe batch must broadcast (map-side expansion, no corpus
+    shuffle) and the per-query top-k must compile with WindowGroupLimit
+    so each task pre-reduces before the rank exchange."""
+    plan = plan_of(QUERIES["ns_hard_negatives"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_canonical_dedup_argmax_is_partial_aggregated(spark):
+    """The quality argmax must be a max(struct(...)) partial aggregate
+    (one candidate per key per task crosses the wire) — never a
+    per-cluster window over all copies."""
+    plan = plan_of(QUERIES["ns_dedup_canonical"](spark, SF))
+    assert "partial_max" in plan  # one best candidate per key per task
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rfm_single_rank_pass(spark):
+    """RFM's three quartile ranks must come from ONE global_rank pass
+    over the 3-metric union: exactly one range exchange in the whole
+    plan (the enumeration's total order), never three."""
+    plan = plan_of(QUERIES["ns_rfm_segments"](spark, SF))
+    assert plan.count("Exchange rangepartitioning") <= 2  # rank pass + output sort
