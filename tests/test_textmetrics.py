@@ -225,3 +225,101 @@ class TestQualityWeightedDedup:
         docs = _docs(spark, [(5, "same"), (3, "same"), (9, "same")])
         got = quality_weighted_dedup(docs, "text", "doc_id", "n_chars").collect()
         assert len(got) == 1 and got[0]["kept_doc_id"] == 3
+
+
+# --------------------------------------------------------------------------
+# property-based invariants (hypothesis draws adversarial corpora)
+# --------------------------------------------------------------------------
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab cXYé\t1.")),
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_entropy_bounds_and_conservation(spark, docs):
+    """0 <= H <= log2(alphabet) for every doc; n conserves the non-empty
+    char count; docs with no countable chars produce no row."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hybrid_cdc_demo_spark.plans.textmetrics_queries import ns_text_entropy
+
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(docs)],
+        ["doc_id", "text", "n_chars"],
+    ).withColumn("lang", F.lit("x")).withColumn("source", F.lit("t"))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        rows = ns_text_entropy(spark, d).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for i, t in enumerate(docs):
+        # Spark split(text, '') yields [''] for the empty string only
+        n_countable = len(t)
+        if n_countable == 0:
+            assert i not in by_id
+            continue
+        r = by_id[i]
+        assert r["n"] == n_countable
+        assert 0.0 <= r["entropy"] <= round(math.log2(r["alphabet"]), 4) + 1e-9
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts)
+def test_canonical_dedup_conserves_docs_and_bytes(spark, docs):
+    """Cluster sizes sum to the doc count; kept+dropped bytes sum to
+    the corpus bytes; every kept id is a real doc id."""
+    from hybrid_cdc_demo_spark.operators.dedup import quality_weighted_dedup
+
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(docs)],
+        ["doc_id", "text", "n_chars"],
+    )
+    got = quality_weighted_dedup(df, "text", "doc_id", "n_chars").collect()
+    assert sum(r["cluster_size"] for r in got) == len(docs)
+    assert sum(r["kept_quality"] + r["bytes_dropped"] for r in got) == sum(
+        len(t) for t in docs
+    )
+    assert {r["kept_doc_id"] for r in got} <= set(range(len(docs)))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=60), min_size=2, max_size=6))
+def test_zipf_slope_is_negative_on_distinct_counts(spark, counts):
+    """Any corpus with strictly decreasing rank-frequency pairs fits a
+    negative slope; n_terms matches the distinct vocabulary."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from hybrid_cdc_demo_spark.plans.textmetrics_queries import ns_zipf_slope
+
+    # make counts strictly decreasing so x/y are not degenerate
+    counts = sorted(set(counts), reverse=True)
+    if len(counts) < 2:
+        counts = [counts[0] + 1, counts[0]]
+    words = []
+    for k, c in enumerate(counts):
+        words += [f"w{k}"] * c
+    df = spark.createDataFrame(
+        [(0, " ".join(words), 1)], ["doc_id", "text", "n_chars"]
+    ).withColumn("lang", F.lit("x")).withColumn("source", F.lit("t"))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        r = ns_zipf_slope(spark, d).collect()[0]
+    assert r["n_terms"] == len(counts)
+    assert r["slope"] < 0

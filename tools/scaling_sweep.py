@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Batch scaling-curve artifact: time EVERY catalog query at
+sf0.001 / sf0.01 / sf0.1 (100x data range) in one session with the
+bench protocol (plan warmup at the smallest SF, noop-sink
+materialization, cache cleared between queries) and record the
+per-query growth ratios — the empirical check behind the 100 TB
+claims: a query whose runtime grows faster than data between 0.01 and
+0.1 has a super-linear stage (all-pairs blowup, driver funnel,
+unbounded state) that plan pins alone can miss.
+
+Interpreting ratios on local[32]: at these sizes most queries are
+dominated by fixed scheduling/launch cost, so r_10x = t(0.1)/t(0.01)
+far BELOW 10 is expected; r_10x well above 10 is the red flag. The
+artifact separates growth (ratio) from cost (absolute seconds).
+
+Usage:
+    python tools/scaling_sweep.py [out.json]
+Env:
+    SCALING_CPUS  (default 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    cpus = int(os.environ.get("SCALING_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+
+    import bench
+    from hybrid_cdc_demo_spark.plans import QUERIES
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scaling-sweep")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench.warmup(spark, SFS[1])
+    bench.warmup_plans(spark)
+    spark.catalog.clearCache()
+
+    times: dict[str, dict[str, float]] = {n: {} for n in sorted(QUERIES)}
+    for sf_dir in SFS:
+        sf = sf_dir.rsplit("sf", 1)[1]
+        for name in sorted(QUERIES):
+            start = time.perf_counter()
+            try:
+                bench.materialize(QUERIES[name](spark, sf_dir))
+                times[name][sf] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+                times[name][sf] = -1.0
+                print(f"# error {name}@{sf}: {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
+
+    results: dict[str, dict] = {}
+    flagged = []
+    for name, t in times.items():
+        row: dict = dict(t)
+        if t.get("0.01", -1) > 0 and t.get("0.1", -1) > 0:
+            row["r_10x"] = round(t["0.1"] / t["0.01"], 2)
+            # data grew 10x; runtime growing >10x means super-linear
+            if row["r_10x"] > 10.0:
+                row["superlinear"] = True
+                flagged.append(name)
+        results[name] = row
+
+    doc = {
+        "_summary": {
+            "cpus": cpus,
+            "queries": len(results),
+            "superlinear": sorted(flagged),
+            "sfs": [p.rsplit("sf", 1)[1] for p in SFS],
+        },
+        **results,
+    }
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(doc, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# artifact write failed: {exc}", file=sys.stderr)
+    print(json.dumps(doc["_summary"]))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
