@@ -61,6 +61,9 @@ def warmup(spark, sf_dir: str) -> None:
 
     ensure_ivf_index(spark, sf_dir, num_cells=16, seed=42)
     ensure_ivf_sq8_index(spark, sf_dir, num_cells=16, seed=42)
+    from hybrid_cdc_demo_spark.plans.ml_queries import ensure_ivfpq_index
+
+    ensure_ivfpq_index(spark, sf_dir, num_cells=16, seed=42)
 
 
 def warmup_plans(spark) -> None:

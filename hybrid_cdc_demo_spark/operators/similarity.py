@@ -155,14 +155,17 @@ def mmr_select(
     and curate diverse training subsets (pure top-k returns k copies
     of the same neighborhood; MMR spreads the picks).
 
-    Scale shape: the candidate corpus is NEVER collected. Relevance is
-    one broadcast-query map pass, localCheckpoint'ed so the greedy
-    loop re-scans a materialized (id, vec, rel) frame. Each of the k
-    iterations broadcasts the selected vectors (bounded driver state,
-    k x dim doubles) as literal arrays, computes the marginal score
-    map-side, and takes argmax via TakeOrderedAndProject — one bounded
-    1-row collect per pick. k distributed jobs total; the inherently
-    sequential greedy dependency is the algorithm, not the plan.
+    Scale shape: the candidate corpus is NEVER collected, and the
+    per-item diversity penalty is a RUNNING MAX-SIMILARITY column
+    maintained across iterations — each pick adds ONE dot product per
+    row (the newest selected vector, broadcast as a literal with its
+    norm pre-folded) and re-checkpoints, so total work is O(n·k·dim)
+    instead of the naive O(n·k²·dim) of re-scoring every row against
+    the whole selected set each round. Each of the k iterations is two
+    bounded jobs: the incremental checkpoint and a
+    TakeOrderedAndProject argmax (one 1-row collect per pick). The
+    inherently sequential greedy dependency is the algorithm, not the
+    plan.
 
     Returns (rank, id, relevance, mmr_score) with rank 1..k in pick
     order; ties broken by id.
@@ -173,39 +176,42 @@ def mmr_select(
         .select(
             id_col,
             "_v",
+            # per-row inverse norm, computed once: penalty dots then
+            # cost one multiply-add sweep, no sqrt per iteration
+            (F.lit(1.0) / F.sqrt(dot(F.col("_v"), F.col("_v")))).alias("_inv"),
             cosine(F.col("_v"), F.col(query_vec_col)).alias("rel"),
         )
+        .withColumn("_ms", F.lit(None).cast("double"))
         .localCheckpoint(eager=True)
     )
     spark = df.sparkSession
     picked: list[tuple] = []  # (rank, id, rel, mmr_score)
-    picked_ids: list = []
-    picked_vecs: list[list[float]] = []
+    score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.coalesce(
+        F.col("_ms"), F.lit(0.0)
+    )
     for rank in range(1, k + 1):
-        cand = scored
-        if picked_ids:
-            cand = cand.filter(~F.col(id_col).isin(picked_ids))
-            sel_lit = F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in vec])
-                    for vec in picked_vecs
-                ]
-            )
-            max_sim = F.array_max(
-                F.transform(sel_lit, lambda s: cosine(F.col("_v"), s))
-            )
-            score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim
-        else:
-            score = F.lit(lam) * F.col("rel")
         top = (
-            cand.withColumn("_s", score)
+            scored.withColumn("_s", score)
             .orderBy(F.desc("_s"), F.col(id_col))
             .limit(1)
             .collect()[0]
         )
         picked.append((rank, top[id_col], top["rel"], float(top["_s"])))
-        picked_ids.append(top[id_col])
-        picked_vecs.append(list(top["_v"]))
+        if rank < k:
+            # newest pick's unit vector as a literal; cos(v, s) =
+            # dot(v, s_unit) * (1/||v||) — exact cosine, one dot
+            s_unit = [float(x) * top["_inv"] for x in top["_v"]]
+            pen = dot(
+                F.col("_v"), F.array(*[F.lit(x) for x in s_unit])
+            ) * F.col("_inv")
+            scored = (
+                scored.filter(F.col(id_col) != top[id_col])
+                .withColumn(
+                    "_ms",
+                    F.greatest(F.coalesce(F.col("_ms"), F.lit(-2.0)), pen),
+                )
+                .localCheckpoint(eager=True)
+            )
     id_type = dict(df.select(id_col).dtypes)[id_col]
     return spark.createDataFrame(
         picked, f"rank int, {id_col} {id_type}, relevance double, mmr_score double"

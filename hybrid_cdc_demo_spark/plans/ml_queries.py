@@ -108,7 +108,9 @@ def ns_kmeans_assign(spark, sf_dir):
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ), c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS c
-      FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)
+      FROM emb
+      QUALIFY row_number() OVER (ORDER BY vec_id)
+              <= (SELECT GREATEST(8, COUNT(*) // 64) FROM emb)
     ), a AS (
       SELECT t.vec_id, t.e, CAST(c.cluster AS INT) AS cluster
       FROM emb t CROSS JOIN c0 c
@@ -131,13 +133,19 @@ def ns_semantic_dedup(spark, sf_dir):
     """SemDeDup (cluster-then-dedup): nearest-seed-centroid bucketing
     (map-only literal argmin) followed by exact pairwise cosine ONLY
     within clusters — the equi-join on cluster bounds the quadratic
-    pair space to per-cluster work, which is how the all-pairs problem
-    stays tractable at 100 TB (k scales with the corpus so cluster
-    size stays constant). Cosine emitted unrounded: both engines
-    left-fold the dot products, bitwise-equal (see
-    ns_embedding_neardup_exact)."""
+    pair space to per-cluster work. k SCALES WITH THE CORPUS
+    (k = max(8, n/64), identical GREATEST/COUNT formula in the oracle)
+    so expected cluster size stays ~constant and total pair work is
+    O(n · target_size), not O(n²/k_fixed) — the round-5 scaling sweep
+    caught the fixed-k=8 form going quadratic (1.1 s → 22 s on 10x
+    data); with scaled k it is back to ~linear. The n here is one
+    bounded count job; at corpus scale the literal argmin hands over
+    to the IVF index's join-based assignment (same operator family).
+    Cosine emitted unrounded: both engines left-fold the dot products,
+    bitwise-equal (see ns_embedding_neardup_exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = C.semantic_dedup(emb, k=8, threshold=0.3, seed_by="id")
+    k = max(8, emb.count() // 64)
+    pairs = C.semantic_dedup(emb, k=k, threshold=0.3, seed_by="id")
     return pairs.select(
         F.col("cluster").cast("int").alias("cluster"), "id_a", "id_b", "cos"
     ).orderBy("id_a", "id_b")

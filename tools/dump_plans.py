@@ -165,6 +165,25 @@ SHOWCASE = [
      "rangepartitioning exchange + in-partition sort + Arrow sweep "
      "with <= P-row driver control data — the scale-safe form of an "
      "unpartitioned SUM OVER window (one task in Spark)"),
+    ("ns_text_entropy", False,
+     "the corpus-wide char explode collapses map-side: partial "
+     "(doc,ch) aggregation before the first exchange, then the "
+     "per-doc log2 fold runs over a collected SORTED bounded array — "
+     "exactly two hash exchanges for the whole query"),
+    ("ns_hard_negatives", False,
+     "probe batch broadcasts (map-side expansion, no corpus "
+     "shuffle); label exclusion filters before the rank window; "
+     "WindowGroupLimit pre-reduces each task to its local top-k so "
+     "only probes x partitions x k rows move"),
+    ("ns_dedup_canonical", False,
+     "the per-cluster quality argmax is a partial-aggregated "
+     "max(struct(quality, -id, id)) — one candidate per key per task "
+     "crosses the wire; the oracle's per-cluster window never runs"),
+    ("ns_rfm_segments", False,
+     "three quartile ranks from ONE global_rank pass over a slim "
+     "3-rows-per-user metric union (rank = pos - metric*n): a single "
+     "rangepartitioning exchange feeds all three quartiles, then a "
+     "user-keyed pivot joins them back"),
 ]
 
 

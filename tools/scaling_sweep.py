@@ -51,13 +51,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    bench.warmup(spark, SFS[1])
     bench.warmup_plans(spark)
     spark.catalog.clearCache()
 
     times: dict[str, dict[str, float]] = {n: {} for n in sorted(QUERIES)}
     for sf_dir in SFS:
         sf = sf_dir.rsplit("sf", 1)[1]
+        # per-SF warmup, exactly like bench.py at its target SF: the
+        # one-time persisted index builds (IVF / SQ8 / IVF-PQ) are
+        # production index jobs, never attributed to the probe query
+        bench.warmup(spark, sf_dir)
+        spark.catalog.clearCache()
         for name in sorted(QUERIES):
             start = time.perf_counter()
             try:
