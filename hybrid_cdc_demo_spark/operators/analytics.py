@@ -544,3 +544,48 @@ def purchase_attribution(
         *credit_cols,
         "last_touch",
     )
+
+
+def transcript_assembly(
+    events: DataFrame,
+    *,
+    max_turns: int = 8,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user ordered transcript assembly with a turn cap — the
+    stage that turns an event/message log into bounded training
+    dialogues (one capped, time-ordered sequence per user).
+
+    Scale shape: the rank window prunes to ``max_turns`` rows per user
+    MAP-SIDE (WindowGroupLimit — crucially the output deliberately
+    carries no whole-history aggregate like a total event count, which
+    would force every row through the window); the transcript is a
+    bounded sorted fold per user; one user-keyed shuffle end to end.
+    (ts, event_id) is a total order, so transcripts are deterministic.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    firstn = events.select(
+        user_col,
+        F.col(type_col),
+        F.row_number().over(w).alias("_rn"),
+    ).filter(F.col("_rn") <= max_turns)
+    return firstn.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_rn").alias("r"),
+                            F.col(type_col).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("t"),
+            ),
+        ).alias("transcript"),
+    )

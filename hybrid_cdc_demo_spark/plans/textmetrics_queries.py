@@ -231,6 +231,36 @@ def ns_hard_negatives(spark, sf_dir):
     return hard_negatives_topk(emb, probes, k=5).orderBy("qid", "rank")
 
 
+@query(
+    "ns_transcript_assembly",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+           array_to_string(list(event_type ORDER BY rn), '>') AS transcript
+    FROM r WHERE rn <= 8
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ns_transcript_assembly(spark, sf_dir):
+    """Per-user ordered transcript assembly capped at 8 turns,
+    HASH-VERIFIED — the stage that turns an event/message log into
+    bounded training dialogues. The rank window prunes to 8 rows per
+    user MAP-SIDE (WindowGroupLimit, plan-pinned — the output
+    deliberately carries no whole-history aggregate, which would
+    defeat the pruning); the transcript is a bounded sorted fold; one
+    user-keyed shuffle end to end. (ts, event_id) totally orders
+    turns, so transcripts are deterministic."""
+    from hybrid_cdc_demo_spark.operators.analytics import transcript_assembly
+
+    events = load_table(spark, sf_dir, "events")
+    return transcript_assembly(events, max_turns=8).orderBy("user_id")
+
+
 @query("ns_mmr_diverse")  # greedy-iterative: contract-pinned, no SQL oracle
 def ns_mmr_diverse(spark, sf_dir):
     """Maximal-marginal-relevance diverse top-10 (lambda=0.7) against

@@ -639,3 +639,12 @@ def test_rfm_single_rank_pass(spark):
     plan (the enumeration's total order), never three."""
     plan = plan_of(QUERIES["ns_rfm_segments"](spark, SF))
     assert plan.count("Exchange rangepartitioning") <= 2  # rank pass + output sort
+
+
+def test_transcript_assembly_prunes_mapside(spark):
+    """The 8-turn cap must compile with WindowGroupLimit so each map
+    task pre-reduces to its local first-8-per-user before the user
+    shuffle; exactly one hash exchange end to end."""
+    plan = plan_of(QUERIES["ns_transcript_assembly"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

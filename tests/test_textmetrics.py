@@ -323,3 +323,50 @@ def test_zipf_slope_is_negative_on_distinct_counts(spark, counts):
         r = ns_zipf_slope(spark, d).collect()[0]
     assert r["n_terms"] == len(counts)
     assert r["slope"] < 0
+
+
+class TestTranscriptAssembly:
+    def test_order_and_cap(self, spark):
+        import datetime
+
+        from hybrid_cdc_demo_spark.operators.analytics import (
+            transcript_assembly,
+        )
+
+        rows = []
+        # user 1: 10 events, types cycle v/c/p — cap at 3 keeps v>c>p
+        for i in range(10):
+            rows.append(
+                (i, datetime.datetime(2024, 1, 1, 0, i), 1,
+                 ["view", "click", "purchase"][i % 3], 0.0)
+            )
+        # user 2: two events arriving out of id order but in ts order
+        rows.append((100, datetime.datetime(2024, 1, 2), 2, "click", 0.0))
+        rows.append((99, datetime.datetime(2024, 1, 3), 2, "view", 0.0))
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        got = {
+            r["user_id"]: r
+            for r in transcript_assembly(ev, max_turns=3).collect()
+        }
+        assert got[1]["n_turns"] == 3
+        assert got[1]["transcript"] == "view>click>purchase"
+        # ts orders turns, not event_id
+        assert got[2]["transcript"] == "click>view"
+        assert got[2]["n_turns"] == 2
+
+    def test_ties_break_by_event_id(self, spark):
+        import datetime
+
+        from hybrid_cdc_demo_spark.operators.analytics import (
+            transcript_assembly,
+        )
+
+        t = datetime.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(2, t, 1, "b", 0.0), (1, t, 1, "a", 0.0)],
+            ["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        got = transcript_assembly(ev, max_turns=8).collect()[0]
+        assert got["transcript"] == "a>b"
