@@ -43,6 +43,15 @@ _FOLD_MEAN = """
 """
 
 
+def semdedup_k(n: int, target_cluster_size: int = 64) -> int:
+    """Corpus-scaled SemDeDup cluster count: k = max(8, n / target).
+    Keeping expected cluster size constant bounds within-cluster pair
+    work at O(n·target) — the round-5 scaling sweep caught fixed k=8
+    going quadratic (SCALING_r05.json / PERF.md). The oracle mirrors
+    this exactly as GREATEST(8, COUNT(*) // 64)."""
+    return max(8, int(n) // target_cluster_size)
+
+
 @query(
     "ns_kmeans_assign",
     oracle=f"""
@@ -144,8 +153,9 @@ def ns_semantic_dedup(spark, sf_dir):
     Cosine emitted unrounded: both engines left-fold the dot products,
     bitwise-equal (see ns_embedding_neardup_exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    k = max(8, emb.count() // 64)
-    pairs = C.semantic_dedup(emb, k=k, threshold=0.3, seed_by="id")
+    pairs = C.semantic_dedup(
+        emb, k=semdedup_k(emb.count()), threshold=0.3, seed_by="id"
+    )
     return pairs.select(
         F.col("cluster").cast("int").alias("cluster"), "id_a", "id_b", "cos"
     ).orderBy("id_a", "id_b")

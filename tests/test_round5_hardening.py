@@ -450,3 +450,20 @@ def test_backlog_listener_scopes_to_its_query(tmp_path):
     lst.onQueryProgress(event("run-A", _json.dumps({str(seg): 100})))
     key = 'cdc_backlog_depth{destination="source",table="users"}'
     assert reg.snapshot()["gauges"][key] == 400
+
+
+def test_semdedup_k_scales_with_corpus():
+    """Regression pin for the scaling-sweep fix: SemDeDup's cluster
+    count must grow with the corpus so within-cluster pair work stays
+    O(n·target), never O(n²/k_fixed). Floor of 8 below 512 vectors;
+    the oracle mirrors GREATEST(8, COUNT(*) // 64)."""
+    from hybrid_cdc_demo_spark.plans.ml_queries import semdedup_k
+
+    assert semdedup_k(0) == 8
+    assert semdedup_k(500) == 8       # sf0.01 — unchanged vs round 4
+    assert semdedup_k(5000) == 78     # sf0.1 — 22 s -> 2 s fix
+    assert semdedup_k(5_000_000) == 78_125
+    # expected cluster size stays bounded once past the floor
+    # (floor division leaves it just above target: n/k < 65 for n >= 10k)
+    for n in (10_000, 100_000, 1_000_000):
+        assert n / semdedup_k(n) < 65
