@@ -145,6 +145,11 @@ def pagerank(
     (node, rank) with Σrank = 1 (dangling mass redistributed
     uniformly). One keyed join + one keyed aggregation per iteration;
     lineage truncated with localCheckpoint every few rounds."""
+    # materialize the edge set ONCE: edges is usually a lazy plan over
+    # the raw corpus (tokenize + explode + distinct), and every
+    # iteration references it — without this checkpoint each lineage
+    # materialization re-runs the whole graph construction
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -156,7 +161,7 @@ def pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
     outdeg = edges.groupBy("src").agg(
         F.count("*").cast("long").alias("_out")
-    )
+    ).localCheckpoint(eager=True)  # reused by all iterations
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for it in range(iterations):
