@@ -589,3 +589,48 @@ def transcript_assembly(
             ),
         ).alias("transcript"),
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    *,
+    season_days: int = 7,
+    anchor: str = "2024-01-01",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (type, day)'s
+    event count with the count ``season_days`` earlier and report MAE
+    and MAPE per type — the baseline every capacity-planning forecast
+    must beat, evaluated the way production backtests run (walk
+    forward over history; here the lag-7 naive needs no fitting).
+
+    Scale shape: events collapse to |types| x |days| daily counts
+    (partial-aggregated); the forecast is a self-equi-join on
+    (type, day + season) — never a row-offset window, whose lag-k-ROWS
+    silently diverges from lag-k-DAYS when a (type, day) cell is empty
+    — and the errors reduce to one row per type. Day indexes are
+    anchor-offset integer arithmetic, engine-neutral.
+    """
+    d = events.select(
+        F.col(type_col).alias("etype"),
+        F.datediff(F.to_date(ts_col), F.lit(anchor).cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    c = d.groupBy("etype", "day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    fc = c.select(
+        "etype",
+        (F.col("day") + season_days).alias("day"),
+        F.col("n").alias("fc"),
+    )
+    err = F.abs(F.col("n") - F.col("fc")).cast("double")
+    return (
+        c.join(fc, ["etype", "day"])
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.avg(err).alias("mae"),
+            F.avg(err / F.col("n").cast("double")).alias("mape"),
+        )
+    )

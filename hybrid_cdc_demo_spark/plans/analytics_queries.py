@@ -582,3 +582,40 @@ def ns_winsorize(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     return winsorize(events, "value", "event_id").orderBy("event_id")
+
+
+@query(
+    "ns_forecast_backtest",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS etype,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), j AS (
+      SELECT a.etype, a.n, b.n AS fc
+      FROM c a JOIN c b ON a.etype = b.etype AND b.day = a.day - 7
+    )
+    SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_eval,
+           AVG(CAST(abs(n - fc) AS DOUBLE)) AS mae,
+           AVG(CAST(abs(n - fc) AS DOUBLE) / CAST(n AS DOUBLE)) AS mape
+    FROM j GROUP BY etype ORDER BY etype
+    """,
+)
+def ns_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive (lag-7-days) forecast backtest per event type,
+    HASH-VERIFIED: MAE and MAPE of predicting each day's count with
+    the count a week earlier — the baseline every capacity forecast
+    must beat. The forecast is a self-equi-join on (type, day+7),
+    never a row-offset window (lag-7-ROWS diverges from lag-7-DAYS
+    whenever a day has zero events of a type); events collapse to
+    |types| x |days| cells before any join. MAPE's n > 0 is guaranteed
+    (cells exist only where COUNT(*) >= 1), so the division needs no
+    ANSI guard."""
+    from hybrid_cdc_demo_spark.operators.analytics import (
+        seasonal_naive_backtest,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_naive_backtest(events, season_days=7).orderBy("etype")

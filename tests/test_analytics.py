@@ -271,3 +271,53 @@ class TestAttribution:
 
         (row,) = purchase_attribution(ev, window_days=1).collect()
         assert row["last_touch"] == "click"
+
+
+class TestForecastBacktest:
+    def test_perfect_weekly_period_has_zero_error(self, spark):
+        import datetime
+
+        from hybrid_cdc_demo_spark.operators.analytics import (
+            seasonal_naive_backtest,
+        )
+
+        rows = []
+        eid = 0
+        # day d gets (d % 7) + 1 events -> exact weekly period
+        for d in range(1, 22):
+            for _ in range((d % 7) + 1):
+                rows.append((eid, datetime.datetime(2024, 1, d), 1, "view", 0.0))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        got = seasonal_naive_backtest(ev).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["n_eval"] == 14  # days 8..21 have a lag-7 partner
+        assert r["mae"] == 0.0 and r["mape"] == 0.0
+
+    def test_known_error_and_missing_day_semantics(self, spark):
+        import datetime
+
+        from hybrid_cdc_demo_spark.operators.analytics import (
+            seasonal_naive_backtest,
+        )
+
+        rows = []
+        eid = 0
+        # day 1: 2 events; day 8: 3 events; day 9 skipped entirely;
+        # day 15: 1 event (its lag-7 partner day 8 has 3)
+        for d, cnt in [(1, 2), (8, 3), (15, 1)]:
+            for _ in range(cnt):
+                rows.append((eid, datetime.datetime(2024, 1, d), 1, "view", 0.0))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        r = seasonal_naive_backtest(ev).collect()[0]
+        # day 8 vs day 1: |3-2|=1; day 15 vs day 8: |1-3|=2 — a row-lag
+        # implementation would wrongly pair day 15 with day 1 here
+        assert r["n_eval"] == 2
+        assert r["mae"] == 1.5
+        assert r["mape"] == (1.0 / 3.0 + 2.0 / 1.0) / 2.0
