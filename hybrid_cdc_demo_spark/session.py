@@ -27,6 +27,16 @@ SESSION_CONFS: dict[str, str] = {
     # convert in sources.tables.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # RocksDB-backed streaming state: stateful operators (dedup within
+    # watermark, session windows, applyInPandasWithState, stream-stream
+    # joins) keep state off the JVM heap and spill to local SSTs — at
+    # 100 TB the HDFS-backed in-memory default OOMs long before the
+    # keyspace does. Bundled with Spark (rocksdbjni), verified working
+    # in this container; per-query checkpoints pick it up at start.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 
