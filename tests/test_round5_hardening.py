@@ -467,3 +467,39 @@ def test_semdedup_k_scales_with_corpus():
     # (floor division leaves it just above target: n/k < 65 for n >= 10k)
     for n in (10_000, 100_000, 1_000_000):
         assert n / semdedup_k(n) < 65
+
+
+def test_streaming_state_store_is_rocksdb(spark, tmp_path):
+    """Regression pin for the session default: stateful streaming
+    queries must write RocksDB state (SST/changelog artifacts in the
+    checkpoint), not the in-memory/HDFS provider's flat deltas — the
+    off-heap keyspace is the 100 TB stateful-streaming posture."""
+    import os
+
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    src, ckpt = tmp_path / "src", tmp_path / "ck"
+    os.makedirs(src)
+    spark.createDataFrame([(1, "a"), (2, "b"), (2, "c")], ["k", "v"]).write.json(
+        str(src / "f1")
+    )
+    q = (
+        spark.readStream.schema("k long, v string")
+        .json(str(src / "*"))
+        .groupBy("k")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    arts = [
+        f
+        for root, _, files in os.walk(ckpt / "state")
+        for f in files
+        if f.endswith((".sst", ".zip", ".changelog"))
+    ]
+    assert arts, "no RocksDB state artifacts in the checkpoint"
