@@ -81,26 +81,53 @@ def warmup_plans(spark) -> None:
             print(f"# warmup error {name}: {exc}", file=sys.stderr)
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(
+    spark, sf_dir: str, reps: int = 3
+) -> tuple[dict[str, float], dict[str, float], dict[str, list[float]]]:
+    """Time every catalog query ``reps`` times and report the per-query
+    MEDIAN (plus min and the raw reps for the BENCH_FULL artifact).
+
+    A single cold shot per query made every round-over-round tail
+    comparison start with a noise argument: the shared-sandbox session
+    band swings individual runs ±50% (PERF.md bisection: 5 identical
+    protocol runs spanned 85.5–200.6 s totals), so untouched queries
+    read as ±2× regressions. The median of 3 consecutive runs inside
+    ONE session collapses that to the scheduler-level jitter the
+    comparison can actually survive (VERDICT r5 task #1)."""
     from hybrid_cdc_demo_spark.plans import QUERIES
 
     warmup(spark, sf_dir)
     warmup_plans(spark)
     spark.catalog.clearCache()
-    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in sorted(QUERIES):
-        start = time.perf_counter()
-        try:
-            materialize(QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # noqa: BLE001 — record, keep benching
-            timings[name] = -1.0
-            print(f"# bench error {name}: {exc}", file=sys.stderr)
-        # each query is an independent workload: drop any DataFrames it
-        # persisted so a later query neither reuses them (canonicalized-
-        # plan cache hits) nor pays their memory pressure
+        samples: list[float] = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            try:
+                materialize(QUERIES[name](spark, sf_dir))
+                samples.append(round(time.perf_counter() - start, 3))
+            except Exception as exc:  # noqa: BLE001 — record, keep benching
+                samples.append(-1.0)
+                print(f"# bench error {name}: {exc}", file=sys.stderr)
+                break
+            # each rep is an independent workload: drop any DataFrames
+            # it persisted so the next rep neither reuses them
+            # (canonicalized-plan cache hits) nor pays their memory
+            # pressure — each rep re-executes the full plan
+            spark.catalog.clearCache()
         spark.catalog.clearCache()
-    return timings
+        if any(s < 0 for s in samples):
+            medians[name] = -1.0
+            mins[name] = -1.0
+        else:
+            ordered = sorted(samples)
+            medians[name] = ordered[len(ordered) // 2]
+            mins[name] = ordered[0]
+        all_reps[name] = samples
+    return medians, mins, all_reps
 
 
 def run_streaming_bench(
@@ -320,13 +347,17 @@ def main() -> None:
     streaming = run_streaming_bench(spark)
     if os.environ.get("SPARK_GRAFT_SWEEP"):
         streaming.update(run_batch_size_sweep(spark))
-    timings = run_queries(spark, sf_dir)
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    medians, mins, all_reps = run_queries(spark, sf_dir)
+    total = round(sum(t for t in medians.values() if t >= 0), 3)
     result = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # per-query MEDIAN of 3 in-session reps (VERDICT r5 #1): the
+        # driver tail and round-over-round comparisons see medians, so
+        # untouched queries no longer read as ±50% session-band swings
+        "queries": medians,
+        "bench_reps": 3,
         "sf": sf,
         **streaming,
     }
@@ -335,13 +366,19 @@ def main() -> None:
     print(json.dumps(result), flush=True)
     # the driver records only a truncated tail of the stdout line; the
     # full per-query table is a repo artifact so round-over-round
-    # comparisons see every query (VERDICT r3 #7)
+    # comparisons see every query (VERDICT r3 #7); min + raw reps live
+    # only here to keep the stdout line bounded
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
     try:
         with open(full_path, "w") as fh:
-            json.dump(result, fh, indent=1, sort_keys=True)
+            json.dump(
+                {**result, "queries_min": mins, "queries_reps": all_reps},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
             fh.write("\n")
     except OSError as exc:
         print(f"# BENCH_FULL.json write failed: {exc}", file=sys.stderr)

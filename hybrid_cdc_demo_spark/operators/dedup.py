@@ -49,14 +49,23 @@ def quality_weighted_dedup(
     text_col: str,
     id_col: str,
     quality_col: str,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Duplicate-cluster representative selection with savings
     accounting: cluster documents by whitespace/case-normalized text
-    and keep the HIGHEST-quality copy per cluster (tiebreak: lowest
-    id), reporting cluster size and the bytes the drop saves — the
-    "which copy do you keep" decision every curation pipeline makes
-    after duplicate detection (exact_dedup_canonical answers only
-    "how many copies").
+    and keep the HIGHEST-``quality_col`` copy per cluster (tiebreak:
+    lowest id), reporting cluster size and the ``size_col`` bytes the
+    drop saves — the "which copy do you keep" decision every curation
+    pipeline makes after duplicate detection (exact_dedup_canonical
+    answers only "how many copies").
+
+    ``quality_col`` is the RANKING key; ``size_col`` (default: the
+    same column) is what ``bytes_dropped`` sums — pass both when the
+    quality score isn't a byte count (e.g. rank by a classifier score,
+    account savings in n_chars). NULL quality never wins the argmax
+    (coalesced to LONG_MIN for ordering, reported NULL if an all-NULL
+    cluster is kept); NULL sizes count 0 toward the savings rather
+    than poisoning the sum.
 
     Scale shape: one keyed aggregation on the normalized text. The
     argmax is a single ``max(struct(quality, -id, id, ...))`` — partial-
@@ -66,24 +75,27 @@ def quality_weighted_dedup(
     """
     key = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     q = F.col(quality_col).cast("long")
+    size = F.coalesce(F.col(size_col or quality_col).cast("long"), F.lit(0))
     best = F.struct(
-        q.alias("q"),
+        F.coalesce(q, F.lit(-(2**63))).alias("q_ord"),
         (-F.col(id_col)).alias("negid"),
         F.col(id_col).alias("id"),
+        q.alias("q"),
+        size.alias("size"),
     )
     return (
-        df.select(key.alias("_key"), best.alias("_best"), q.alias("_q"))
+        df.select(key.alias("_key"), best.alias("_best"), size.alias("_size"))
         .groupBy("_key")
         .agg(
             F.max("_best").alias("b"),
             F.count("*").cast("long").alias("cluster_size"),
-            F.sum("_q").alias("_qsum"),
+            F.sum("_size").alias("_ssum"),
         )
         .select(
             F.col("b.id").alias("kept_doc_id"),
             F.col("b.q").alias("kept_quality"),
             "cluster_size",
-            (F.col("_qsum") - F.col("b.q")).cast("long").alias("bytes_dropped"),
+            (F.col("_ssum") - F.col("b.size")).cast("long").alias("bytes_dropped"),
         )
     )
 

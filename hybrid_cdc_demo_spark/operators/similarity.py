@@ -168,9 +168,15 @@ def mmr_select(
     plan.
 
     Returns (rank, id, relevance, mmr_score) with rank 1..k in pick
-    order; ties broken by id.
+    order; ties broken by id. Degenerate inputs are excluded up front:
+    zero-norm embeddings (cosine is 0/0 = NaN, and Spark's descending
+    sort places NaN ABOVE every real double, so they'd win every pick)
+    are filtered before the greedy loop, and if the candidate pool
+    exhausts before k picks the result simply has fewer rows.
     """
-    emb = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    emb = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v")).filter(
+        dot(F.col("_v"), F.col("_v")) > 0
+    )
     scored = (
         emb.crossJoin(F.broadcast(query))
         .select(
@@ -179,8 +185,18 @@ def mmr_select(
             # per-row inverse norm, computed once: penalty dots then
             # cost one multiply-add sweep, no sqrt per iteration
             (F.lit(1.0) / F.sqrt(dot(F.col("_v"), F.col("_v")))).alias("_inv"),
-            cosine(F.col("_v"), F.col(query_vec_col)).alias("rel"),
+            F.try_divide(
+                dot(F.col("_v"), F.col(query_vec_col)),
+                F.sqrt(dot(F.col("_v"), F.col("_v")))
+                * F.sqrt(
+                    dot(F.col(query_vec_col), F.col(query_vec_col))
+                ),
+            ).alias("rel"),
         )
+        # a zero-norm QUERY vector zeroes every denominator —
+        # try_divide yields NULL (ANSI-safe), which we drop rather
+        # than let NaN/NULL float to the top of the DESC sort
+        .filter(F.col("rel").isNotNull())
         .withColumn("_ms", F.lit(None).cast("double"))
         .localCheckpoint(eager=True)
     )
@@ -190,12 +206,15 @@ def mmr_select(
         F.col("_ms"), F.lit(0.0)
     )
     for rank in range(1, k + 1):
-        top = (
+        rows = (
             scored.withColumn("_s", score)
             .orderBy(F.desc("_s"), F.col(id_col))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:  # pool exhausted before k picks
+            break
+        top = rows[0]
         picked.append((rank, top[id_col], top["rel"], float(top["_s"])))
         if rank < k:
             # newest pick's unit vector as a literal; cos(v, s) =

@@ -20,7 +20,7 @@ from hybrid_cdc_demo_spark.operators import classifier as CL
 from hybrid_cdc_demo_spark.operators import clustering as C
 from hybrid_cdc_demo_spark.operators.similarity import _as_double_array
 from hybrid_cdc_demo_spark.plans.catalog import query
-from hybrid_cdc_demo_spark.sources.tables import load_table
+from hybrid_cdc_demo_spark.sources.tables import load_table, table_num_rows
 
 # DuckDB fragment: squared-L2 distance as the same strict left fold
 # (zero-init prepended) Spark's cell_assign_expr aggregate() computes.
@@ -147,14 +147,19 @@ def ns_semantic_dedup(spark, sf_dir):
     so expected cluster size stays ~constant and total pair work is
     O(n · target_size), not O(n²/k_fixed) — the round-5 scaling sweep
     caught the fixed-k=8 form going quadratic (1.1 s → 22 s on 10x
-    data); with scaled k it is back to ~linear. The n here is one
-    bounded count job; at corpus scale the literal argmin hands over
-    to the IVF index's join-based assignment (same operator family).
+    data); with scaled k it is back to ~linear. n comes from parquet
+    FOOTER METADATA (memoized, no Spark job), so building this query
+    is action-free like every other catalog entry (ADVICE r5 #3); at
+    corpus scale the literal argmin hands over to the IVF index's
+    join-based assignment (same operator family).
     Cosine emitted unrounded: both engines left-fold the dot products,
     bitwise-equal (see ns_embedding_neardup_exact)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = C.semantic_dedup(
-        emb, k=semdedup_k(emb.count()), threshold=0.3, seed_by="id"
+        emb,
+        k=semdedup_k(table_num_rows(sf_dir, "embeddings")),
+        threshold=0.3,
+        seed_by="id",
     )
     return pairs.select(
         F.col("cluster").cast("int").alias("cluster"), "id_a", "id_b", "cos"

@@ -42,6 +42,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Row count straight from parquet footer metadata (no Spark job).
+
+    Queries whose SHAPE depends on corpus size (e.g. SemDeDup's
+    cluster count k = max(8, n/64)) need n at plan-construction time;
+    counting via Spark made query construction itself launch a job,
+    so plan dumps / contract tests / warmup bookkeeping each paid a
+    count (ADVICE r5 #3). Footer metadata is O(files), memoized per
+    (sf_dir, table). Handles both a single .parquet file and a
+    directory of part files (Spark-written derivatives).
+    """
+    key = (sf_dir, name)
+    cached = _NUM_ROWS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    _NUM_ROWS_CACHE[key] = n
+    return n
+
+
+_NUM_ROWS_CACHE: dict[tuple[str, str], int] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (engine.sql surface)."""
     for name in TABLES:

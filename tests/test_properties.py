@@ -226,8 +226,13 @@ def test_scrub_text_pii_idempotent_and_exhaustive(parts):
     assert once == scrub_text_pii_value(text)
     assert scrub_text_pii_value(once) == once
     email_pat, ssn_pat = TEXT_PII_PATTERNS[0][1], TEXT_PII_PATTERNS[1][1]
+    phone_pat = TEXT_PII_PATTERNS[2][1]
     assert re.search(email_pat, once) is None
     assert re.search(ssn_pat, once) is None
+    # phone too: replacements only remove matchable chars and insert
+    # tokens whose chars are outside every pattern's classes, so any
+    # surviving match would have been a match in the input
+    assert re.search(phone_pat, once) is None
 
 
 @given(st.integers(min_value=-(2**62), max_value=2**62))
