@@ -99,3 +99,44 @@ def test_duplicate_bits_in_one_batch_all_land():
         words, pos >> 6, np.left_shift(np.uint64(1), (pos & 63).astype(np.uint64))
     )
     assert words[0] == 0b111
+
+
+def test_two_level_fold_matches_and_bounds_collect(spark):
+    """VERDICT r5 #3: the partial bitmaps are OR-folded in a second
+    distributed level, so the driver collect is bounded at
+    min(sqrt(P), 64) rows regardless of scan partition count P — and
+    the folded bitmap is bit-identical to a single-partition build."""
+    keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+    m, k = optimal_params(2000, 0.01)
+    ref = build_bloom(keys.coalesce(1), "k", m, k)
+    wide = build_bloom(keys.repartition(30), "k", m, k)
+    assert np.array_equal(ref, wide)
+
+    # bound the fan-in: spy on collect() of the final partials frame
+    captured = {}
+    orig_collect = type(keys).collect
+
+    def spy(self):
+        rows = orig_collect(self)
+        if self.columns == ["bitmap"]:
+            captured["n"] = len(rows)
+        return rows
+
+    type(keys).collect = spy
+    try:
+        build_bloom(keys.repartition(30), "k", m, k)
+    finally:
+        type(keys).collect = orig_collect
+    # isqrt(30) = 5 second-level slots, some possibly empty
+    assert 1 <= captured["n"] <= 5
+
+
+def test_blocklist_filter_unchanged_with_many_partitions(spark):
+    """The exact anti-join equivalence survives the two-level fold."""
+    corpus = spark.range(0, 300).select(F.col("id").alias("k")).repartition(17)
+    bad = spark.range(0, 300, 7).select(F.col("id").alias("b")).repartition(9)
+    got = blocklist_filter(spark, corpus, "k", bad, "b", expected_items=50)
+    want = corpus.join(bad, F.col("k") == F.col("b"), "left_anti")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
