@@ -648,3 +648,49 @@ def test_transcript_assembly_prunes_mapside(spark):
     plan = plan_of(QUERIES["ns_transcript_assembly"](spark, SF))
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_forecast_backtest_joins_cells_not_row_lag(spark):
+    """The seasonal-naive forecast must be a self-equi-join of the
+    (type, day) COUNT cells — never a row-offset lag window (which
+    diverges on zero-event days). Cells partial-aggregate map-side
+    before their exchange, and the tiny cell table broadcasts."""
+    plan = plan_of(QUERIES["ns_forecast_backtest"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_ttl_expiry_is_pushed_down_scan_filter(spark):
+    """TTL expiry is a narrow per-row predicate: zero hash exchanges
+    at any scale, and the expiry condition must reach the parquet
+    scan's data filters (the only exchange is the output ORDER BY)."""
+    df = QUERIES["ns_ttl_expiry"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Window" not in plan and "Join" not in plan
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "DataFilters: [" in scan_line
+    assert "DataFilters: []" not in scan_line  # predicate reached the scan
+
+
+def test_dataset_card_single_grouped_pass_no_joins(spark):
+    """The card is one narrow projection into partially-aggregated
+    groupBys: no joins, no windows; the COUNT(DISTINCT text_hash)
+    expands to exactly the two-level distinct aggregate (2 hash
+    exchanges), never a self-join."""
+    plan = plan_of(QUERIES["ns_dataset_card"](spark, SF))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_bit_xor" in plan or "partial_" in plan
+
+
+def test_pareto_revenue_single_rank_exchange_no_window(spark):
+    """Rank + running revenue share come from ONE global_rank_cumsum
+    pass: exactly one hash exchange (the user aggregation), no Window
+    operator (the oracle's unpartitioned SUM OVER would be one task),
+    and the grand total broadcasts back."""
+    plan = plan_of(QUERIES["ns_pareto_revenue"](spark, SF))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
