@@ -1,6 +1,27 @@
 """engine.sql surface: the SQL string API must produce the same
 results as the DataFrame builders (SURVEY §2c: both lower to the same
-Catalyst plans) over the registered testdata views."""
+Catalyst plans) over the registered testdata views.
+
+Three tiers (VERDICT r5 task #4 — the full relational subset):
+
+1. ORACLE_ROUNDTRIP — queries whose catalog DuckDB oracle is ANSI
+   enough to run UNCHANGED through engine.sql with identical results:
+   the strongest parity statement (one SQL string, two engines, plus
+   the DataFrame builder, all agreeing).
+2. SPARK_DIALECT_EQUIVALENTS — hand-written Spark-SQL for the queries
+   whose oracle uses DuckDB-only surface (list_* lambdas, strftime,
+   ASOF JOIN, struct_pack, json_*, regexp flags, generate_series...).
+3. Plan-signature equality — for every pair, the SQL text and the
+   builder must compile to the same physical OPERATOR MULTISET (join
+   algorithms, exchanges by kind, windows, aggregates, sorts...);
+   exact plan-string equality is impossible (builders alias columns
+   and AQE may flip broadcast build sides), but an operator-level
+   mismatch is exactly the "SQL text silently plans worse" regression
+   this surface guards against. Documented exemptions list the pairs
+   whose formulations legitimately differ (scalar-subquery vs join,
+   session_window builtin vs window-function emulation...).
+"""
+
 
 import pytest
 
@@ -82,6 +103,231 @@ SQL_EQUIVALENTS = {
 }
 
 
+#: Catalog queries whose DuckDB ORACLE_SQL runs UNCHANGED on Spark SQL
+#: with identical rows and column names (discovered + pinned; a name
+#: leaving this list is a dialect regression in either the oracle or
+#: the engine surface).
+ORACLE_ROUNDTRIP = sorted(
+    """
+    q01_scan_project q02_filter q03_agg_tpch_q1 q04_distinct_count
+    q06_join_broadcast q07_join_multiway q08_join_left_outer
+    q09_join_semi q10_join_anti q11_join_range q12_cdc_latest_wins
+    q13_window_rank q14_window_frame_sum q15_window_lag q16_topk
+    q17_set_except q17_set_intersect q17_set_union q18_rollup
+    q19_string_fns q20_date_fns q21_math_decimal q25_dedup_exact_count
+    q26_text_token_stats q28_tpch_q5 q29_tpch_q10 q30_tpch_q4
+    q31_tpch_q15 q32_tpch_q22 q34_tpch_q3 q35_tpch_q6 q36_tpch_q14
+    q37_tpch_q17 q38_tpch_q18 q39_tpch_q19 q40_tpch_q9_shape
+    q41_tpch_q16_shape q42_tpch_q7 q43_tpch_q8 q44_tpch_q13 q45_pivot
+    q46_cube q47_tpch_q12_shape q48_tpch_q21_shape q49_tpch_q2_shape
+    q50_tpch_q11_shape q51_tpch_q20_shape q52_grouping_sets
+    q53_unpivot q54_window_distribution q55_window_navigation
+    q61_set_ops_all q63_conditional_breadth q66_null_safe_equality
+    q70_ranking_trio q72_not_in_null_trap q73_except_all
+    s10_stream_enrichment s11_incremental_agg s12_snapshot_asof
+    s13_union_streams s1_tumbling_window s3_session_window
+    s4_watermarked_hourly s5_stateful_dedup s7_interval_join
+    s8_running_totals s9_interval_join_outer
+    """.split()
+)
+
+#: Spark-SQL equivalents for the queries whose oracle is DuckDB-dialect.
+SPARK_DIALECT_EQUIVALENTS = {
+    "q22_masking_sha256": """
+    SELECT user_id, sha2(CAST(user_id AS STRING), 256) AS uid_sha
+    FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id
+ """,
+    "q23_json_extract": """
+    SELECT event_id, get_json_object(props, '$.k') AS k
+    FROM events ORDER BY event_id
+ """,
+    "q24_array_sum": """
+    SELECT vec_id,
+           ROUND(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x), 2) AS esum
+    FROM embeddings ORDER BY vec_id
+ """,
+    "q27_cosine_topk": """
+    WITH q AS (
+      SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS qv FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), q.qv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)
+             / (sqrt(aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), transform(embedding, x -> CAST(x AS DOUBLE)), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)) * sqrt(aggregate(zip_with(q.qv, q.qv, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))) AS raw_score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, ROUND(raw_score, 4) AS score
+    FROM scored ORDER BY raw_score DESC, vec_id LIMIT 10
+ """,
+    "q33_asof_join": """
+    SELECT a.event_id,
+           max(CASE WHEN b.ts IS NOT NULL THEN struct(b.ts, b.value) END).value
+             AS last_update_value
+    FROM (SELECT user_id, event_id, ts FROM events) a
+    LEFT JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'UPDATE') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    GROUP BY a.event_id
+    ORDER BY a.event_id
+ """,
+    "q56_string_fns_breadth": """
+    SELECT p_partkey,
+           translate(p_brand, '#', '-') AS brand_t,
+           lpad(CAST(p_size AS STRING), 4, '0') AS size_padded,
+           rpad(p_brand, 12, '.') AS brand_padded,
+           reverse(p_name) AS name_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           CAST(instr(p_type, 'a') AS INT) AS first_a,
+           split_part(p_type, ' ', 1) AS type_head,
+           CAST(ascii(p_name) AS INT) AS name_first_code,
+           left(p_name, 5) AS name_l5,
+           right(p_name, 5) AS name_r5,
+           COALESCE(NULLIF(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other
+    FROM part ORDER BY p_partkey
+ """,
+    "q57_datetime_fns_breadth": """
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(datediff(CAST(o_orderdate AS DATE), DATE '2023-01-01') AS INT)
+             AS days_since,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(o_orderdate + INTERVAL '3' MONTH AS DATE) AS plus_3m
+    FROM orders ORDER BY o_orderkey
+ """,
+    "q58_array_fns_breadth": """
+    WITH v AS (
+      SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(size(e) AS INT) AS n_dims,
+           array_max(e) AS v_max,
+           array_min(e) AS v_min,
+           aggregate(zip_with(slice(e, 1, 3), array(1.0D, 1.0D, 1.0D), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) AS sum_first3,
+           CAST(size(filter(e, x -> x > 0)) AS INT) AS n_pos,
+           sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)) AS l2
+    FROM v ORDER BY vec_id
+ """,
+    "q59_regex_breadth": """
+    SELECT doc_id,
+           regexp_extract(text, '([0-9]+)', 1) AS first_number,
+           CAST(size(regexp_extract_all(text, '[aeiou]+', 0)) AS INT)
+             AS n_vowel_runs,
+           regexp_replace(lower(text), '[aeiou]', '') AS devoweled_head
+    FROM (SELECT doc_id, substring(text, 1, 80) AS text FROM documents)
+    ORDER BY doc_id
+ """,
+    "q60_lateral_posexplode": """
+    SELECT e.vec_id,
+           CAST(t.pos AS INT) AS pos,
+           CAST(t.val AS DOUBLE) AS val
+    FROM embeddings e
+    LATERAL VIEW posexplode(slice(e.embedding, 1, 4)) t AS pos, val
+    ORDER BY vec_id, pos
+ """,
+    "q62_ordered_string_agg": """
+    SELECT l_returnflag,
+           array_join(array_sort(collect_set(l_linestatus)), '|') AS statuses,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+           bool_and(l_discount <= 0.1) AS all_small_discount,
+           bool_or(l_tax > 0.07) AS any_high_tax
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+ """,
+    "q64_bitwise_breadth": """
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(l_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor,
+           CAST(42 ^ 7 AS BIGINT) AS const_xor
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+ """,
+    "q65_math_fns_breadth": """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(sign(l_tax - 0.04) AS DOUBLE) AS tax_side,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           CAST(floor(l_extendedprice / 1000.0) AS DOUBLE) AS price_k_floor,
+           CAST(ceil(l_quantity / 10.0) AS DOUBLE) AS qty_decile_ceil,
+           CAST(CAST(l_extendedprice / 100.0 AS BIGINT) AS DOUBLE)
+             AS price_c_trunc
+    FROM lineitem WHERE l_orderkey < 400
+    ORDER BY l_orderkey, l_linenumber
+ """,
+    "q67_map_fns": """
+    SELECT event_id,
+           CAST(size(json_object_keys(props)) AS INT) AS n_keys,
+           CAST(get_json_object(props, '$.k') AS INT) AS k_value,
+           CAST(get_json_object(props, '$.k') AS INT) * 2 AS k_doubled
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+ """,
+    "q68_array_predicates": """
+    WITH v AS (
+      SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+      WHERE vec_id < 500
+    )
+    SELECT vec_id,
+           CAST(exists(e, x -> x > 0.9) AS INT) AS has_big,
+           CAST(NOT exists(e, x -> x <= -2.0) AS INT) AS all_gt_neg2,
+           array_sort(e)[0] AS smallest,
+           CAST(array_position(e, array_max(e)) AS INT) AS argmax_pos
+    FROM v ORDER BY vec_id
+ """,
+    "q69_struct_surface": """
+    WITH s AS (
+      SELECT o_orderkey,
+             named_struct('cust', o_custkey, 'status', o_orderstatus,
+                          'price', o_totalprice) AS o
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           o.cust AS cust,
+           o.status AS status,
+           CAST(o.price >= 100000 AS INT) AS is_large
+    FROM s ORDER BY o_orderkey
+ """,
+    "q71_datetime_format": """
+    SELECT o_orderkey,
+           date_format(o_orderdate, 'yyyy-MM') AS ym,
+           date_format(o_orderdate, 'EEEE') AS weekday_name,
+           date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS iso_ts
+    FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+ """,
+    "s2_sliding_window": """
+    SELECT window.start AS window_start, window.end AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events
+    GROUP BY window(ts, '1 hour', '15 minutes')
+    ORDER BY window_start
+ """,
+}
+
+#: Driver-prefix queries with NO SQL-text equivalent, with the reason.
+SQL_SURFACE_EXEMPT = {
+    "q05_approx_distinct": "approx_count_distinct seed differs per engine; tolerance-checked elsewhere",
+    "s6_cdc_pipeline_batch": "the CDC pipeline operator (parse→validate→mask→merge), not a relational query",
+}
+
+#: Pairs whose SQL text and builder compile to legitimately DIFFERENT
+#: physical formulations (same results, hash-checked above).
+PLAN_SIG_EXEMPT = {
+    "q27_cosine_topk": "builder broadcasts the 1-row query vector; SQL's scalar subquery plans as two single-partition aggregates",
+    "q31_tpch_q15": "builder reuses the revenue frame; SQL's MAX scalar subquery adds one broadcast join",
+    "q32_tpch_q22": "builder's AVG is a broadcast-nested-loop scalar input; SQL plans it as a subquery aggregate",
+    "q33_asof_join": "builder is the asof window operator; SQL emulates via join + max(struct) argmax (SortAggregate)",
+    "q37_tpch_q17": "scalar avg subquery vs builder's explicit broadcast join",
+    "q42_tpch_q7": "join-order formulation: at sf0.01 the builder's order plans one sort-merge leg where the SQL order keeps all joins broadcast",
+    "q45_pivot": "builder pins the two-phase pivot aggregate; SQL's PIVOT folds to one",
+    "q49_tpch_q2_shape": "correlated min-cost subquery decorrelates differently than the builder's explicit join",
+    "q50_tpch_q11_shape": "HAVING scalar subquery vs builder's broadcast threshold join",
+    "q53_unpivot": "builder uses the Expand-based unpivot operator; SQL's UNPIVOT plans as a union",
+    "q62_ordered_string_agg": "collect_set+array_sort (1 exchange) vs SQL DISTINCT aggregate (2)",
+    "s3_session_window": "builder uses the session_window builtin; SQL emulates with gap windows",
+}
+
+
 @pytest.fixture(scope="module")
 def engine(spark):
     return Engine(SF, spark)
@@ -103,3 +349,85 @@ def test_engine_table_access(engine):
     assert {t for t in ("lineitem", "orders")} <= {
         t.name for t in engine.spark.catalog.listTables()
     }
+
+
+def _rows(df):
+    return sorted(str(tuple(r)) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", ORACLE_ROUNDTRIP)
+def test_oracle_sql_runs_unchanged_on_spark(engine, spark, name):
+    """The DuckDB oracle string IS valid Spark SQL and matches the
+    builder — one query text, two engines, one answer."""
+    from hybrid_cdc_demo_spark.plans import ORACLE_SQL
+
+    via_sql = engine.sql(ORACLE_SQL[name])
+    via_df = QUERIES[name](spark, SF)
+    assert list(via_sql.columns) == list(via_df.columns)
+    assert _rows(via_sql) == _rows(via_df)
+
+
+@pytest.mark.parametrize("name", sorted(SPARK_DIALECT_EQUIVALENTS))
+def test_spark_dialect_equivalent_matches_builder(engine, spark, name):
+    via_sql = engine.sql(SPARK_DIALECT_EQUIVALENTS[name])
+    via_df = QUERIES[name](spark, SF)
+    assert list(via_sql.columns) == list(via_df.columns)
+    assert _rows(via_sql) == _rows(via_df)
+
+
+def test_driver_prefix_sql_surface_is_closed():
+    """Every q*/s* catalog query is either oracle-roundtrip, hand-
+    equivalent, or explicitly exempted — no silent surface gaps."""
+    import re
+
+    from hybrid_cdc_demo_spark.plans import QUERIES as ALL_Q
+
+    driver_prefix = {n for n in ALL_Q if re.match(r"^(q|s)\d", n)}
+    covered = (
+        set(ORACLE_ROUNDTRIP)
+        | set(SPARK_DIALECT_EQUIVALENTS)
+        | set(SQL_SURFACE_EXEMPT)
+    )
+    assert driver_prefix <= covered, sorted(driver_prefix - covered)
+
+
+_SIG_OPS = None
+
+
+def _plan_signature(df):
+    """Operator multiset of the executed plan: join algorithms,
+    exchanges by kind, windows, aggregates, sorts, generates."""
+    import re
+    from collections import Counter
+
+    global _SIG_OPS
+    if _SIG_OPS is None:
+        _SIG_OPS = re.compile(
+            r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+            r"|BroadcastNestedLoopJoin|CartesianProduct|BroadcastExchange"
+            r"|Exchange hashpartitioning|Exchange rangepartitioning"
+            r"|Exchange SinglePartition|WindowGroupLimit|Window|Sort"
+            r"|TakeOrderedAndProject|Generate|Expand|HashAggregate"
+            r"|ObjectHashAggregate|SortAggregate)\b"
+        )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return Counter(_SIG_OPS.findall(plan))
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        (set(ORACLE_ROUNDTRIP) | set(SPARK_DIALECT_EQUIVALENTS))
+        - set(PLAN_SIG_EXEMPT)
+    ),
+)
+def test_sql_and_builder_plan_same_operators(engine, spark, name):
+    """The SQL text and the DataFrame builder must compile to the same
+    physical operator multiset — covers the join/window/set-op classes
+    (q06-q11, q13-q15, q17, q61, q73) and everything else non-exempt."""
+    from hybrid_cdc_demo_spark.plans import ORACLE_SQL
+
+    text = SPARK_DIALECT_EQUIVALENTS.get(name) or ORACLE_SQL[name]
+    assert _plan_signature(engine.sql(text)) == _plan_signature(
+        QUERIES[name](spark, SF)
+    )
