@@ -16,7 +16,14 @@ artifact separates growth (ratio) from cost (absolute seconds).
 Usage:
     python tools/scaling_sweep.py [out.json]
 Env:
-    SCALING_CPUS  (default 32)
+    SCALING_CPUS     (default 32)
+    SCALING_SFS      comma-separated sf dirs (default the three driver
+                     testdata dirs; point at tools/expand_testdata.py
+                     derivatives to stretch the range past sf0.1)
+    SCALING_QUERIES  comma-separated query subset (default: all)
+    SCALING_RATIO_BASE  sf label the growth ratios divide by
+                     (default "0.01"; the r_10x key then reads
+                     r_<step> per larger step)
 """
 
 from __future__ import annotations
@@ -34,11 +41,22 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
     cpus = int(os.environ.get("SCALING_CPUS", "32"))
+    sfs = [
+        p for p in os.environ.get("SCALING_SFS", ",".join(SFS)).split(",") if p
+    ]
 
     from pyspark.sql import SparkSession
 
     import bench
     from hybrid_cdc_demo_spark.plans import QUERIES
+
+    subset = os.environ.get("SCALING_QUERIES")
+    if subset:
+        names = [n for n in subset.split(",") if n]
+        missing = sorted(set(names) - set(QUERIES))
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        QUERIES = {n: QUERIES[n] for n in names}
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -55,7 +73,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     times: dict[str, dict[str, float]] = {n: {} for n in sorted(QUERIES)}
-    for sf_dir in SFS:
+    for sf_dir in sfs:
         sf = sf_dir.rsplit("sf", 1)[1]
         # per-SF warmup, exactly like bench.py at its target SF: the
         # one-time persisted index builds (IVF / SQ8 / IVF-PQ) are
@@ -72,24 +90,34 @@ def main() -> None:
                 print(f"# error {name}@{sf}: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
 
+    base = os.environ.get("SCALING_RATIO_BASE", "0.01")
     results: dict[str, dict] = {}
     flagged = []
     for name, t in times.items():
         row: dict = dict(t)
-        if t.get("0.01", -1) > 0 and t.get("0.1", -1) > 0:
-            row["r_10x"] = round(t["0.1"] / t["0.01"], 2)
-            # data grew 10x; runtime growing >10x means super-linear
-            if row["r_10x"] > 10.0:
+        for sf_label, sec in t.items():
+            if sf_label == base or sec <= 0 or t.get(base, -1) <= 0:
+                continue
+            data_ratio = float(sf_label) / float(base)
+            if data_ratio <= 1:
+                continue
+            r = round(sec / t[base], 2)
+            row[f"r_{data_ratio:g}x"] = r
+            # data grew data_ratio x; runtime growing faster is the
+            # super-linear red flag (all-pairs blowup, driver funnel)
+            if r > data_ratio:
                 row["superlinear"] = True
-                flagged.append(name)
+                if name not in flagged:
+                    flagged.append(name)
         results[name] = row
 
     doc = {
         "_summary": {
             "cpus": cpus,
             "queries": len(results),
+            "ratio_base": base,
             "superlinear": sorted(flagged),
-            "sfs": [p.rsplit("sf", 1)[1] for p in SFS],
+            "sfs": [p.rsplit("sf", 1)[1] for p in sfs],
         },
         **results,
     }
