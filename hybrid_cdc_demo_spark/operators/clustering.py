@@ -36,6 +36,8 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -206,6 +208,58 @@ def inertia(assigned: DataFrame, centers: list[list[float]], ids: list[int]) -> 
     )
 
 
+#: centroid count above which semantic_dedup switches from the
+#: nested-literal argmin expression (interpreted HOFs: n*k*d work per
+#: pass, and k grows with the corpus) to the BLAS assignment.
+ASSIGN_NUMPY_THRESHOLD = 64
+
+
+def assign_cells_np(
+    data: DataFrame,
+    centers: list[list[float]],
+    ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "_v",
+) -> DataFrame:
+    """Nearest-centroid assignment via an Arrow mapInPandas BLAS
+    matmul — the FAISS form ``||v||^2 - 2 v.C^T + ||c||^2`` with a
+    first-minimum argmin (the same tie rule as cell_assign_expr's
+    array_position-of-array_min). The centroid matrix rides the
+    closure (k*d doubles, broadcast-sized by construction); per batch
+    the distance matrix is one (b, k) GEMM, so assignment cost is
+    BLAS-bound instead of interpreted-HOF-bound — at k=312, d=64,
+    n=20k this is ~10x faster than the literal expression and the gap
+    widens with k (the expression path is O(n*k*d) interpreted ops and
+    k scales with the corpus).
+    Returns (id, vec, cluster int), same contract as the expression
+    path."""
+    from collections.abc import Iterator
+
+    C = np.asarray(centers, dtype=np.float64)  # (k, d)
+    cn = (C * C).sum(axis=1)  # (k,)
+    idmap = np.asarray(ids, dtype=np.int64)
+    id_type = dict(data.dtypes)[id_col]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + cn
+            pos = d2.argmin(axis=1)  # first minimum, like array_position
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "cluster": idmap[pos].astype(np.int32),
+                }
+            )
+
+    return data.mapInPandas(
+        assign, schema=f"{id_col} {id_type}, {vec_col} array<double>, cluster int"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     k: int = 8,
@@ -216,6 +270,7 @@ def semantic_dedup(
     ids: list[int] | None = None,
     seed_by: str = "hash",
     max_cluster: int | None = None,
+    assign_method: str = "auto",
 ) -> DataFrame:
     """SemDeDup: bucket vectors by nearest centroid, then exact
     pairwise cosine ONLY within each cluster — pairs (id_a < id_b,
@@ -228,15 +283,32 @@ def semantic_dedup(
     clusters larger than the cap are EXCLUDED from pairing — callers
     see the drop via cluster_sizes(), nothing is silently truncated
     mid-cluster.
+
+    ``assign_method``: "expr" (nested-literal argmin — exact DuckDB
+    fold-order parity, the oracle path), "numpy" (BLAS matmul argmin —
+    the scale path; distances differ from the expression by float
+    association only, so an assignment can flip on an exact tie), or
+    "auto" (numpy once k exceeds ASSIGN_NUMPY_THRESHOLD — since
+    k ~ n/64 the expression path's n*k*d interpreted work would grow
+    quadratically with the corpus; the round-6 heavy scaling sweep
+    measured this at 23 s for n=20k, k=312).
     """
     data = spread(df).select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
     if centers is None:
         centers = seed_centers(data, k, id_col, "_v", seed_by=seed_by)
     if ids is None:
         ids = list(range(len(centers)))
-    assigned = data.withColumn("_cluster", assign_expr_with_ids(centers, ids)).select(
-        F.col(id_col), F.col("_v"), F.col("_cluster").alias("cluster")
+    use_np = assign_method == "numpy" or (
+        assign_method == "auto" and len(centers) > ASSIGN_NUMPY_THRESHOLD
     )
+    if use_np:
+        assigned = assign_cells_np(data, centers, ids, id_col, "_v")
+    else:
+        assigned = data.withColumn(
+            "_cluster", assign_expr_with_ids(centers, ids)
+        ).select(
+            F.col(id_col), F.col("_v"), F.col("_cluster").alias("cluster")
+        )
     if max_cluster is not None:
         sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_n"))
         keep = sizes.filter(F.col("_n") <= max_cluster).select("cluster")

@@ -174,3 +174,57 @@ class TestFooterRowCounts:
 
         monkeypatch.setattr(DataFrame, "count", _no_count)
         QUERIES["ns_semantic_dedup"](spark, sf_dir)  # build only
+
+
+class TestNumpyCentroidAssignment:
+    """The BLAS assignment path (semantic_dedup's scale form once
+    k > ASSIGN_NUMPY_THRESHOLD — k grows with the corpus, so the
+    interpreted literal-argmin's n*k*d work would grow quadratically)."""
+
+    def test_matches_expression_path(self, spark, sf_dir):
+        from hybrid_cdc_demo_spark.operators.clustering import (
+            assign_cells_np,
+            assign_expr_with_ids,
+            seed_centers,
+        )
+        from hybrid_cdc_demo_spark.operators.similarity import _as_double_array
+        from hybrid_cdc_demo_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double_array("embedding").alias("_v")
+        )
+        centers = seed_centers(emb, 8, "vec_id", "_v", seed_by="id")
+        ids = [10, 11, 12, 13, 14, 15, 16, 17]  # non-positional ids
+        via_expr = {
+            r["vec_id"]: r["_cluster"]
+            for r in emb.withColumn(
+                "_cluster", assign_expr_with_ids(centers, ids)
+            ).collect()
+        }
+        via_np = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_cells_np(emb, centers, ids, "vec_id", "_v").collect()
+        }
+        assert via_np == via_expr
+
+    def test_semantic_dedup_pairs_identical_both_paths(self, spark, sf_dir):
+        from hybrid_cdc_demo_spark.operators.clustering import semantic_dedup
+        from hybrid_cdc_demo_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        key = lambda r: (r["cluster"], r["id_a"], r["id_b"], round(r["cos"], 9))
+        a = sorted(
+            map(key, semantic_dedup(emb, k=8, seed_by="id",
+                                    assign_method="expr").collect())
+        )
+        b = sorted(
+            map(key, semantic_dedup(emb, k=8, seed_by="id",
+                                    assign_method="numpy").collect())
+        )
+        assert a == b and len(a) > 0
+
+    def test_auto_threshold(self):
+        from hybrid_cdc_demo_spark.operators import clustering as C
+
+        # auto must flip to numpy exactly when k exceeds the threshold
+        assert C.ASSIGN_NUMPY_THRESHOLD == 64

@@ -24,6 +24,13 @@ Env:
     SCALING_RATIO_BASE  sf label the growth ratios divide by
                      (default "0.01"; the r_10x key then reads
                      r_<step> per larger step)
+    SCALING_REPS     times each query this many times per SF and
+                     records the MIN (default 1 — the round-5
+                     protocol; the round-6 heavy tier uses 2 because
+                     a single cold shot folds first-AQE-planning and
+                     GC pressure into the growth ratio: the r6 sweep
+                     read ns_dedup_minhash at 10.4 s @sf0.3 cold vs
+                     2.6 s warm)
 """
 
 from __future__ import annotations
@@ -80,14 +87,20 @@ def main() -> None:
         # production index jobs, never attributed to the probe query
         bench.warmup(spark, sf_dir)
         spark.catalog.clearCache()
+        reps = int(os.environ.get("SCALING_REPS", "1"))
         for name in sorted(QUERIES):
-            start = time.perf_counter()
-            try:
-                bench.materialize(QUERIES[name](spark, sf_dir))
-                times[name][sf] = round(time.perf_counter() - start, 3)
-            except Exception as exc:  # noqa: BLE001 — record, keep sweeping
-                times[name][sf] = -1.0
-                print(f"# error {name}@{sf}: {exc}", file=sys.stderr)
+            samples = []
+            for _ in range(reps):
+                start = time.perf_counter()
+                try:
+                    bench.materialize(QUERIES[name](spark, sf_dir))
+                    samples.append(round(time.perf_counter() - start, 3))
+                except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+                    samples.append(-1.0)
+                    print(f"# error {name}@{sf}: {exc}", file=sys.stderr)
+                    break
+                spark.catalog.clearCache()
+            times[name][sf] = min(samples) if all(s >= 0 for s in samples) else -1.0
             spark.catalog.clearCache()
 
     base = os.environ.get("SCALING_RATIO_BASE", "0.01")
