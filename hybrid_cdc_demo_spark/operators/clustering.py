@@ -37,14 +37,15 @@ Scale design (100 TB posture):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from hybrid_cdc_demo_spark.operators.partitioning import spread
 from hybrid_cdc_demo_spark.operators.similarity import (
+    CELL_ASSIGN_NUMPY_THRESHOLD as ASSIGN_NUMPY_THRESHOLD,
     _as_double_array,
     cell_assign_expr,
+    cell_assign_np,
     cosine,
 )
 
@@ -170,9 +171,10 @@ def kmeans(
         ids = list(range(len(centers)))
         dim = len(centers[0])
         for _ in range(max(iters, 0)):
-            assigned = data.withColumn(
-                "_cluster", assign_expr_with_ids(centers, ids)
-            )
+            # auto-switches to the BLAS argmin above k=64 — the
+            # literal expression's interpreted n*k*d work would make
+            # each Lloyd pass quadratic once k scales with the corpus
+            assigned = assign_with_ids(data, centers, ids, id_col)
             new = (
                 _update_centers_exact(assigned, id_col, dim)
                 if exact_fold
@@ -183,7 +185,7 @@ def kmeans(
                 centers = [new[i] for i in ids]
             else:
                 centers = [new.get(i, centers[pos]) for pos, i in enumerate(ids)]
-        assigned = data.withColumn("_cluster", assign_expr_with_ids(centers, ids))
+        assigned = assign_with_ids(data, centers, ids, id_col)
         return centers, ids, assigned
     finally:
         data.unpersist()
@@ -208,12 +210,6 @@ def inertia(assigned: DataFrame, centers: list[list[float]], ids: list[int]) -> 
     )
 
 
-#: centroid count above which semantic_dedup switches from the
-#: nested-literal argmin expression (interpreted HOFs: n*k*d work per
-#: pass, and k grows with the corpus) to the BLAS assignment.
-ASSIGN_NUMPY_THRESHOLD = 64
-
-
 def assign_cells_np(
     data: DataFrame,
     centers: list[list[float]],
@@ -221,42 +217,46 @@ def assign_cells_np(
     id_col: str = "vec_id",
     vec_col: str = "_v",
 ) -> DataFrame:
-    """Nearest-centroid assignment via an Arrow mapInPandas BLAS
-    matmul — the FAISS form ``||v||^2 - 2 v.C^T + ||c||^2`` with a
-    first-minimum argmin (the same tie rule as cell_assign_expr's
-    array_position-of-array_min). The centroid matrix rides the
-    closure (k*d doubles, broadcast-sized by construction); per batch
-    the distance matrix is one (b, k) GEMM, so assignment cost is
-    BLAS-bound instead of interpreted-HOF-bound — at k=312, d=64,
-    n=20k this is ~10x faster than the literal expression and the gap
-    widens with k (the expression path is O(n*k*d) interpreted ops and
-    k scales with the corpus).
-    Returns (id, vec, cluster int), same contract as the expression
+    """Nearest-centroid assignment via the shared BLAS batch argmin
+    (similarity.cell_assign_np — the FAISS distance form with a
+    first-minimum tie rule matching cell_assign_expr), mapping each
+    centroid POSITION back to its ORIGINAL cluster id (centers may be
+    a surviving subset, so positions are not ids — the
+    assign_expr_with_ids contract). Returns (id, vec, cluster int)."""
+    pos = cell_assign_np(data, centers, id_col, vec_col, out_col="_pos")
+    return pos.select(
+        id_col,
+        vec_col,
+        F.element_at(F.lit([int(i) for i in ids]), F.col("_pos") + 1)
+        .cast("int")
+        .alias("cluster"),
+    )
+
+
+def assign_with_ids(
+    data: DataFrame,
+    centers: list[list[float]],
+    ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "_v",
+    method: str = "auto",
+) -> DataFrame:
+    """(id, vec, _cluster) nearest-centroid assignment, choosing
+    between the fold-order-exact literal expression (small k — the
+    oracle path) and the BLAS batch argmin (k above
+    ASSIGN_NUMPY_THRESHOLD, where the interpreted expression's n*k*d
+    work dominates). One entry point so every assignment consumer
+    (kmeans loop, SemDeDup, full-corpus scoring) inherits the scale
     path."""
-    from collections.abc import Iterator
-
-    C = np.asarray(centers, dtype=np.float64)  # (k, d)
-    cn = (C * C).sum(axis=1)  # (k,)
-    idmap = np.asarray(ids, dtype=np.int64)
-    id_type = dict(data.dtypes)[id_col]
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + cn
-            pos = d2.argmin(axis=1)  # first minimum, like array_position
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    vec_col: pdf[vec_col],
-                    "cluster": idmap[pos].astype(np.int32),
-                }
-            )
-
-    return data.mapInPandas(
-        assign, schema=f"{id_col} {id_type}, {vec_col} array<double>, cluster int"
+    use_np = method == "numpy" or (
+        method == "auto" and len(centers) > ASSIGN_NUMPY_THRESHOLD
+    )
+    if use_np:
+        return assign_cells_np(
+            data, centers, ids, id_col, vec_col
+        ).withColumnRenamed("cluster", "_cluster")
+    return data.select(id_col, vec_col).withColumn(
+        "_cluster", assign_expr_with_ids(centers, ids, vec=vec_col)
     )
 
 
@@ -298,17 +298,9 @@ def semantic_dedup(
         centers = seed_centers(data, k, id_col, "_v", seed_by=seed_by)
     if ids is None:
         ids = list(range(len(centers)))
-    use_np = assign_method == "numpy" or (
-        assign_method == "auto" and len(centers) > ASSIGN_NUMPY_THRESHOLD
-    )
-    if use_np:
-        assigned = assign_cells_np(data, centers, ids, id_col, "_v")
-    else:
-        assigned = data.withColumn(
-            "_cluster", assign_expr_with_ids(centers, ids)
-        ).select(
-            F.col(id_col), F.col("_v"), F.col("_cluster").alias("cluster")
-        )
+    assigned = assign_with_ids(
+        data, centers, ids, id_col, "_v", method=assign_method
+    ).select(F.col(id_col), F.col("_v"), F.col("_cluster").alias("cluster"))
     if max_cluster is not None:
         sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_n"))
         keep = sizes.filter(F.col("_n") <= max_cluster).select("cluster")

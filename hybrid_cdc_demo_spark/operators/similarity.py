@@ -367,6 +367,73 @@ def cell_assign_expr(centers: list[list[float]], vec="_v") -> F.Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+#: cell count above which nearest-centroid assignment switches from
+#: the nested-literal argmin expression (interpreted HOFs, n*k*d work)
+#: to the BLAS batch argmin below.
+CELL_ASSIGN_NUMPY_THRESHOLD = 64
+
+
+def cell_assign_np(
+    data: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "_v",
+    out_col: str = "_cell",
+) -> DataFrame:
+    """Nearest-centroid POSITION assignment via an Arrow mapInPandas
+    BLAS matmul — ``||v||^2 - 2 v.C^T + ||c||^2`` with a first-minimum
+    argmin, the same tie rule as cell_assign_expr's
+    array_position-of-array_min. One (batch, k) GEMM per Arrow batch:
+    assignment cost is BLAS-bound instead of interpreted-HOF-bound,
+    which matters because cell counts scale with the corpus (IVF
+    sizing: cells ~ sqrt(n) or n/target, SemDeDup: k ~ n/64)."""
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    id_type = dict(data.dtypes)[id_col]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + cn
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    out_col: d2.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    return data.select(id_col, vec_col).mapInPandas(
+        assign,
+        schema=f"{id_col} {id_type}, {vec_col} array<double>, {out_col} int",
+    )
+
+
+def assign_cells(
+    data: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "_v",
+    out_col: str = "_cell",
+    method: str = "auto",
+) -> DataFrame:
+    """(id, vec, cell) nearest-centroid position assignment, choosing
+    the literal expression (small k — fold-order-exact, the oracle
+    path) or the BLAS argmin (k > CELL_ASSIGN_NUMPY_THRESHOLD)."""
+    use_np = method == "numpy" or (
+        method == "auto" and len(centers) > CELL_ASSIGN_NUMPY_THRESHOLD
+    )
+    if use_np:
+        return cell_assign_np(data, centers, id_col, vec_col, out_col)
+    return data.select(id_col, vec_col).withColumn(
+        out_col, cell_assign_expr(centers, vec=vec_col)
+    )
+
+
 def ivf_index(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -400,8 +467,6 @@ def ivf_index(
         F.col(id_col), _as_double_array(vec_col).alias("_v")
     ).persist()
 
-    assign_expr = cell_assign_expr
-
     # seed centers: deterministic sample (hash-ordered, corpus-spread)
     seeds = (
         data.orderBy(F.xxhash64(F.col(id_col) + seed))
@@ -410,8 +475,10 @@ def ivf_index(
         .collect()
     )
     centers0 = [list(r["_v"]) for r in seeds]
-    # one Lloyd refinement: per-cell per-dimension mean (single shuffle)
-    assigned0 = data.withColumn("_cell", assign_expr(centers0))
+    # one Lloyd refinement: per-cell per-dimension mean (single
+    # shuffle); assignment auto-switches to the BLAS argmin above 64
+    # cells (cell counts scale with the corpus at 100 TB)
+    assigned0 = assign_cells(data, centers0, id_col)
     means = (
         assigned0.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
         .groupBy("_cell", "_pos")
@@ -425,7 +492,7 @@ def ivf_index(
         [by_cell[i][p] for p in sorted(by_cell[i])] if i in by_cell else centers0[i]
         for i in range(num_cells)
     ]
-    indexed = data.withColumn("_cell", assign_expr(centers))
+    indexed = assign_cells(data, centers, id_col)
     return indexed, centers
 
 
