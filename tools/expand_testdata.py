@@ -17,9 +17,10 @@ this script derives sf0.3 / sf1 versions of the three corpus tables
   quadratic pair blowup no real crawl has).
 * embeddings — replica vectors perturb originals at relative
   magnitude 1.0 (cos ≈ 0.707 to the source): IVF/k-means cluster
-  structure densifies realistically, but no replica crosses the 0.8+
-  near-dup thresholds, so near-dup PAIR counts grow ~linearly as in
-  a real corpus.
+  structure densifies realistically, and the bulk of replicas sits
+  below the 0.8+ near-dup thresholds (a <2% noise tail above 0.8
+  adds at most (m-1)*tail partners per original — still LINEAR pair
+  growth, the growth mode of a real corpus).
 * events — replicas are NEW users (user_id stride-shifted) over the
   same time range: per-user history stays constant, the user universe
   grows — the growth mode of a real product.
