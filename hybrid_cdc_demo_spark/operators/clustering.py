@@ -515,6 +515,206 @@ def adc_dist_expr(
     return dist
 
 
+def rotate_vecs(
+    df: DataFrame,
+    W: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "_y",
+) -> DataFrame:
+    """Map-only rotation y = x·W via an Arrow mapInPandas GEMM (the
+    d×d orthogonal matrix rides the closure — model-sized). One BLAS
+    matmul per batch; zero shuffles, embarrassingly parallel at any
+    corpus size."""
+    import pandas as pd
+
+    Wm = np.asarray(W, dtype=np.float64)
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(F.col(id_col), _as_double_array(vec_col).alias("_x"))
+
+    def rot(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["_x"].to_numpy()).astype(np.float64)
+            Y = X @ Wm
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), out_col: list(Y)}
+            )
+
+    return src.mapInPandas(
+        rot, schema=f"{id_col} {id_type}, {out_col} array<double>"
+    )
+
+
+def _books_matrices(books, dim: int):
+    """Per-subspace (k, sub) centroid matrices for numpy encode/decode."""
+    m = len(books)
+    sub = dim // m
+    return [np.asarray(centers, dtype=np.float64) for centers, _ in books], sub
+
+
+def _opq_stats(
+    data: DataFrame,
+    W: "np.ndarray",
+    books,
+    dim: int,
+    vec_col: str = "_x",
+):
+    """One distributed pass accumulating the OPQ Procrustes statistics:
+    A = Σ xᵀ·x̂ (d×d cross-correlation of original vectors against
+    their rotated-then-quantized reconstructions), the quantization
+    error Σ‖x·W − x̂‖², and the row count. Each partition folds its
+    rows into constant-size partials (d²+2 doubles — the gram_matrix
+    pattern); ONE aggregation reduces them."""
+    import pandas as pd
+
+    Wm = np.asarray(W, dtype=np.float64)
+    mats, sub = _books_matrices(books, dim)
+
+    def fold(batches):
+        A = np.zeros((dim, dim), dtype=np.float64)
+        err = 0.0
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Y = X @ Wm
+            Xhat = np.empty_like(Y)
+            for s, C in enumerate(mats):
+                Ys = Y[:, s * sub : (s + 1) * sub]
+                d2 = (
+                    (Ys * Ys).sum(axis=1, keepdims=True)
+                    - 2.0 * (Ys @ C.T)
+                    + (C * C).sum(axis=1)
+                )
+                Xhat[:, s * sub : (s + 1) * sub] = C[d2.argmin(axis=1)]
+            A += X.T @ Xhat
+            err += float(((Y - Xhat) ** 2).sum())
+            n += len(X)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "a": [A.reshape(-1).tobytes()],
+                    "err": [err],
+                    "n": [n],
+                }
+            )
+
+    rows = (
+        data.mapInPandas(fold, schema="a binary, err double, n long")
+        .collect()
+    )
+    A = np.zeros((dim, dim), dtype=np.float64)
+    err, n = 0.0, 0
+    for r in rows:  # bounded: one partial per non-empty partition
+        A += np.frombuffer(r["a"], dtype=np.float64).reshape(dim, dim)
+        err += r["err"]
+        n += r["n"]
+    return A, err, n
+
+
+def opq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 3,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_by: str = "id",
+):
+    """Optimized Product Quantization, non-parametric alternation
+    (Ge et al., CVPR 2013 — the published technique behind FAISS's
+    OPQMatrix pre-rotation): learn an orthogonal d×d rotation W so
+    that PQ's per-subspace quantization loses less — alternating
+
+    1. PQ codebooks trained in the CURRENT rotated space (pq_train on
+       y = x·W — the same joint one-pass-per-iteration trainer);
+    2. the orthogonal Procrustes update: with reconstructions fixed,
+       the loss Σ‖x·W − x̂‖² is minimized over orthogonal W by
+       W = U·Vᵀ where U·S·Vᵀ = svd(Σ xᵀx̂) — the cross-correlation is
+       accumulated DISTRIBUTED in d²-sized partials (_opq_stats, the
+       gram_matrix shape) and the d×d SVD runs on the driver over
+       model-sized data.
+
+    Returns (W, books, history) where history[i] is the quantization
+    error BEFORE iteration i's rotation update (history[0] = plain PQ
+    at W=identity — so history is the monotone-ish improvement story)
+    and books are retrained in the FINAL rotated space.
+
+    Scale shape: every iteration is (a) pq_train's one aggregation
+    pass per Lloyd step, (b) ONE mapInPandas stats pass with
+    constant-size partials. Data never leaves the executors; only
+    d² + m·k·(d/m) doubles round-trip. Train-on-sample like every
+    codebook here; rotate+encode everything else map-only."""
+    data = spread(df).select(
+        F.col(id_col), _as_double_array(vec_col).alias("_x")
+    ).persist()
+    try:
+        W = np.eye(dim, dtype=np.float64)
+        history: list[float] = []
+        books = None
+        for _ in range(max(iters, 0)):
+            rotated = rotate_vecs(data, W, id_col, "_x", out_col="_y")
+            books = pq_train(
+                rotated,
+                dim,
+                m=m,
+                k=k,
+                id_col=id_col,
+                vec_col="_y",
+                iters=pq_iters,
+                seed_by=seed_by,
+            )
+            A, err, n = _opq_stats(data, W, books, dim, "_x")
+            history.append(err / max(n, 1))
+            U, _, Vt = np.linalg.svd(A)
+            W = U @ Vt
+        # retrain codebooks in the final rotated space
+        rotated = rotate_vecs(data, W, id_col, "_x", out_col="_y")
+        books = pq_train(
+            rotated,
+            dim,
+            m=m,
+            k=k,
+            id_col=id_col,
+            vec_col="_y",
+            iters=pq_iters,
+            seed_by=seed_by,
+        )
+        _, err, n = _opq_stats(data, W, books, dim, "_x")
+        history.append(err / max(n, 1))
+        return W, books, history
+    finally:
+        data.unpersist()
+
+
+def opq_adc_topk(
+    df: DataFrame,
+    W: "np.ndarray",
+    books,
+    query: list[float],
+    dim: int,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k in the OPQ-rotated space: rotate the
+    corpus map-only (rotation is distance-preserving, so rotated-space
+    ADC approximates true L2), rotate the query on the driver, then
+    the standard PQ LUT scan. Same plan shape as pq_adc_topk plus one
+    GEMM map stage."""
+    Wm = np.asarray(W, dtype=np.float64)
+    q = list(np.asarray(query, dtype=np.float64) @ Wm)
+    rotated = rotate_vecs(df, Wm, id_col, vec_col, out_col="_y")
+    return pq_adc_topk(
+        rotated, books, q, dim, topk=topk, id_col=id_col, vec_col="_y"
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     query: list[float],

@@ -503,6 +503,70 @@ def ns_pq_adc_topk(spark, sf_dir):
     )
 
 
+@query("ns_opq_rotation")  # contract-pinned in tests/test_pq.py (TestOPQ)
+def ns_opq_rotation(spark, sf_dir):
+    """OPQ rotation training diagnostics (Ge et al. 2013, the FAISS
+    OPQMatrix pre-rotation): per-iteration mean quantization error of
+    PQ in the learned rotated space, plus the rotation's orthogonality
+    residual ‖WᵀW − I‖_max. iter=0 is plain PQ (identity rotation), so
+    the table IS the improvement story OPQ exists to deliver. Train-
+    on-sample (bounded id slice) like every codebook entry; each
+    iteration is pq_train's one-pass-per-Lloyd-step plus ONE
+    distributed d²-partial cross-correlation pass; the d×d SVD runs on
+    the driver over model-sized data. No SQL oracle (iterative +
+    SVD) — contract-pinned: monotone-ish error decrease, final < plain
+    PQ, orthogonality at float precision."""
+    import numpy as np
+
+    from hybrid_cdc_demo_spark.operators.clustering import opq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 500)
+    W, _, history = opq_train(
+        train, dim=64, m=4, k=8, iters=3, pq_iters=2, seed_by="id"
+    )
+    orth = float(np.abs(W.T @ W - np.eye(64)).max())
+    rows = [
+        (i, round(float(e), 6), round(orth, 9))
+        for i, e in enumerate(history)
+    ]
+    return spark.createDataFrame(
+        rows, "iter int, mean_qerror double, orth_residual double"
+    )
+
+
+@query("ns_simsearch_opq")  # contract-pinned in tests/test_pq.py (TestOPQ)
+def ns_simsearch_opq(spark, sf_dir):
+    """OPQ-rotated asymmetric-distance top-10 for the min-id query
+    vector: rotate the corpus map-only (one GEMM Arrow stage — the
+    rotation is orthogonal, so rotated-space ADC approximates true
+    L2 with the OPQ-optimized subspace split), rotate the query
+    driver-side, then the standard PQ LUT scan +
+    TakeOrderedAndProject. Contract-pinned: recall@10 vs exact
+    brute force >= plain PQ's recall on the same corpus."""
+    from pyspark.sql import Window
+
+    from hybrid_cdc_demo_spark.operators.clustering import (
+        opq_adc_topk,
+        opq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 500)
+    W, books, _ = opq_train(
+        train, dim=64, m=4, k=8, iters=2, pq_iters=2, seed_by="id"
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    query_vec = [float(x) for x in qrow["embedding"]]
+    top = opq_adc_topk(emb, W, books, query_vec, dim=64, topk=10)
+    w = Window.orderBy("adc_d2", "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        F.round("adc_d2", 6).alias("adc_d2"),
+    )
+
+
 def ensure_ivfpq_index(
     spark, sf_dir: str, num_cells: int = 16, m: int = 4, k_codes: int = 8,
     seed: int = 42,

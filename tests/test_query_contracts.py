@@ -40,6 +40,8 @@ PINNED_NO_ORACLE = {
     "ns_simsearch_ivfpq": "test_pq.py::test_ns_simsearch_ivfpq_contract",
     "ns_pagerank_tokens": "test_graph.py::TestPageRank::test_ns_pagerank_tokens_contract",
     "ns_mmr_diverse": "test_textmetrics.py::TestMMR (exact numpy greedy reference)",
+    "ns_opq_rotation": "test_pq.py::TestOPQ (orthogonality, error decrease, contract)",
+    "ns_simsearch_opq": "test_pq.py::TestOPQ (recall >= plain PQ, contract)",
 }
 
 
