@@ -554,26 +554,33 @@ def _books_matrices(books, dim: int):
     return [np.asarray(centers, dtype=np.float64) for centers, _ in books], sub
 
 
-def _opq_stats(
+def _opq_pass(
     data: DataFrame,
     W: "np.ndarray",
     books,
     dim: int,
     vec_col: str = "_x",
 ):
-    """One distributed pass accumulating the OPQ Procrustes statistics:
-    A = Σ xᵀ·x̂ (d×d cross-correlation of original vectors against
-    their rotated-then-quantized reconstructions), the quantization
-    error Σ‖x·W − x̂‖², and the row count. Each partition folds its
-    rows into constant-size partials (d²+2 doubles — the gram_matrix
-    pattern); ONE aggregation reduces them."""
+    """ONE distributed pass accumulating everything an OPQ alternation
+    step needs: the Procrustes cross-correlation A = Σ xᵀ·x̂ (d×d,
+    original vectors against their rotated-then-quantized
+    reconstructions), the quantization error Σ‖x·W − x̂‖², the row
+    count, AND the Lloyd statistics (per-(subspace, cluster) subvector
+    sums + member counts) for the codebook update. Each partition
+    folds its rows into constant-size partials
+    (d² + m·k·(d/m) + m·k + 2 doubles — the gram_matrix pattern); one
+    collect of per-partition partials reduces them on the driver."""
     import pandas as pd
 
     Wm = np.asarray(W, dtype=np.float64)
     mats, sub = _books_matrices(books, dim)
+    m = len(mats)
+    k_max = max(len(C) for C in mats)
 
     def fold(batches):
         A = np.zeros((dim, dim), dtype=np.float64)
+        sums = np.zeros((m, k_max, sub), dtype=np.float64)
+        counts = np.zeros((m, k_max), dtype=np.int64)
         err = 0.0
         n = 0
         for pdf in batches:
@@ -589,7 +596,10 @@ def _opq_stats(
                     - 2.0 * (Ys @ C.T)
                     + (C * C).sum(axis=1)
                 )
-                Xhat[:, s * sub : (s + 1) * sub] = C[d2.argmin(axis=1)]
+                pos = d2.argmin(axis=1)
+                Xhat[:, s * sub : (s + 1) * sub] = C[pos]
+                np.add.at(sums[s], pos, Ys)
+                np.add.at(counts[s], pos, 1)
             A += X.T @ Xhat
             err += float(((Y - Xhat) ** 2).sum())
             n += len(X)
@@ -597,22 +607,27 @@ def _opq_stats(
             yield pd.DataFrame(
                 {
                     "a": [A.reshape(-1).tobytes()],
+                    "sums": [sums.reshape(-1).tobytes()],
+                    "counts": [counts.reshape(-1).tobytes()],
                     "err": [err],
                     "n": [n],
                 }
             )
 
-    rows = (
-        data.mapInPandas(fold, schema="a binary, err double, n long")
-        .collect()
-    )
+    rows = data.mapInPandas(
+        fold, schema="a binary, sums binary, counts binary, err double, n long"
+    ).collect()
     A = np.zeros((dim, dim), dtype=np.float64)
+    sums = np.zeros((m, k_max, sub), dtype=np.float64)
+    counts = np.zeros((m, k_max), dtype=np.int64)
     err, n = 0.0, 0
     for r in rows:  # bounded: one partial per non-empty partition
         A += np.frombuffer(r["a"], dtype=np.float64).reshape(dim, dim)
+        sums += np.frombuffer(r["sums"], dtype=np.float64).reshape(m, k_max, sub)
+        counts += np.frombuffer(r["counts"], dtype=np.int64).reshape(m, k_max)
         err += r["err"]
         n += r["n"]
-    return A, err, n
+    return A, err, n, sums, counts
 
 
 def opq_train(
@@ -621,72 +636,78 @@ def opq_train(
     m: int = 4,
     k: int = 8,
     iters: int = 3,
-    pq_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_by: str = "id",
+    partitions: int | None = None,
 ):
     """Optimized Product Quantization, non-parametric alternation
     (Ge et al., CVPR 2013 — the published technique behind FAISS's
     OPQMatrix pre-rotation): learn an orthogonal d×d rotation W so
-    that PQ's per-subspace quantization loses less — alternating
+    that PQ's per-subspace quantization loses less. Each iteration is
+    EXACTLY ONE distributed pass (_opq_pass) from which BOTH updates
+    derive — the canonical single-step alternation:
 
-    1. PQ codebooks trained in the CURRENT rotated space (pq_train on
-       y = x·W — the same joint one-pass-per-iteration trainer);
-    2. the orthogonal Procrustes update: with reconstructions fixed,
-       the loss Σ‖x·W − x̂‖² is minimized over orthogonal W by
-       W = U·Vᵀ where U·S·Vᵀ = svd(Σ xᵀx̂) — the cross-correlation is
-       accumulated DISTRIBUTED in d²-sized partials (_opq_stats, the
-       gram_matrix shape) and the d×d SVD runs on the driver over
-       model-sized data.
+    1. Lloyd codebook update from the pass's per-(subspace, cluster)
+       sums/counts (empty clusters dropped, the pq_train policy);
+    2. the orthogonal Procrustes rotation update: with reconstructions
+       fixed, Σ‖x·W − x̂‖² is minimized over orthogonal W by W = U·Vᵀ
+       where U·S·Vᵀ = svd(Σ xᵀx̂) — the cross-correlation accumulates
+       in distributed d²-sized partials and the d×d SVD runs on the
+       driver over model-sized data.
 
-    Returns (W, books, history) where history[i] is the quantization
-    error BEFORE iteration i's rotation update (history[0] = plain PQ
-    at W=identity — so history is the monotone-ish improvement story)
-    and books are retrained in the FINAL rotated space.
+    Returns (W, books, history) where history[i] is the mean
+    quantization error measured at the START of iteration i
+    (history[0] = plain PQ at the identity rotation with seed
+    codebooks — so the sequence is the improvement story OPQ exists
+    to deliver).
 
-    Scale shape: every iteration is (a) pq_train's one aggregation
-    pass per Lloyd step, (b) ONE mapInPandas stats pass with
-    constant-size partials. Data never leaves the executors; only
-    d² + m·k·(d/m) doubles round-trip. Train-on-sample like every
-    codebook here; rotate+encode everything else map-only."""
-    data = spread(df).select(
+    Scale shape: iters+0 aggregation passes total, constant-size
+    partials, data never leaves the executors; only
+    d² + m·k·(d/m) doubles round-trip per pass. Train-on-sample like
+    every codebook here; rotate+encode everything else map-only.
+    ``partitions`` compacts the (small) training sample so the
+    driver-coordinated passes don't each spin a full fleet of Arrow
+    workers — the pq_train/kmeans convention."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    base = df.repartition(partitions) if partitions else spread(df)
+    data = base.select(
         F.col(id_col), _as_double_array(vec_col).alias("_x")
     ).persist()
     try:
+        # seed codebooks: k deterministic sample vectors, subspace-split
+        # (identity-rotation space), the pq_train seeding policy
+        if seed_by == "hash":
+            ordered = data.orderBy(F.xxhash64(F.col(id_col) + 42))
+        else:
+            ordered = data.orderBy(id_col)
+        seed_rows = [list(r["_x"]) for r in ordered.limit(k).collect()]
+        books = [
+            ([v[s * sub : (s + 1) * sub] for v in seed_rows], list(range(len(seed_rows))))
+            for s in range(m)
+        ]
         W = np.eye(dim, dtype=np.float64)
         history: list[float] = []
-        books = None
-        for _ in range(max(iters, 0)):
-            rotated = rotate_vecs(data, W, id_col, "_x", out_col="_y")
-            books = pq_train(
-                rotated,
-                dim,
-                m=m,
-                k=k,
-                id_col=id_col,
-                vec_col="_y",
-                iters=pq_iters,
-                seed_by=seed_by,
-            )
-            A, err, n = _opq_stats(data, W, books, dim, "_x")
+        for it in range(max(iters, 0)):
+            A, err, n, sums, counts = _opq_pass(data, W, books, dim, "_x")
             history.append(err / max(n, 1))
-            U, _, Vt = np.linalg.svd(A)
-            W = U @ Vt
-        # retrain codebooks in the final rotated space
-        rotated = rotate_vecs(data, W, id_col, "_x", out_col="_y")
-        books = pq_train(
-            rotated,
-            dim,
-            m=m,
-            k=k,
-            id_col=id_col,
-            vec_col="_y",
-            iters=pq_iters,
-            seed_by=seed_by,
-        )
-        _, err, n = _opq_stats(data, W, books, dim, "_x")
-        history.append(err / max(n, 1))
+            # Lloyd update (per subspace; empty clusters dropped)
+            new_books = []
+            for s, (_, ids) in enumerate(books):
+                keep = [p for p in range(len(ids)) if counts[s][p] > 0]
+                centers = [
+                    list(sums[s][p] / counts[s][p]) for p in keep
+                ]
+                new_books.append((centers, [ids[p] for p in keep]))
+            books = new_books
+            if it < iters - 1:
+                # Procrustes rotation update — skipped on the LAST
+                # iteration so the returned (W, books) are consistent:
+                # the final codebooks were trained in the final W space
+                U, _, Vt = np.linalg.svd(A)
+                W = U @ Vt
         return W, books, history
     finally:
         data.unpersist()

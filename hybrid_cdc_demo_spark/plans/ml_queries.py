@@ -508,8 +508,10 @@ def ns_opq_rotation(spark, sf_dir):
     """OPQ rotation training diagnostics (Ge et al. 2013, the FAISS
     OPQMatrix pre-rotation): per-iteration mean quantization error of
     PQ in the learned rotated space, plus the rotation's orthogonality
-    residual ‖WᵀW − I‖_max. iter=0 is plain PQ (identity rotation), so
-    the table IS the improvement story OPQ exists to deliver. Train-
+    residual ‖WᵀW − I‖_max. iter=0 is the seed codebooks at the
+    identity rotation, so the table IS the improvement story the
+    alternation delivers (each later row has one more joint
+    Lloyd+rotation step behind it). Train-
     on-sample (bounded id slice) like every codebook entry; each
     iteration is pq_train's one-pass-per-Lloyd-step plus ONE
     distributed d²-partial cross-correlation pass; the d×d SVD runs on
@@ -523,7 +525,7 @@ def ns_opq_rotation(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") < 500)
     W, _, history = opq_train(
-        train, dim=64, m=4, k=8, iters=3, pq_iters=2, seed_by="id"
+        train, dim=64, m=4, k=8, iters=4, seed_by="id", partitions=4
     )
     orth = float(np.abs(W.T @ W - np.eye(64)).max())
     rows = [
@@ -554,7 +556,7 @@ def ns_simsearch_opq(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") < 500)
     W, books, _ = opq_train(
-        train, dim=64, m=4, k=8, iters=2, pq_iters=2, seed_by="id"
+        train, dim=64, m=4, k=8, iters=3, seed_by="id", partitions=4
     )
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     query_vec = [float(x) for x in qrow["embedding"]]

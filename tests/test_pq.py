@@ -262,10 +262,10 @@ class TestOPQ:
         vecs, _ = _planted(seed=23, n=150, dim=8, groups=4)
         df = _emb(spark, vecs)
         W, books, history = opq_train(
-            df, dim=8, m=2, k=4, iters=3, pq_iters=2, seed_by="id"
+            df, dim=8, m=2, k=4, iters=4, seed_by="id"
         )
         assert np.abs(W.T @ W - np.eye(8)).max() < 1e-9
-        assert len(history) == 4  # identity baseline + 3 updates
+        assert len(history) == 4  # seed baseline + 3 joint updates
         # final rotated-space error never worse than plain PQ (iter 0)
         assert history[-1] <= history[0] + 1e-12
         assert len(books) == 2 and all(len(c) <= 4 for c, _ in books)
@@ -292,7 +292,7 @@ class TestOPQ:
             for r in pq_adc_topk(df, books_pq, q, dim=8, topk=10).collect()
         }
         W, books, _ = opq_train(
-            df, dim=8, m=2, k=4, iters=2, pq_iters=2, seed_by="id"
+            df, dim=8, m=2, k=4, iters=3, seed_by="id"
         )
         opq_ids = {
             r["vec_id"]
