@@ -390,3 +390,43 @@ def temperature_weights(
         )
         .orderBy(group_col)
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    priority-sampling family — Duffield/Lund/Thorup priority sampling,
+    Efraimidis-Spirakis A-ES): each row gets a reproducible
+    pseudo-uniform from sha256(id) (the hash_split/dataset_card
+    60-bit-hex trick) and priority = hash / weight; the k SMALLEST
+    priorities win, so selection probability rises with weight — the
+    "sample documents proportional to quality/length" curation stage,
+    but REPRODUCIBLE across engines and runs, unlike rand()-based
+    sampling. The priority is one IEEE division of values both engines
+    compute bit-identically (division is correctly rounded), so the
+    selected SET is exactly SQL-mirrorable; rows with NULL or
+    non-positive weight are excluded (a zero weight must never be
+    sampled, and a negative one would invert the ordering).
+
+    Scale shape: map-only priority projection +
+    TakeOrderedAndProject (per-partition k-heaps, no global sort) —
+    the same top-k plan every bounded selection here compiles to.
+    """
+    h = F.conv(
+        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 15), 16, 10
+    ).cast("long")
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (w > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col),
+            (h.cast("double") / w).alias("_priority"),
+        )
+        .orderBy("_priority", id_col)
+        .limit(k)
+    )

@@ -125,6 +125,46 @@ def ns_contamination(spark, sf_dir):
 
 
 @query(
+    "ns_weighted_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(CONCAT('0x',
+               substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS DOUBLE) / CAST(n_chars AS DOUBLE) AS p
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), top AS (
+      SELECT doc_id, n_chars, p FROM pri ORDER BY p, doc_id LIMIT 200
+    )
+    SELECT CAST(row_number() OVER (ORDER BY p, doc_id) AS INT) AS rank,
+           doc_id, n_chars
+    FROM top ORDER BY rank
+    """,
+)
+def ns_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators.curation.weighted_priority_sample — the priority-
+    sampling family): 200 documents selected with probability rising
+    in n_chars, priorities derived from sha256(doc_id) so the sample
+    is reproducible AND exactly SQL-mirrorable (the priority is one
+    IEEE division of bit-identical inputs; division is correctly
+    rounded, so both engines order identically). HASH-VERIFIED — and
+    the output is all integers, zero float surface. Plan: map-only
+    priority + TakeOrderedAndProject per-partition heaps; the rank
+    window runs over the already-selected 200 rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = C.weighted_priority_sample(docs, "n_chars", "doc_id", k=200)
+    w = Window.orderBy("_priority", "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "n_chars",
+    ).orderBy("rank")
+
+
+@query(
     "ns_sample_stratified",
     oracle="""
     SELECT lang, doc_id, rk FROM (

@@ -164,3 +164,45 @@ def test_weighted_mixture_rates_are_monotone_and_deterministic(spark):
     assert kept[4] <= kept[8] <= kept[16]
     # ~uniform: 4/16 keeps about 25%
     assert 0.18 < len(kept[4]) / 2000 < 0.32
+
+
+class TestWeightedPrioritySample:
+    def test_bias_toward_heavy_weights(self, spark):
+        from hybrid_cdc_demo_spark.operators.curation import (
+            weighted_priority_sample,
+        )
+
+        # two weight classes: heavy rows must dominate the sample
+        rows = [(i, 1000 if i % 2 == 0 else 10) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = weighted_priority_sample(df, "w", "doc_id", k=50).collect()
+        assert len(got) == 50
+        heavy = sum(1 for r in got if r["w"] == 1000)
+        assert heavy >= 40  # 100:1 odds per pick
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from hybrid_cdc_demo_spark.operators.curation import (
+            weighted_priority_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, -4), (4, None), (5, 7)],
+            "doc_id long, w long",
+        )
+        got = {r["doc_id"] for r in
+               weighted_priority_sample(df, "w", "doc_id", k=10).collect()}
+        assert got == {1, 5}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from hybrid_cdc_demo_spark.operators.curation import (
+            weighted_priority_sample,
+        )
+
+        rows = [(i, 1 + i % 7) for i in range(300)]
+        df1 = spark.createDataFrame(rows, "doc_id long, w long").repartition(1)
+        df2 = spark.createDataFrame(rows, "doc_id long, w long").repartition(13)
+        a = [r["doc_id"] for r in
+             weighted_priority_sample(df1, "w", "doc_id", k=30).collect()]
+        b = [r["doc_id"] for r in
+             weighted_priority_sample(df2, "w", "doc_id", k=30).collect()]
+        assert a == b

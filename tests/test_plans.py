@@ -694,3 +694,12 @@ def test_pareto_revenue_single_rank_exchange_no_window(spark):
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_weighted_sample_is_heap_topk_no_global_sort(spark):
+    """The weighted sample must select via TakeOrderedAndProject
+    (per-partition k-heaps); the rank window then runs over the
+    already-selected 200 rows, never the corpus."""
+    plan = plan_of(QUERIES["ns_weighted_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
