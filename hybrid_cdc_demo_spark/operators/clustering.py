@@ -684,6 +684,11 @@ def opq_train(
         else:
             ordered = data.orderBy(id_col)
         seed_rows = [list(r["_x"]) for r in ordered.limit(k).collect()]
+        if not seed_rows:
+            raise ValueError(
+                "opq_train: empty training set (no rows with a non-null "
+                f"{vec_col!r}) — cannot seed codebooks"
+            )
         books = [
             ([v[s * sub : (s + 1) * sub] for v in seed_rows], list(range(len(seed_rows))))
             for s in range(m)
@@ -692,11 +697,27 @@ def opq_train(
         history: list[float] = []
         for it in range(max(iters, 0)):
             A, err, n, sums, counts = _opq_pass(data, W, books, dim, "_x")
-            history.append(err / max(n, 1))
+            if n == 0:
+                # Degenerate training set (ADVICE r6 #3): without this
+                # guard the all-zero Lloyd counts drop EVERY cluster and
+                # the next pass fails deep in an executor with an
+                # obscure ValueError (max() over empty codebooks),
+                # while history silently records err/max(n,1) = 0.
+                raise ValueError(
+                    "opq_train: _opq_pass saw zero training rows at "
+                    f"iteration {it} — empty/degenerate training set"
+                )
+            history.append(err / n)
             # Lloyd update (per subspace; empty clusters dropped)
             new_books = []
             for s, (_, ids) in enumerate(books):
                 keep = [p for p in range(len(ids)) if counts[s][p] > 0]
+                if not keep:
+                    raise ValueError(
+                        f"opq_train: subspace {s} lost every cluster in "
+                        f"the Lloyd update at iteration {it} — training "
+                        "set degenerate for this (m, k)"
+                    )
                 centers = [
                     list(sums[s][p] / counts[s][p]) for p in keep
                 ]

@@ -59,13 +59,16 @@ def quality_weighted_dedup(
     pipeline makes after duplicate detection (exact_dedup_canonical
     answers only "how many copies").
 
-    ``quality_col`` is the RANKING key; ``size_col`` (default: the
-    same column) is what ``bytes_dropped`` sums — pass both when the
-    quality score isn't a byte count (e.g. rank by a classifier score,
-    account savings in n_chars). NULL quality never wins the argmax
-    (coalesced to LONG_MIN for ordering, reported NULL if an all-NULL
-    cluster is kept); NULL sizes count 0 toward the savings rather
-    than poisoning the sum.
+    ``quality_col`` is the RANKING key, compared at its NATIVE value
+    (ordered as double, so fractional classifier scores like 0.9 vs
+    0.5 rank correctly — they are NOT truncated); ``size_col``
+    (default: the same column) is what ``bytes_dropped`` sums — pass
+    both when the quality score isn't a byte count (e.g. rank by a
+    classifier score, account savings in n_chars). ``kept_quality``
+    is returned in the quality column's own type. NULL quality never
+    wins the argmax (ordered as -Infinity, reported NULL if an
+    all-NULL cluster is kept); NULL sizes count 0 toward the savings
+    rather than poisoning the sum.
 
     Scale shape: one keyed aggregation on the normalized text. The
     argmax is a single ``max(struct(quality, -id, id, ...))`` — partial-
@@ -74,10 +77,10 @@ def quality_weighted_dedup(
     the copies. No window, no second pass.
     """
     key = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    q = F.col(quality_col).cast("long")
+    q = F.col(quality_col)
     size = F.coalesce(F.col(size_col or quality_col).cast("long"), F.lit(0))
     best = F.struct(
-        F.coalesce(q, F.lit(-(2**63))).alias("q_ord"),
+        F.coalesce(q.cast("double"), F.lit(float("-inf"))).alias("q_ord"),
         (-F.col(id_col)).alias("negid"),
         F.col(id_col).alias("id"),
         q.alias("q"),

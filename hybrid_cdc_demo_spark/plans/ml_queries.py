@@ -153,13 +153,22 @@ def ns_semantic_dedup(spark, sf_dir):
     corpus scale the literal argmin hands over to the IVF index's
     join-based assignment (same operator family).
     Cosine emitted unrounded: both engines left-fold the dot products,
-    bitwise-equal (see ns_embedding_neardup_exact)."""
+    bitwise-equal (see ns_embedding_neardup_exact).
+    assign_method is PINNED to "expr" here (ADVICE r6 #2): this entry
+    is hash-verified against a DuckDB strict-fold argmin, and the BLAS
+    path's ||v||²-2v·c+||c||² distances differ by float association —
+    an assignment could flip whenever two centroid distances sit
+    inside that error band, not only on exact ties. The "auto" BLAS
+    switch stays the default for non-oracle scale paths; BLAS-vs-expr
+    assignment equality on the expanded sf1 corpus is checked by
+    tools/scale_sweep (SWEEP_r07_scale) rather than assumed."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = C.semantic_dedup(
         emb,
         k=semdedup_k(table_num_rows(sf_dir, "embeddings")),
         threshold=0.3,
         seed_by="id",
+        assign_method="expr",
     )
     return pairs.select(
         F.col("cluster").cast("int").alias("cluster"), "id_a", "id_b", "cos"

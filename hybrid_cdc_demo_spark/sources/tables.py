@@ -50,13 +50,14 @@ def table_num_rows(sf_dir: str, name: str) -> int:
     counting via Spark made query construction itself launch a job,
     so plan dumps / contract tests / warmup bookkeeping each paid a
     count (ADVICE r5 #3). Footer metadata is O(files), memoized per
-    (sf_dir, table). Handles both a single .parquet file and a
-    directory of part files (Spark-written derivatives).
+    (sf_dir, table) — with the cache entry KEYED on the files'
+    (count, total size, max mtime_ns) stamp, so a process that
+    regenerates or appends to the parquet at the same path (e.g.
+    tools/expand_testdata, tests writing derivatives) invalidates
+    naturally instead of reading a stale count into a wrongly-shaped
+    SemDeDup k (ADVICE r6 #4). Handles both a single .parquet file
+    and a directory of part files (Spark-written derivatives).
     """
-    key = (sf_dir, name)
-    cached = _NUM_ROWS_CACHE.get(key)
-    if cached is not None:
-        return cached
     import os
 
     import pyarrow.parquet as pq
@@ -70,12 +71,22 @@ def table_num_rows(sf_dir: str, name: str) -> int:
         ]
     else:
         files = [path]
+    stats = [os.stat(f) for f in files]
+    stamp = (
+        len(files),
+        sum(s.st_size for s in stats),
+        max((s.st_mtime_ns for s in stats), default=0),
+    )
+    key = (sf_dir, name)
+    cached = _NUM_ROWS_CACHE.get(key)
+    if cached is not None and cached[0] == stamp:
+        return cached[1]
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-    _NUM_ROWS_CACHE[key] = n
+    _NUM_ROWS_CACHE[key] = (stamp, n)
     return n
 
 
-_NUM_ROWS_CACHE: dict[tuple[str, str], int] = {}
+_NUM_ROWS_CACHE: dict[tuple[str, str], tuple[tuple[int, int, int], int]] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

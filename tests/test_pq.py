@@ -304,6 +304,21 @@ class TestOPQ:
         # k=4 codes, but cross-group confusion would be a real bug
         assert all(i % 4 == 3 for i in opq_ids)
 
+    def test_empty_training_set_raises_clearly(self, spark):
+        """ADVICE r6 #3: a degenerate (empty) training set must raise
+        a clear ValueError on the driver, not fail deep in an executor
+        with an argmin-over-zero-width-matrix error — and must never
+        silently record a 0.0 error history."""
+        import pytest as _pytest
+
+        from hybrid_cdc_demo_spark.operators.clustering import opq_train
+
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="empty training set"):
+            opq_train(empty, dim=8, m=2, k=4, iters=2, seed_by="id")
+
     def test_ns_opq_rotation_contract(self, spark):
         from hybrid_cdc_demo_spark.plans import QUERIES
 

@@ -68,11 +68,15 @@ class TestQualityWeightedDedupSizes:
     def test_separate_size_col(self, spark):
         from hybrid_cdc_demo_spark.operators.dedup import quality_weighted_dedup
 
+        # The HIGHER fractional quality sits on the HIGHER doc_id, so
+        # this can only pass if quality genuinely ranks at its native
+        # value — any integer truncation (0.9 and 0.5 both -> 0) would
+        # fall back to the lowest-id tiebreak and pick doc 1.
         df = self._df(
             spark,
             [
-                (1, "same doc", 0.9, 100),
-                (2, "same  doc", 0.5, 300),  # normalizes to same key
+                (1, "same doc", 0.5, 300),
+                (2, "same  doc", 0.9, 100),  # normalizes to same key
                 (3, "other", 0.1, 50),
             ],
         )
@@ -82,10 +86,21 @@ class TestQualityWeightedDedupSizes:
                 df, "text", "doc_id", "quality", size_col="n_bytes"
             ).collect()
         }
-        # doc 1 wins on quality (0.9 > 0.5); savings is doc 2's bytes
-        assert got[1]["cluster_size"] == 2
-        assert got[1]["bytes_dropped"] == 300
+        # doc 2 wins on quality (0.9 > 0.5); savings is doc 1's bytes
+        assert got[2]["cluster_size"] == 2
+        assert got[2]["kept_quality"] == 0.9  # returned untruncated
+        assert got[2]["bytes_dropped"] == 300
         assert got[3]["bytes_dropped"] == 0
+
+    def test_fractional_quality_tie_breaks_on_lowest_id(self, spark):
+        from hybrid_cdc_demo_spark.operators.dedup import quality_weighted_dedup
+
+        df = self._df(spark, [(7, "dup", 0.4, 10), (4, "dup", 0.4, 20)])
+        (row,) = quality_weighted_dedup(
+            df, "text", "doc_id", "quality", size_col="n_bytes"
+        ).collect()
+        assert row["kept_doc_id"] == 4
+        assert row["kept_quality"] == 0.4
 
     def test_null_quality_never_wins(self, spark):
         from hybrid_cdc_demo_spark.operators.dedup import quality_weighted_dedup
@@ -157,6 +172,22 @@ class TestFooterRowCounts:
         df = spark.range(1000).withColumnRenamed("id", "doc_id")
         df.repartition(4).write.parquet(str(tmp_path / "documents.parquet"))
         assert table_num_rows(str(tmp_path), "documents") == 1000
+
+    def test_cache_invalidates_on_regenerated_files(self, spark, tmp_path):
+        """ADVICE r6 #4: regenerating the parquet at the same path must
+        refresh the memoized count — the entry is stamped with the
+        files' (count, size, mtime), not path-forever."""
+        from hybrid_cdc_demo_spark.sources.tables import table_num_rows
+
+        target = str(tmp_path / "documents.parquet")
+        spark.range(100).withColumnRenamed("id", "doc_id").repartition(
+            2
+        ).write.parquet(target)
+        assert table_num_rows(str(tmp_path), "documents") == 100
+        spark.range(250).withColumnRenamed("id", "doc_id").repartition(
+            3
+        ).write.mode("overwrite").parquet(target)
+        assert table_num_rows(str(tmp_path), "documents") == 250
 
     def test_semantic_dedup_builds_without_count_job(
         self, spark, sf_dir, monkeypatch
