@@ -310,55 +310,91 @@ def bigram_lm_coherence(
     engine-divergent ``ln``). Low coherence = improbable word
     transitions = the doc the perplexity filter would drop.
 
-    Scale shape: the unigram/bigram count model is two map-side
-    partial-aggregated count jobs over the corpus itself (train ==
-    score corpus, the CCNet arrangement); scoring joins each doc's
-    transition list against the model by key — two key-partitioned
-    equi-joins, never a broadcast of the full vocabulary. The per-doc
-    mean folds in sorted pair order (bounded by doc length) so the
-    double sum is bitwise-reproducible; docs with < 2 tokens report 0
+    Probabilities are Q20 FIXED-POINT: each bigram's weight is the
+    integer ``(c(x,y) << 20) div c(x)`` computed once model-side, and
+    a document's score is the plain integer SUM of its transitions'
+    weights, divided by ``n << 20`` at the very end (one double
+    division, correctly rounded identically on every engine). The
+    quantization bias is < 2^-20 per transition — invisible to a
+    quality ranking — and it buys the 100 TB property the r6 form
+    lacked: the per-doc aggregation is an associative integer sum
+    (map-side partial aggregation, constant memory per group) instead
+    of a collect_list-then-sorted-fold whose per-doc array was
+    unbounded (a 1 GB document materialized all its transitions in
+    one aggregation buffer just to make double addition
+    order-deterministic).
+
+    Scale shape (r7 rewrite — the r6 form paid THREE interpreted
+    explode passes over every corpus transition, 9.1 s at sf1): the
+    token stream is exploded as (x, next-or-NULL) pairs via one
+    zip_with against the 1-shifted array (zip_with null-pads, so each
+    token's pair carries its successor and the last token a NULL —
+    every token occurrence starts exactly one pair), which makes the
+    unigram model a ROLLUP of the full pair counts: c(x) = Σ_y
+    c(x, y incl. NULL). Both count models therefore come from ONE
+    explode pass (map-side partial aggregation collapses the shuffle
+    to vocabulary size); the scoring leg is the only other corpus
+    pass — the same pair explode broadcast-joined against the
+    integer-weight table and SUMMED per doc, whole-stage-codegen end
+    to end (no higher-order-function fold, no object aggregation).
+    Two corpus passes total, both linear in corpus tokens; everything
+    between them is vocabulary-sized. Docs with < 2 tokens report 0
     transitions and NULL coherence.
     """
     from hybrid_cdc_demo_spark.functions.text import words_lower
 
     w = docs.select(F.col(id_col), words_lower(text_col).alias("_w"))
-    pairs = w.select(
-        id_col,
-        F.explode(
-            F.when(
-                F.size("_w") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - 1),
-                    lambda i: F.struct(
-                        F.element_at("_w", i).alias("x"),
-                        F.element_at("_w", i + 1).alias("y"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
-        ).alias("p"),
-    ).select(id_col, "p.x", "p.y")
-    uni = (
-        w.select(F.explode("_w").alias("x"))
-        .groupBy("x")
-        .agg(F.count("*").alias("c_x"))
+
+    def pair_explode(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    "_w",
+                    F.slice("_w", 2, F.greatest(F.size("_w") - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+                )
+            ).alias("p"),
+        ).select(id_col, "p.x", "p.y")
+
+    # model pass: one partial-aggregated count over (x, next-or-NULL);
+    # unigram counts are the rollup, bigram counts the NULL-free slice.
+    # The model is VOCABULARY-sized after aggregation, so it is lazily
+    # localCheckpoint-ed: without the barrier Catalyst re-plans (and
+    # re-runs) the corpus explode underneath it once per consumer —
+    # uneven not-null pushdown into the uni/big branches defeats
+    # ReuseExchange (same bounded-materialization pattern as
+    # PageRank's edge frame, graph.py).
+    full = (
+        pair_explode(w)
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=False)
     )
-    big = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
-    p = F.col("c_xy").cast("double") / F.col("c_x").cast("double")
-    scored = (
-        pairs.join(big, ["x", "y"])
+    uni = full.groupBy("x").agg(F.sum("_c").alias("c_x"))
+    wtab = (
+        full.filter(F.col("y").isNotNull())
         .join(uni, "x")
         .select(
-            id_col,
-            F.concat_ws(" ", "x", "y").alias("_k"),
-            p.alias("_p"),
+            "x",
+            "y",
+            F.expr("(_c * CAST(1048576 AS BIGINT)) div c_x").alias("w_q20"),
         )
     )
-    agg = scored.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_transitions"),
-        _sorted_fold_sum(F.col("_k"), F.col("_p")).alias("_s"),
+    # scoring pass: per-doc transitions against the broadcast integer
+    # weights — a plain partial-aggregable SUM, order-independent
+    agg = (
+        pair_explode(w)
+        .filter(F.col("y").isNotNull())
+        .join(F.broadcast(wtab), ["x", "y"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_transitions"),
+            F.sum("w_q20").alias("_s"),
+        )
     )
     return (
-        w.select(id_col)
+        docs.select(id_col)
         .join(agg, id_col, "left")
         .select(
             id_col,
@@ -366,7 +402,8 @@ def bigram_lm_coherence(
                 "n_transitions"
             ),
             (
-                F.col("_s") / F.col("n_transitions").cast("double")
+                F.col("_s").cast("double")
+                / (F.col("n_transitions") * F.lit(1048576)).cast("double")
             ).alias("coherence"),
         )
     )

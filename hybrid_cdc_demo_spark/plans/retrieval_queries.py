@@ -213,39 +213,43 @@ def ns_hybrid_rrf(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
       FROM documents
-    ), uni AS (
-      SELECT tok AS x, COUNT(*) AS c_x
-      FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok
     ), dpairs AS (
       SELECT doc_id, w[i] AS x, w[i + 1] AS y
-      FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
-    ), big AS (
-      SELECT x, y, COUNT(*) AS c_xy FROM dpairs GROUP BY x, y
-    ), scored AS (
-      SELECT d.doc_id, d.x || ' ' || d.y AS k,
-             CAST(b.c_xy AS DOUBLE) / CAST(u.c_x AS DOUBLE) AS p
-      FROM dpairs d JOIN big b USING (x, y) JOIN uni u USING (x)
+      FROM toks, unnest(generate_series(1, len(w))) AS t(i)
+    ), fullc AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM dpairs GROUP BY x, y
+    ), uni AS (
+      SELECT x, CAST(SUM(c) AS BIGINT) AS c_x FROM fullc GROUP BY x
+    ), wq AS (
+      SELECT f.x, f.y, (f.c * 1048576) // u.c_x AS w_q20
+      FROM fullc f JOIN uni u USING (x) WHERE f.y IS NOT NULL
     ), agg AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
-             list_reduce(list_prepend(0.0, list(p ORDER BY k, p)),
-                         (a, v) -> a + v) AS s
-      FROM scored GROUP BY doc_id
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+             CAST(SUM(q.w_q20) AS BIGINT) AS s
+      FROM dpairs d JOIN wq q USING (x, y)
+      GROUP BY d.doc_id
     )
     SELECT t.doc_id,
            COALESCE(a.n_transitions, 0) AS n_transitions,
-           a.s / CAST(a.n_transitions AS DOUBLE) AS coherence
+           CAST(a.s AS DOUBLE)
+             / CAST(a.n_transitions * 1048576 AS DOUBLE) AS coherence
     FROM toks t LEFT JOIN agg a USING (doc_id)
     ORDER BY t.doc_id
     """,
 )
 def ns_lm_coherence(spark, sf_dir):
     """Bigram-LM coherence quality scores, HASH-VERIFIED: mean
-    corpus-estimated transition probability per document — the
-    libm-free stand-in for the CCNet perplexity filter (monotone
-    ranking without ln()). The count model is two partial-aggregated
-    corpus count jobs; scoring is two key-partitioned equi-joins of
-    each doc's transitions against the model; per-doc means fold in
-    sorted pair order for bitwise-reproducible doubles."""
+    corpus-estimated transition probability per document in Q20
+    fixed-point — the libm-free stand-in for the CCNet perplexity
+    filter (monotone ranking without ln()). Each token's pair carries
+    its successor (NULL for the last token), so the unigram model is a
+    rollup of the bigram counts — ONE corpus explode builds the whole
+    model; per-bigram weights are integers (c_xy << 20) div c_x, and
+    per-doc scoring is a plain integer SUM over a broadcast join (the
+    r7 rewrite: the r6 form paid three explode passes plus a per-doc
+    collect_list sorted fold, 9.1 s at sf1 — integer weights make the
+    sum order-independent and exactly engine-reproducible without
+    either)."""
     from hybrid_cdc_demo_spark.operators.retrieval import bigram_lm_coherence
 
     docs = load_table(spark, sf_dir, "documents")

@@ -471,6 +471,24 @@ def test_unigram_likelihood_tf_collapse_shape(spark):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+def test_lm_coherence_two_explodes_no_object_agg(spark):
+    """The r7 Q20 rewrite's shape: the corpus token stream is exploded
+    exactly TWICE (one model pass — unigram counts roll up from the
+    bigram+successor counts — and one scoring pass), the scoring join
+    is broadcast, and the per-doc reduction is a plain integer SUM —
+    no collect_list/ObjectHashAggregate (the r6 sorted-fold needed an
+    unbounded per-doc array) and no per-row higher-order-function
+    fold."""
+    df = QUERIES["ns_lm_coherence"](spark, SF)
+    df.collect()  # AQE decides join strategies on execution
+    plan = plan_of(df)
+    assert plan.count("Generate") == 2
+    assert "ObjectHashAggregate" not in plan
+    assert "collect_list" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_batch_topk_uses_window_group_limit(spark):
     """The batch-ANN per-query limit must compile with
     WindowGroupLimit (map-side partial top-k per qid BEFORE the

@@ -310,5 +310,15 @@ class TestBigramCoherence:
             for r in bigram_lm_coherence(_docs(spark, rows)).collect()
         }
         for i, w in toks.items():
-            ps = [big[(w[j], w[j + 1])] / uni[w[j]] for j in range(len(w) - 1)]
-            assert abs(got[i] - sum(ps) / len(ps)) < 1e-12
+            n = len(w) - 1
+            # exact Q20 fixed-point reference: integer weights summed,
+            # one final double division — must match BITWISE
+            s = sum(
+                (big[(w[j], w[j + 1])] * 1048576) // uni[w[j]]
+                for j in range(n)
+            )
+            assert got[i] == s / (n * 1048576)
+            # and the quantization stays a faithful surrogate of the
+            # true mean transition probability (< 2^-20 per term)
+            ps = [big[(w[j], w[j + 1])] / uni[w[j]] for j in range(n)]
+            assert abs(got[i] - sum(ps) / len(ps)) < 1e-6
