@@ -521,16 +521,22 @@ def rotate_vecs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "_y",
+    passthrough: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Map-only rotation y = x·W via an Arrow mapInPandas GEMM (the
     d×d orthogonal matrix rides the closure — model-sized). One BLAS
     matmul per batch; zero shuffles, embarrassingly parallel at any
-    corpus size."""
+    corpus size. ``passthrough`` columns ride the same batch (e.g. the
+    IVF ``_cell`` id, so the rotated-residual encode never needs a
+    join back)."""
     import pandas as pd
 
     Wm = np.asarray(W, dtype=np.float64)
-    id_type = dict(df.dtypes)[id_col]
-    src = df.select(F.col(id_col), _as_double_array(vec_col).alias("_x"))
+    dtypes = dict(df.dtypes)
+    extra = list(passthrough)
+    src = df.select(
+        F.col(id_col), _as_double_array(vec_col).alias("_x"), *extra
+    )
 
     def rot(batches):
         for pdf in batches:
@@ -538,13 +544,16 @@ def rotate_vecs(
                 continue
             X = np.vstack(pdf["_x"].to_numpy()).astype(np.float64)
             Y = X @ Wm
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), out_col: list(Y)}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), out_col: list(Y)}
+            for c in extra:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(
-        rot, schema=f"{id_col} {id_type}, {out_col} array<double>"
+    schema = ", ".join(
+        [f"{id_col} {dtypes[id_col]}", f"{out_col} array<double>"]
+        + [f"{c} {dtypes[c]}" for c in extra]
     )
+    return src.mapInPandas(rot, schema=schema)
 
 
 def _books_matrices(books, dim: int):
@@ -944,6 +953,135 @@ def ivfpq_topk_persisted(
     scans = []
     for cell in probe:
         qr = [qv[i] - centers[cell][i] for i in range(dim)]
+        scans.append(
+            enc.filter(F.col("_cell") == cell).select(
+                F.col(id_col), adc_dist_expr(books, qr, dim).alias("adc_d2")
+            )
+        )
+    allc = reduce(DataFrame.unionByName, scans)
+    return allc.orderBy("adc_d2", id_col).limit(topk)
+
+
+def ivfopq_write(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    num_cells: int = 16,
+    m: int = 4,
+    k_codes: int = 8,
+    opq_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_partitions: int | None = None,
+    extra_meta: dict | None = None,
+):
+    """IVF + OPQ-rotated residual PQ — the production FAISS layout
+    ``OPQMatrix + IVFPQ`` (Ge et al. 2013 §6; FAISS index factory
+    "OPQ..,IVF..,PQ.."): the coarse quantizer prunes, and the learned
+    orthogonal rotation is applied to the RESIDUALS inside each cell
+    before product quantization, so the PQ subspaces are balanced in
+    the residual space where the codes actually live — strictly more
+    faithful codes than plain IVF-PQ at identical storage.
+
+    Build pipeline (one-time, like every index here):
+    1. ivf_index coarse cells + centers;
+    2. residuals r = v - cell_center (map-only);
+    3. opq_train on the residuals (ONE distributed pass per
+       alternation, model-sized driver state);
+    4. rotate the residuals y = r·W as ONE map-only Arrow GEMM stage
+       (rotate_vecs, the _cell id riding the same batch — no join);
+    5. PQ-encode y and persist partitionBy(_cell) with centers, W,
+       and codebooks in the JSON sidecar.
+    """
+    import json
+    import os
+
+    from hybrid_cdc_demo_spark.operators.similarity import ivf_index
+
+    indexed, centers = ivf_index(
+        df, id_col, vec_col, num_cells, seed, partitions=train_partitions
+    )
+    centers_lit = F.lit([[float(x) for x in c] for c in centers])
+    resid = F.zip_with(
+        "_v", F.element_at(centers_lit, F.col("_cell") + 1), lambda a, b: a - b
+    )
+    rdf = indexed.withColumn("_r", resid)
+    W, books, _ = opq_train(
+        rdf, dim, m=m, k=k_codes, iters=opq_iters, id_col=id_col,
+        vec_col="_r", seed_by="id", partitions=train_partitions,
+    )
+    rot = rotate_vecs(
+        rdf, W, id_col, "_r", out_col="_y", passthrough=("_cell",)
+    )
+    sub = dim // m
+    enc = rot.select(
+        F.col(id_col),
+        "_cell",
+        *[
+            assign_expr_with_ids(
+                centers_s, ids_s, F.slice("_y", s * sub + 1, sub)
+            ).cast("int").alias(f"c{s + 1}")
+            for s, (centers_s, ids_s) in enumerate(books)
+        ],
+    )
+    enc.write.mode("overwrite").partitionBy("_cell").parquet(
+        os.path.join(path, "data")
+    )
+    meta = {
+        "id_col": id_col,
+        "dim": dim,
+        "num_cells": num_cells,
+        "m": m,
+        "k_codes": k_codes,
+        "seed": seed,
+        "centers": centers,
+        "rotation": [[float(x) for x in row] for row in W],
+        "books": [[c, i] for c, i in books],
+        **(extra_meta or {}),
+    }
+    tmp = os.path.join(path, ".index.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "index.json"))
+    return centers, W, books
+
+
+def ivfopq_topk_persisted(
+    spark,
+    path: str,
+    query: list[float],
+    topk: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k against a persisted IVF-OPQ-PQ index: probe the
+    nprobe L2-nearest cells in the RAW space (rotation is applied to
+    residuals, so coarse probing is unchanged), rotate each cell's
+    query residual on the driver (d×d matvec, model-sized), and run
+    the map-only LUT scan over that cell's rotated-residual codes —
+    the ``_cell = n`` filters stay PartitionFilters, identical
+    file-level pruning to plain IVF-PQ."""
+    import json
+    import os
+    from functools import reduce
+
+    import numpy as np
+
+    with open(os.path.join(path, "index.json")) as fh:
+        meta = json.load(fh)
+    centers = meta["centers"]
+    Wm = np.asarray(meta["rotation"], dtype=np.float64)
+    books = [(c, i) for c, i in meta["books"]]
+    dim, id_col = meta["dim"], meta["id_col"]
+    enc = spark.read.parquet(os.path.join(path, "data"))
+    qv = np.asarray([float(x) for x in query], dtype=np.float64)
+    probe = sorted(
+        range(len(centers)),
+        key=lambda i: float(np.sum((np.asarray(centers[i]) - qv) ** 2)),
+    )[:nprobe]
+    scans = []
+    for cell in probe:
+        qr = list((qv - np.asarray(centers[cell], dtype=np.float64)) @ Wm)
         scans.append(
             enc.filter(F.col("_cell") == cell).select(
                 F.col(id_col), adc_dist_expr(books, qr, dim).alias("adc_d2")

@@ -610,6 +610,66 @@ def ensure_ivfpq_index(
     return path
 
 
+def ensure_ivfopq_index(
+    spark, sf_dir: str, num_cells: int = 16, m: int = 4, k_codes: int = 8,
+    seed: int = 42,
+) -> str:
+    """Build the persisted IVF-OPQ-PQ index if absent or stale (same
+    corpus-fingerprint protocol as ensure_ivfpq_index; separate cache
+    subdir so all ANN variants coexist)."""
+    import json
+    import os
+
+    from hybrid_cdc_demo_spark.operators.clustering import ivfopq_write
+    from hybrid_cdc_demo_spark.plans.northstar import (
+        corpus_fingerprint,
+        ivf_index_path,
+    )
+
+    path = ivf_index_path(sf_dir, num_cells, seed) + f"-opq{m}x{k_codes}"
+    fp = corpus_fingerprint(sf_dir)
+    meta_path = os.path.join(path, "index.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            if json.load(fh).get("corpus_fingerprint") == fp:
+                return path
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivfopq_write(
+        emb, path, dim=64, num_cells=num_cells, m=m, k_codes=k_codes,
+        seed=seed, train_partitions=8,
+        extra_meta={"corpus_fingerprint": fp},
+    )
+    return path
+
+
+@query("ns_simsearch_ivfopq")  # contract-pinned in tests/test_pq.py
+def ns_simsearch_ivfopq(spark, sf_dir):
+    """OPQ-rotated IVF-PQ residual search — the production FAISS
+    billion-vector configuration (OPQMatrix + IVFPQ, Ge et al. 2013):
+    identical coarse pruning and storage layout to ns_simsearch_ivfpq,
+    but the per-cell residuals pass through a LEARNED orthogonal
+    rotation (one map-only Arrow GEMM at build) before product
+    quantization, balancing variance across the PQ subspaces so the
+    same m×k codes quantize more faithfully. Query-side the rotation
+    is a driver-side d×d matvec per probed cell; the scan stays a
+    map-only LUT projection over partition-pruned code files. No SQL
+    oracle (same reasons as ns_simsearch_ivfpq — shuffle-order coarse
+    means); the contract test pins recall >= plain IVF-PQ on the same
+    probes, self-retrieval, rotation orthogonality, and the
+    PartitionFilters pruning."""
+    from hybrid_cdc_demo_spark.operators.clustering import (
+        ivfopq_topk_persisted,
+    )
+
+    path = ensure_ivfopq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return ivfopq_topk_persisted(spark, path, q, topk=10, nprobe=4)
+
+
 @query("ns_simsearch_ivfpq")  # contract-pinned in tests/test_pq.py
 def ns_simsearch_ivfpq(spark, sf_dir):
     """IVF-PQ residual search for the min-id query vector — the

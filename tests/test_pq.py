@@ -227,6 +227,129 @@ def test_ivfpq_persisted_prunes_partitions(spark, tmp_path):
     ), touched
 
 
+class TestIVFOPQ:
+    """OPQ rotation composed with IVF residual PQ — the FAISS
+    OPQMatrix+IVFPQ production layout. The rotation must not hurt
+    recall vs plain IVF-PQ at identical (cells, m, k, probes), must
+    stay orthogonal, and the persisted scan must keep file-level
+    partition pruning."""
+
+    def test_recall_not_worse_than_ivfpq_same_probes(self, spark, tmp_path):
+        from hybrid_cdc_demo_spark.operators.clustering import (
+            ivfopq_topk_persisted,
+            ivfopq_write,
+            ivfpq_topk,
+        )
+        from hybrid_cdc_demo_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        vecs, _ = _planted(seed=61, n=160, dim=16)
+        df = _emb(spark, vecs)
+        q = vecs[0]
+        qdf = spark.createDataFrame([(q,)], "qv array<double>")
+        exact = {
+            r["vec_id"] for r in brute_force_topk(df, qdf, k=10).collect()
+        }
+        pq_ids = {
+            r["vec_id"]
+            for r in ivfpq_topk(
+                df, q, dim=16, num_cells=8, nprobe=3, m=4, k_codes=8,
+                topk=10,
+            ).collect()
+        }
+        path = str(tmp_path / "ivfopq")
+        ivfopq_write(df, path, dim=16, num_cells=8, m=4, k_codes=8, seed=42)
+        opq_ids = {
+            r["vec_id"]
+            for r in ivfopq_topk_persisted(
+                spark, path, q, topk=10, nprobe=3
+            ).collect()
+        }
+        assert len(opq_ids & exact) >= len(pq_ids & exact)
+        assert all(i % 4 == 0 for i in opq_ids)  # query's planted group
+
+    def test_rotation_orthogonal_in_sidecar(self, spark, tmp_path):
+        import json
+        import os
+
+        import numpy as np
+
+        from hybrid_cdc_demo_spark.operators.clustering import ivfopq_write
+
+        vecs, _ = _planted(seed=67, n=100, dim=8)
+        df = _emb(spark, vecs)
+        path = str(tmp_path / "ivfopq")
+        ivfopq_write(df, path, dim=8, num_cells=4, m=2, k_codes=4, seed=5)
+        with open(os.path.join(path, "index.json")) as fh:
+            meta = json.load(fh)
+        W = np.asarray(meta["rotation"])
+        assert W.shape == (8, 8)
+        assert np.abs(W.T @ W - np.eye(8)).max() < 1e-9
+
+    def test_persisted_prunes_partitions(self, spark, tmp_path):
+        import re
+
+        from hybrid_cdc_demo_spark.operators.clustering import (
+            ivfopq_topk_persisted,
+            ivfopq_write,
+        )
+
+        vecs, _ = _planted(seed=71, n=120, dim=8)
+        df = _emb(spark, vecs)
+        path = str(tmp_path / "ivfopq")
+        ivfopq_write(df, path, dim=8, num_cells=6, m=2, k_codes=4, seed=7)
+        out = ivfopq_topk_persisted(spark, path, vecs[0], topk=5, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        assert pf_lines and any("_cell" in ln for ln in pf_lines), plan
+        probed = {int(x) for x in re.findall(r"_cell#\d+L?\s*=\s*(\d+)", plan)}
+        assert len(probed) == 2
+
+    def test_ns_simsearch_ivfopq_contract(self, spark):
+        from hybrid_cdc_demo_spark.plans import QUERIES
+
+        df = QUERIES["ns_simsearch_ivfopq"](spark, SF)
+        assert df.dtypes == [("vec_id", "bigint"), ("adc_d2", "double")]
+        rows = df.collect()
+        assert len(rows) == 10
+        dists = [r["adc_d2"] for r in rows]
+        assert dists == sorted(dists)
+        assert rows[0]["vec_id"] == 0  # self-retrieval
+
+    def test_catalog_recall_not_worse_than_ivfpq(self, spark):
+        """On the shared catalog corpus: overlap with the exact cosine
+        top-10 for query 0 must be >= plain IVF-PQ's (same nprobe)."""
+        import pyspark.sql.functions as F
+
+        from hybrid_cdc_demo_spark.operators.similarity import (
+            brute_force_topk,
+        )
+        from hybrid_cdc_demo_spark.plans import QUERIES
+        from hybrid_cdc_demo_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0][
+                "embedding"
+            ]
+        ]
+        qdf = spark.createDataFrame([(q,)], "qv array<double>")
+        exact = {
+            r["vec_id"] for r in brute_force_topk(emb, qdf, k=10).collect()
+        }
+        pq_ids = {
+            r["vec_id"]
+            for r in QUERIES["ns_simsearch_ivfpq"](spark, SF).collect()
+        }
+        opq_ids = {
+            r["vec_id"]
+            for r in QUERIES["ns_simsearch_ivfopq"](spark, SF).collect()
+        }
+        assert len(opq_ids & exact) >= len(pq_ids & exact)
+
+
 def test_ivfpq_persisted_matches_inline(spark, tmp_path):
     from hybrid_cdc_demo_spark.operators.clustering import (
         ivfpq_topk,

@@ -42,6 +42,7 @@ PINNED_NO_ORACLE = {
     "ns_mmr_diverse": "test_textmetrics.py::TestMMR (exact numpy greedy reference)",
     "ns_opq_rotation": "test_pq.py::TestOPQ (orthogonality, error decrease, contract)",
     "ns_simsearch_opq": "test_pq.py::TestOPQ (recall >= plain PQ, contract)",
+    "ns_simsearch_ivfopq": "test_pq.py::TestIVFOPQ (recall >= IVF-PQ, orthogonality, pruning, contract)",
 }
 
 
