@@ -61,9 +61,13 @@ def warmup(spark, sf_dir: str) -> None:
 
     ensure_ivf_index(spark, sf_dir, num_cells=16, seed=42)
     ensure_ivf_sq8_index(spark, sf_dir, num_cells=16, seed=42)
-    from hybrid_cdc_demo_spark.plans.ml_queries import ensure_ivfpq_index
+    from hybrid_cdc_demo_spark.plans.ml_queries import (
+        ensure_ivfopq_index,
+        ensure_ivfpq_index,
+    )
 
     ensure_ivfpq_index(spark, sf_dir, num_cells=16, seed=42)
+    ensure_ivfopq_index(spark, sf_dir, num_cells=16, seed=42)
 
 
 def warmup_plans(spark) -> None:
@@ -149,8 +153,20 @@ def run_streaming_bench(
         results.append(run_streaming_replay(spark, n_events=n_events))
     p99s = [r["streaming_batch_p99_sec"] for r in results]
     # BASELINE.md's single-destination target (>= 1000 ev/s) is a
-    # different workload than the 3-sink fan-out — measure it directly
-    single = run_streaming_replay(spark, n_events=n_events, sinks=("postgres",))
+    # different workload than the 3-sink fan-out — measure it directly.
+    # MEDIAN of 3 replays, same protocol as the batch queries: the r6
+    # artifact showed a single replay swinging 45% round-over-round on
+    # an unchanged code path (VERDICT r6 task #2), so the 10K
+    # peak-ingest claim must not hang on one draw.
+    singles = []
+    for _ in range(runs):
+        spark.sparkContext._jvm.System.gc()
+        singles.append(
+            run_streaming_replay(spark, n_events=n_events, sinks=("postgres",))
+        )
+    single_rates = sorted(
+        r["streaming_events_per_sec"] for r in singles
+    )
     # the reference's NATIVE source format is the binary length-prefixed
     # commitlog — measure the same pipeline over binary segments (frame
     # split + envelope parse included in the timing; small untimed
@@ -158,8 +174,16 @@ def run_streaming_bench(
     # isn't attributed to the steady-state rate, same policy as the
     # envelope warmup replay)
     run_streaming_replay(spark, n_events=2000, source_format="commitlog")
-    binary = run_streaming_replay(
-        spark, n_events=20000, source_format="commitlog"
+    binaries = []
+    for _ in range(runs):
+        spark.sparkContext._jvm.System.gc()
+        binaries.append(
+            run_streaming_replay(
+                spark, n_events=20000, source_format="commitlog"
+            )
+        )
+    binary_rates = sorted(
+        r["streaming_events_per_sec"] for r in binaries
     )
     return {
         "streaming_events_per_sec": round(
@@ -170,16 +194,18 @@ def run_streaming_bench(
         "streaming_wall_sec": round(
             sum(r["streaming_wall_sec"] for r in results) / runs, 3
         ),
-        "streaming_single_sink_events_per_sec": single[
-            "streaming_events_per_sec"
+        "streaming_single_sink_events_per_sec": single_rates[
+            len(single_rates) // 2
         ],
-        "streaming_commitlog_events_per_sec": binary[
-            "streaming_events_per_sec"
+        "streaming_single_sink_runs": single_rates,
+        "streaming_commitlog_events_per_sec": binary_rates[
+            len(binary_rates) // 2
         ],
+        "streaming_commitlog_runs": binary_rates,
         # SC-009: time from pipeline start to the first batch applied
         # (worst observed across runs; target < 30 s)
         "streaming_cold_start_sec": max(
-            r["streaming_cold_start_sec"] for r in [*results, single]
+            r["streaming_cold_start_sec"] for r in [*results, *singles]
         ),
     }
 
