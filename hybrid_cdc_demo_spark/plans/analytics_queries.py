@@ -147,8 +147,8 @@ def ns_cohort_retention(spark, sf_dir):
       FROM u JOIN r USING (user_id) CROSS JOIN n
     )
     SELECT user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
-           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
-             || CAST(m_q AS VARCHAR) AS segment
+           CAST(r_q AS STRING) || CAST(f_q AS STRING)
+             || CAST(m_q AS STRING) AS segment
     FROM sc ORDER BY user_id
     """,
 )

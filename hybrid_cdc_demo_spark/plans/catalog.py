@@ -528,7 +528,7 @@ def q21(spark, sf_dir):
 @query(
     "q22_masking_sha256",
     oracle="""
-    SELECT user_id, sha256(CAST(user_id AS VARCHAR)) AS uid_sha
+    SELECT user_id, sha256(CAST(user_id AS STRING)) AS uid_sha
     FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id
     """,
 )
@@ -807,7 +807,7 @@ def s5(spark, sf_dir):
 @query(
     "s6_cdc_pipeline_batch",
     oracle="""
-    SELECT sha256(CAST(user_id AS VARCHAR)) AS user_token, event_type, value FROM (
+    SELECT sha256(CAST(user_id AS STRING)) AS user_token, event_type, value FROM (
       SELECT user_id, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       FROM events

@@ -17,8 +17,8 @@ from hybrid_cdc_demo_spark.sources.tables import load_table
 # Shared oracle fragment: the hash-split CASE (first hex char of
 # sha256(doc_id): 0..c train, d..e val, f test — 13/2/1 of 16).
 _SPLIT_CASE = """
-    CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
-         WHEN substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+    CASE WHEN substr(sha256(CAST(doc_id AS STRING)), 1, 1) <= 'c' THEN 'train'
+         WHEN substr(sha256(CAST(doc_id AS STRING)), 1, 1) <= 'e' THEN 'val'
          ELSE 'test' END
 """
 
@@ -130,7 +130,7 @@ def ns_contamination(spark, sf_dir):
     WITH pri AS (
       SELECT doc_id, n_chars,
              CAST(CAST(CONCAT('0x',
-               substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               substr(sha256(CAST(doc_id AS STRING)), 1, 15)) AS BIGINT)
                AS DOUBLE) / CAST(n_chars AS DOUBLE) AS p
       FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
     ), top AS (
@@ -171,7 +171,7 @@ def ns_weighted_sample(spark, sf_dir):
       SELECT lang, doc_id,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY lang
-               ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+               ORDER BY sha256(CAST(doc_id AS STRING)), doc_id) AS INTEGER) AS rk
       FROM documents)
     WHERE rk <= 5 ORDER BY lang, rk
     """,
@@ -195,10 +195,10 @@ def ns_sample_stratified(spark, sf_dir):
     oracle="""
     WITH planted AS (
       SELECT doc_id,
-             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+             text || ' Contact user' || CAST(doc_id AS STRING)
                   || '@example.com or +1 (415) 555-01'
-                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
-                  || ' (SSN 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || lpad(CAST(doc_id % 100 AS STRING), 2, '0')
+                  || ' (SSN 123-45-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
                   || ').' AS raw
       FROM documents
     )
@@ -362,7 +362,7 @@ def ns_corpus_pipeline(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id, source FROM rated
-    WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1)
+    WHERE substr(sha256(CAST(doc_id AS STRING)), 1, 1)
           < substr('0123456789abcdefg', rate + 1, 1)
     ORDER BY doc_id
     """,
@@ -530,7 +530,7 @@ def ns_heavy_hitters(spark, sf_dir):
              length(text) AS n_chars,
              sha256(text) AS text_hash,
              CAST(CONCAT('0x', substr(sha256(CONCAT(
-               CAST(doc_id AS VARCHAR), ':', COALESCE(text, ''))), 1, 15))
+               CAST(doc_id AS STRING), ':', COALESCE(text, ''))), 1, 15))
                AS BIGINT) AS fp
       FROM documents
     )
@@ -569,7 +569,7 @@ def ns_dataset_card(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            row_number() OVER (
-             ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+             ORDER BY sha256(CAST(doc_id AS STRING)), doc_id
            ) AS pos
     FROM documents
     ORDER BY doc_id
@@ -625,7 +625,7 @@ def ns_corpus_shuffle(spark, sf_dir):
     ), pos AS (
       SELECT doc_id, source, n_tok,
              row_number() OVER (
-               ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+               ORDER BY sha256(CAST(doc_id AS STRING)), doc_id) AS pos
       FROM surv
     ), packed AS (
       SELECT doc_id, source, pos, n_tok,

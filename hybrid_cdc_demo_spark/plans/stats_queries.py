@@ -614,7 +614,7 @@ def ns_scd2_history(spark, sf_dir):
     oracle="""
     SELECT p_partkey,
            translate(p_brand, '#', '-') AS brand_t,
-           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           lpad(CAST(p_size AS STRING), 4, '0') AS size_padded,
            rpad(p_brand, 12, '.') AS brand_padded,
            reverse(p_name) AS name_rev,
            repeat(p_brand, 2) AS brand_twice,
@@ -1033,18 +1033,18 @@ def q62_ordered_string_agg(spark, sf_dir):
              CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS null_status,
              CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS dist_status,
-             CAST(MIN(o_orderstatus) AS VARCHAR) AS min_status,
-             CAST(MAX(o_orderstatus) AS VARCHAR) AS max_status,
+             CAST(MIN(o_orderstatus) AS STRING) AS min_status,
+             CAST(MAX(o_orderstatus) AS STRING) AS max_status,
              CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS null_prio,
              CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS dist_prio,
-             CAST(MIN(o_orderpriority) AS VARCHAR) AS min_prio,
-             CAST(MAX(o_orderpriority) AS VARCHAR) AS max_prio,
+             CAST(MIN(o_orderpriority) AS STRING) AS min_prio,
+             CAST(MAX(o_orderpriority) AS STRING) AS max_prio,
              CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS null_cust,
              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dist_cust,
-             CAST(MIN(o_custkey) AS VARCHAR) AS min_cust,
-             CAST(MAX(o_custkey) AS VARCHAR) AS max_cust
+             CAST(MIN(o_custkey) AS STRING) AS min_cust,
+             CAST(MAX(o_custkey) AS STRING) AS max_cust
       FROM orders
     )
     SELECT col_name, n_rows, n_null, n_distinct, min_s, max_s FROM (

@@ -304,6 +304,385 @@ SPARK_DIALECT_EQUIVALENTS = {
  """,
 }
 
+#: ns_ catalog oracles whose DuckDB SQL runs UNCHANGED through
+#: engine.sql with identical results (VERDICT r6 task #5 — the ns_
+#: extension of ORACLE_ROUNDTRIP; several became portable this round
+#: by writing CAST(... AS STRING) instead of VARCHAR in the oracle and
+#: by the engine's DuckDB-compat scalar aliases sha256 /
+#: string_split_regex / string_split / starts_with, each a pure RENAME
+#: of a Spark builtin registered as a SQL UDF).
+NS_ORACLE_ROUNDTRIP = sorted(
+    """
+    ns_band_join ns_blocklist_filter ns_corpus_shuffle ns_dataset_mixture
+    ns_dedup_exact ns_dq_violations ns_funnel_conversion ns_fuzzy_join
+    ns_group_normalize ns_markov_transitions ns_multimodal_headers
+    ns_pareto_revenue ns_prefix_dedup ns_prequential_anomaly
+    ns_reconcile_drift ns_regression_stats ns_sample_stratified
+    ns_scd2_history ns_session_assignment ns_split_train_val
+    ns_table_profile ns_value_histogram ns_zorder_curve
+    """.split()
+)
+
+#: Spark-SQL texts for ns_ oracles whose DuckDB dialect diverges only
+#: mechanically (unnest -> LATERAL VIEW explode, datediff('day',a,b) ->
+#: datediff(b,a), quantile_cont -> percentile, generate_series ->
+#: sequence, '0x…'::BIGINT -> conv(…,16,10), list_reduce sorted fold ->
+#: aggregate(array_sort(collect_list(…)))). Same rows as the builder,
+#: string-compared like every other pair.
+NS_SPARK_DIALECT_EQUIVALENTS = {
+    "ns_vocab_topk": """
+    WITH toks AS (
+      SELECT token FROM documents
+      LATERAL VIEW explode(split(regexp_replace(lower(trim(text)),
+        '\\\\s+', ' '), ' ')) t AS token
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 100
+    """,
+    "ns_length_quantiles": """
+    SELECT lang,
+           percentile(n_chars, 0.25) AS p25,
+           percentile(n_chars, 0.5)  AS p50,
+           percentile(n_chars, 0.9)  AS p90
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "ns_zipf_slope": """
+    WITH occ AS (
+      SELECT tok FROM documents
+      LATERAL VIEW explode(split(regexp_replace(lower(trim(text)),
+        '\\\\s+', ' '), ' ')) t AS tok
+    ), freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM occ GROUP BY tok
+      ORDER BY n_occ DESC, tok LIMIT 100
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY n_occ DESC, tok)
+                     AS DOUBLE)) AS x,
+             ln(CAST(n_occ AS DOUBLE)) AS y
+      FROM freq
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM ranked
+    )
+    SELECT n AS n_terms,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                 / CAST(n AS DOUBLE), 4) AS intercept
+    FROM s
+    """,
+    "ns_heavy_hitters": """
+    WITH occ AS (
+      SELECT tok FROM documents
+      LATERAL VIEW explode(split(regexp_replace(lower(trim(text)),
+        '\\\\s+', ' '), ' ')) t AS tok
+    ), freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ FROM occ GROUP BY tok
+    )
+    SELECT tok, n_occ FROM freq
+    WHERE n_occ * 65 > (SELECT COUNT(*) FROM occ)
+    ORDER BY n_occ DESC, tok
+    """,
+    "ns_rolling_7day": """
+    WITH d AS (
+      SELECT user_id, event_id,
+             datediff(CAST(ts AS DATE), DATE '2023-01-01') AS day,
+             value
+      FROM events
+    )
+    SELECT user_id, event_id, day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_7d
+    FROM d
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    "ns_daily_gapfill": """
+    WITH d AS (
+      SELECT CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')
+                  AS BIGINT) AS day
+      FROM events
+    ), c AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY day
+    ), b AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM d
+    ), spine AS (
+      SELECT day FROM b LATERAL VIEW explode(sequence(lo, hi)) t AS day
+    ), filled AS (
+      SELECT s.day,
+             COALESCE(c.n, 0) AS n_events,
+             CAST(c.n IS NULL AS INT) AS is_gap
+      FROM spine s LEFT JOIN c USING (day)
+    )
+    SELECT day, n_events, is_gap,
+           CAST(SUM(n_events) OVER w AS DOUBLE)
+             / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_7d
+    FROM filled
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+    "ns_rfm_segments": """
+    WITH p AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), mx AS (
+      SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events
+    ), u AS (
+      SELECT user_id,
+             CAST(datediff((SELECT mxd FROM mx), MAX(d)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(v) AS mon_dec
+      FROM p GROUP BY user_id
+    ), n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u
+    ), r AS (
+      SELECT user_id,
+             row_number() OVER (ORDER BY recency_days, user_id) AS pr,
+             row_number() OVER (ORDER BY frequency DESC, user_id) AS pf,
+             row_number() OVER (ORDER BY mon_dec DESC, user_id) AS pm
+      FROM u
+    ), sc AS (
+      SELECT u.user_id, u.recency_days, u.frequency,
+             CAST(u.mon_dec AS DOUBLE) AS monetary,
+             CAST(1 + FLOOR(CAST(4.0 AS DOUBLE) * CAST(r.pr - 1 AS DOUBLE)
+                            / CAST(n.n_users AS DOUBLE)) AS INT) AS r_q,
+             CAST(1 + FLOOR(CAST(4.0 AS DOUBLE) * CAST(r.pf - 1 AS DOUBLE)
+                            / CAST(n.n_users AS DOUBLE)) AS INT) AS f_q,
+             CAST(1 + FLOOR(CAST(4.0 AS DOUBLE) * CAST(r.pm - 1 AS DOUBLE)
+                            / CAST(n.n_users AS DOUBLE)) AS INT) AS m_q
+      FROM u JOIN r USING (user_id) CROSS JOIN n
+    )
+    SELECT user_id, recency_days, frequency, monetary, r_q, f_q, m_q,
+           CAST(r_q AS STRING) || CAST(f_q AS STRING)
+             || CAST(m_q AS STRING) AS segment
+    FROM sc ORDER BY user_id
+    """,
+    "ns_cohort_retention": """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS d FROM events
+    ), f AS (
+      SELECT user_id, MIN(d) AS d0 FROM d GROUP BY user_id
+    ), coh AS (
+      SELECT user_id, d0,
+             CAST(FLOOR(CAST(datediff(d0, DATE '2024-01-01') AS DOUBLE)
+                        / 7.0) AS BIGINT) AS cohort_week
+      FROM f
+    ), sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM coh GROUP BY cohort_week
+    ), act AS (
+      SELECT DISTINCT d.user_id, c.cohort_week,
+             CAST(FLOOR(CAST(datediff(d.d, c.d0) AS DOUBLE)
+                        / 7.0) AS BIGINT) AS week_offset
+      FROM d JOIN coh c USING (user_id)
+    ), agg AS (
+      SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM act GROUP BY cohort_week, week_offset
+    )
+    SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+           CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+             AS retention
+    FROM agg a JOIN sizes s USING (cohort_week)
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+    "ns_daily_anomaly": """
+    WITH d AS (
+      SELECT event_type AS etype,
+             CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')
+                  AS BIGINT) AS day
+      FROM events
+    ), c AS (
+      SELECT etype, day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY etype, day
+    ), s AS (
+      SELECT etype, CAST(COUNT(*) AS BIGINT) AS days,
+             CAST(SUM(n) AS BIGINT) AS sx,
+             CAST(SUM(n * n) AS BIGINT) AS sxx
+      FROM c GROUP BY etype
+    )
+    SELECT c.etype, c.day, c.n,
+           CASE WHEN s.days >= 2
+                 AND (CAST(s.sxx AS DOUBLE)
+                        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                          / CAST(s.days AS DOUBLE))
+                     / (CAST(s.days AS DOUBLE) - 1.0) > 0.0
+                THEN (CAST(c.n AS DOUBLE)
+                       - CAST(s.sx AS DOUBLE) / CAST(s.days AS DOUBLE))
+                     / sqrt((CAST(s.sxx AS DOUBLE)
+                               - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                                 / CAST(s.days AS DOUBLE))
+                            / (CAST(s.days AS DOUBLE) - 1.0)) END AS z,
+           CAST(abs(CASE WHEN s.days >= 2
+                          AND (CAST(s.sxx AS DOUBLE)
+                                 - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                                   / CAST(s.days AS DOUBLE))
+                              / (CAST(s.days AS DOUBLE) - 1.0) > 0.0
+                         THEN (CAST(c.n AS DOUBLE)
+                                - CAST(s.sx AS DOUBLE) / CAST(s.days AS DOUBLE))
+                              / sqrt((CAST(s.sxx AS DOUBLE)
+                                        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                                          / CAST(s.days AS DOUBLE))
+                                     / (CAST(s.days AS DOUBLE) - 1.0)) END) > 2.0
+                AS INT) AS is_anomaly
+    FROM c JOIN s USING (etype)
+    ORDER BY c.etype, c.day
+    """,
+    "ns_ttl_expiry": """
+    WITH env AS (
+      SELECT event_id,
+             timestampdiff(MICROSECOND,
+                           TIMESTAMP '2024-01-01 00:00:00', ts)
+               AS timestamp_micros,
+             CASE WHEN event_id % 3 = 1 THEN 86400
+                  WHEN event_id % 3 = 2 THEN 604800 END AS ttl_seconds
+      FROM events
+    )
+    SELECT event_id, timestamp_micros, ttl_seconds
+    FROM env
+    WHERE ttl_seconds IS NULL
+       OR timestamp_micros + CAST(ttl_seconds AS BIGINT) * 1000000
+          > 1641600000000
+    ORDER BY event_id
+    """,
+    "ns_weighted_sample": """
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(conv(substr(sha2(CAST(doc_id AS STRING), 256), 1, 15),
+                            16, 10) AS BIGINT)
+               AS DOUBLE) / CAST(n_chars AS DOUBLE) AS p
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), top AS (
+      SELECT doc_id, n_chars, p FROM pri ORDER BY p, doc_id LIMIT 200
+    )
+    SELECT CAST(row_number() OVER (ORDER BY p, doc_id) AS INT) AS rank,
+           doc_id, n_chars
+    FROM top ORDER BY rank
+    """,
+    "ns_temperature_sampling": """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), t AS (
+      SELECT SUM(n_docs) AS n_total FROM c
+    ), b0 AS (
+      SELECT c.source, c.n_docs,
+             CAST(c.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+      FROM c CROSS JOIN t
+    ), b AS (
+      SELECT source, n_docs, share, sqrt(share) AS s FROM b0
+    ), d AS (
+      SELECT aggregate(array_sort(collect_list(named_struct('k', source,
+                                                            'v', s))),
+                       CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v) AS denom
+      FROM b
+    )
+    SELECT b.source, b.n_docs, b.share, b.s / d.denom AS weight
+    FROM b CROSS JOIN d ORDER BY source
+    """,
+    "ns_lm_coherence": """
+    WITH toks AS (
+      SELECT doc_id, split(lower(trim(text)), '\\\\s+') AS w FROM documents
+    ), pairs AS (
+      SELECT doc_id, p.x AS x, p.y AS y
+      FROM toks
+      LATERAL VIEW explode(zip_with(w,
+        slice(w, 2, greatest(size(w) - 1, 0)),
+        (a, b) -> named_struct('x', a, 'y', b))) t AS p
+    ), fullc AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY x, y
+    ), uni AS (
+      SELECT x, CAST(SUM(c) AS BIGINT) AS c_x FROM fullc GROUP BY x
+    ), wq AS (
+      SELECT f.x, f.y, (f.c * CAST(1048576 AS BIGINT)) DIV u.c_x AS w_q20
+      FROM fullc f JOIN uni u USING (x) WHERE f.y IS NOT NULL
+    ), agg AS (
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+             CAST(SUM(q.w_q20) AS BIGINT) AS s
+      FROM pairs d JOIN wq q USING (x, y)
+      GROUP BY d.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.n_transitions, CAST(0 AS BIGINT)) AS n_transitions,
+           CAST(a.s AS DOUBLE)
+             / CAST(a.n_transitions * 1048576 AS DOUBLE) AS coherence
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+}
+
+#: ns_ oracles with NO engine.sql text, each with the dialect feature
+#: that blocks it. Reason classes: the DuckDB `CAST(x AS DOUBLE[])`
+#: array-type cast and `[…]` list literals/slices have no Spark SQL
+#: spelling; `list(x ORDER BY …)` / `list_reduce` is the strict
+#: sorted-fold determinism idiom the oracles NEED DuckDB-side (the
+#: Spark builder's aggregate(array_sort(collect_list…)) IS its
+#: equivalent, plan-pinned in test_plans); list lambdas
+#: (list_transform/list_filter/list_contains) cannot alias to Spark's
+#: HOFs via SQL UDFs (no lambda parameters); regexp_replace's 'g'
+#: FLAG argument collides with Spark's position argument; `//` integer
+#: division parses only as DIV; DuckDB len() is polymorphic over
+#: strings and lists; unnest/generate_series are table functions
+#: (LATERAL VIEW rewrites are provided for 5 representative queries in
+#: NS_SPARK_DIALECT_EQUIVALENTS — the remainder share that exact
+#: surface).
+NS_SQL_SURFACE_EXEMPT = {
+    "ns_asof_tolerance": "DuckDB ASOF JOIN keyword (builder = the asof window operator, same as q33)",
+    "ns_attribution": "list(x ORDER BY …) sorted-fold determinism idiom",
+    "ns_bm25_topk": "list(x ORDER BY …) sorted-fold determinism idiom",
+    "ns_bpe_merges": "QUALIFY + list lambdas",
+    "ns_contamination": "list_transform lambda (no SQL-UDF lambda params)",
+    "ns_corpus_curation": "regexp_replace 'g' flag collides with Spark's position arg",
+    "ns_corpus_mix": "list_contains(['…'] literal) — no Spark SQL list-literal spelling",
+    "ns_corpus_pipeline": "regexp_replace 'g' flag collides with Spark's position arg",
+    "ns_dataset_card": "regexp_replace 'g' flag collides with Spark's position arg",
+    "ns_dedup_canonical": "regexp_replace 'g' flag collides with Spark's position arg",
+    "ns_dedup_clusters": "list_transform lambda",
+    "ns_dedup_containment": "list_transform lambda",
+    "ns_dedup_editdistance": "regexp_replace 'g' flag collides with Spark's position arg",
+    "ns_dedup_ngram_jaccard": "list_transform lambda",
+    "ns_dedup_substring": "generate_series table function over per-row gram positions",
+    "ns_dedup_two_stage": "list_transform lambda",
+    "ns_doc_chunking": "unnest over computed per-row lists (LATERAL VIEW family, representatives provided)",
+    "ns_embedding_neardup_exact": "CAST(x AS DOUBLE[]) array-type cast + list_dot_product strict fold",
+    "ns_embedding_quantize": "CAST(x AS DOUBLE[]) array-type cast",
+    "ns_event_paths": "list(x ORDER BY …) sorted-fold determinism idiom",
+    "ns_forecast_backtest": "dialect-equivalent exists modulo FP association only: AVG(double) folds in physical row order, and the SQL join order differs from the builder's, so mape diverges in the last ULP",
+    "ns_graph_triangles": "DuckDB '//' integer division",
+    "ns_hard_negatives": "CAST(x AS DOUBLE[]) array-type cast",
+    "ns_hybrid_rrf": "list(x ORDER BY …) sorted-fold determinism idiom in both fusion legs",
+    "ns_kmeans_assign": "CAST(x AS DOUBLE[]) + QUALIFY argmin over list literals",
+    "ns_ngram_novelty": "unnest + list lambdas",
+    "ns_pack_sequences": "DuckDB polymorphic len() over strings and lists",
+    "ns_pca_gram": "CAST(x AS DOUBLE[]) array-type cast",
+    "ns_pii_scrub": "regexp_replace 'g' flag collides with Spark's position arg",
+    "ns_pmi_collocations": "QUALIFY",
+    "ns_pq_adc_topk": "CAST(x AS DOUBLE[])[1:16] array cast + slice syntax (generated SQL)",
+    "ns_pq_encode": "CAST(x AS DOUBLE[])[1:16] array cast + slice syntax (generated SQL)",
+    "ns_quality_classifier": "list_filter/list_contains lambdas + list literal",
+    "ns_repetition": "list_transform lambda",
+    "ns_semantic_dedup": "CAST(x AS DOUBLE[]) + QUALIFY",
+    "ns_simsearch_batch": "CAST(x AS DOUBLE[]) array-type cast",
+    "ns_simsearch_ivf_fullprobe": "CAST(x AS DOUBLE[]) array-type cast",
+    "ns_source_mix": "DuckDB polymorphic len() over strings and lists",
+    "ns_text_entropy": "list(x ORDER BY …) sorted-fold determinism idiom",
+    "ns_text_fingerprint": "'0x…'::BIGINT hex-literal cast inside the rolling-hash fold",
+    "ns_text_quality": "list_filter/list_contains lambdas + list literal",
+    "ns_text_stats": "list_filter/list_contains lambdas + list literal",
+    "ns_tfidf_topterms": "unnest + list(x ORDER BY …) sorted fold",
+    "ns_tokens_bpeish": "DuckDB polymorphic len() over strings and lists",
+    "ns_training_manifest": "list_contains list literal + sorted fold",
+    "ns_transcript_assembly": "list(x ORDER BY …) ordered aggregate",
+    "ns_udtf_bigrams": "unnest(generate_series) positional bigrams (builder leg is the Python UDTF demo)",
+    "ns_unigram_likelihood": "unnest + list(x ORDER BY …) sorted fold",
+    "ns_vocabulary": "unnest over computed per-row lists (representatives provided)",
+    "ns_winsorize": "DuckDB '//' integer division",
+}
+
 #: Driver-prefix queries with NO SQL-text equivalent, with the reason.
 SQL_SURFACE_EXEMPT = {
     "q05_approx_distinct": "approx_count_distinct seed differs per engine; tolerance-checked elsewhere",
@@ -325,6 +704,30 @@ PLAN_SIG_EXEMPT = {
     "q53_unpivot": "builder uses the Expand-based unpivot operator; SQL's UNPIVOT plans as a union",
     "q62_ordered_string_agg": "collect_set+array_sort (1 exchange) vs SQL DISTINCT aggregate (2)",
     "s3_session_window": "builder uses the session_window builtin; SQL emulates with gap windows",
+}
+
+#: ns_ pairs whose SQL text and builder legitimately compile to
+#: different physical formulations (rows hash-checked equal above).
+#: A recurring class: the oracle SQL states the NAIVE formulation on
+#: purpose (range predicate, scalar-subquery recount, single-partition
+#: row_number) — the builder being a different, scale-safe plan is the
+#: very thing test_plans pins.
+NS_PLAN_SIG_EXEMPT = {
+    "ns_band_join": "oracle states the raw |a-b|<=eps predicate (nested-loop at this SF); builder is the banded equi-join rewrite",
+    "ns_blocklist_filter": "builder pre-aggregates the blocklist before the anti-join; SQL semi-joins the raw list",
+    "ns_corpus_shuffle": "SQL row_number() OVER (ORDER BY) is a single-partition window; builder ranks distributively via rangepartitioning",
+    "ns_dq_violations": "SQL counts each rule as a scalar-subquery aggregate; builder explodes rule structs in one pass",
+    "ns_funnel_conversion": "SQL computes each funnel stage as its own subquery join; builder is one conditional aggregation pass",
+    "ns_fuzzy_join": "oracle states the direct edit-distance predicate (nested-loop); builder prunes through candidate buckets",
+    "ns_group_normalize": "SQL uses windowed group stats; builder computes them as an aggregate + broadcast join",
+    "ns_heavy_hitters": "SQL recounts the corpus in a scalar subquery (two full explodes); builder is Misra-Gries + bounded exact recount",
+    "ns_lm_coherence": "builder lazily localCheckpoints the vocabulary-sized model so its corpus explode runs ONCE; pure SQL re-plans that subtree per consumer — the barrier has no SQL spelling",
+    "ns_pareto_revenue": "SQL single-partition ranking window; builder's exact-DECIMAL prefix sums rank distributively",
+    "ns_prefix_dedup": "SQL lead() OVER (ORDER BY) is a single-partition window; builder sorts range-partitioned",
+    "ns_rfm_segments": "SQL quartiles via single-partition windows + scalar subqueries; builder broadcasts the user count",
+    "ns_table_profile": "SQL unions per-column aggregates (SortAggregate percentiles); builder profiles all columns in one Expand pass",
+    "ns_temperature_sampling": "SQL cross-joins scalar share/denominator subqueries; builder folds them through windows",
+    "ns_zorder_curve": "SQL computes min/max bounds as scalar subqueries; builder broadcasts a bounds row",
 }
 
 
@@ -391,6 +794,50 @@ def test_driver_prefix_sql_surface_is_closed():
     assert driver_prefix <= covered, sorted(driver_prefix - covered)
 
 
+@pytest.mark.parametrize("name", NS_ORACLE_ROUNDTRIP)
+def test_ns_oracle_sql_runs_unchanged_on_spark(engine, spark, name):
+    """The ns_ oracle string IS valid Spark SQL (possibly via the
+    engine's rename-only compat aliases) and matches the builder."""
+    from hybrid_cdc_demo_spark.plans import ORACLE_SQL
+
+    via_sql = engine.sql(ORACLE_SQL[name])
+    via_df = QUERIES[name](spark, SF)
+    assert list(via_sql.columns) == list(via_df.columns)
+    assert _rows(via_sql) == _rows(via_df)
+
+
+@pytest.mark.parametrize("name", sorted(NS_SPARK_DIALECT_EQUIVALENTS))
+def test_ns_spark_dialect_equivalent_matches_builder(engine, spark, name):
+    via_sql = engine.sql(NS_SPARK_DIALECT_EQUIVALENTS[name])
+    via_df = QUERIES[name](spark, SF)
+    assert list(via_sql.columns) == list(via_df.columns)
+    assert _rows(via_sql) == _rows(via_df)
+
+
+def test_ns_oracle_sql_surface_is_closed():
+    """Every ns_ catalog oracle is either roundtrip, hand-equivalent,
+    or exempted with a stated dialect reason (VERDICT r6 task #5)."""
+    import re
+
+    from hybrid_cdc_demo_spark.plans import ORACLE_SQL
+
+    ns_oracles = {n for n in ORACLE_SQL if not re.match(r"^(q|s)\d", n)}
+    covered = (
+        set(NS_ORACLE_ROUNDTRIP)
+        | set(NS_SPARK_DIALECT_EQUIVALENTS)
+        | set(NS_SQL_SURFACE_EXEMPT)
+    )
+    assert ns_oracles <= covered, sorted(ns_oracles - covered)
+    stale = covered - ns_oracles
+    assert not stale, f"ns surface entries without an oracle: {sorted(stale)}"
+    overlap = (
+        set(NS_ORACLE_ROUNDTRIP) & set(NS_SPARK_DIALECT_EQUIVALENTS)
+    ) | (set(NS_ORACLE_ROUNDTRIP) & set(NS_SQL_SURFACE_EXEMPT)) | (
+        set(NS_SPARK_DIALECT_EQUIVALENTS) & set(NS_SQL_SURFACE_EXEMPT)
+    )
+    assert not overlap, sorted(overlap)
+
+
 _SIG_OPS = None
 
 
@@ -417,17 +864,49 @@ def _plan_signature(df):
 @pytest.mark.parametrize(
     "name",
     sorted(
-        (set(ORACLE_ROUNDTRIP) | set(SPARK_DIALECT_EQUIVALENTS))
+        (
+            set(ORACLE_ROUNDTRIP)
+            | set(SPARK_DIALECT_EQUIVALENTS)
+            | set(NS_ORACLE_ROUNDTRIP)
+            | set(NS_SPARK_DIALECT_EQUIVALENTS)
+        )
         - set(PLAN_SIG_EXEMPT)
+        - set(NS_PLAN_SIG_EXEMPT)
     ),
 )
 def test_sql_and_builder_plan_same_operators(engine, spark, name):
     """The SQL text and the DataFrame builder must compile to the same
     physical operator multiset — covers the join/window/set-op classes
-    (q06-q11, q13-q15, q17, q61, q73) and everything else non-exempt."""
+    (q06-q11, q13-q15, q17, q61, q73), the ns_ surface, and everything
+    else non-exempt."""
     from hybrid_cdc_demo_spark.plans import ORACLE_SQL
 
-    text = SPARK_DIALECT_EQUIVALENTS.get(name) or ORACLE_SQL[name]
+    text = (
+        SPARK_DIALECT_EQUIVALENTS.get(name)
+        or NS_SPARK_DIALECT_EQUIVALENTS.get(name)
+        or ORACLE_SQL[name]
+    )
     assert _plan_signature(engine.sql(text)) == _plan_signature(
         QUERIES[name](spark, SF)
     )
+
+
+def test_ns_plan_sig_exempt_entries_really_differ(engine, spark):
+    """Exemptions must stay honest: every NS_PLAN_SIG_EXEMPT pair must
+    actually produce a DIFFERENT operator multiset (a pair converging
+    should graduate into the pinned set, not rot in the exemption
+    list), and every exempt name must be a covered pair."""
+    from hybrid_cdc_demo_spark.plans import ORACLE_SQL
+
+    covered = set(NS_ORACLE_ROUNDTRIP) | set(NS_SPARK_DIALECT_EQUIVALENTS)
+    assert set(NS_PLAN_SIG_EXEMPT) <= covered, sorted(
+        set(NS_PLAN_SIG_EXEMPT) - covered
+    )
+    converged = []
+    for name in sorted(NS_PLAN_SIG_EXEMPT):
+        text = NS_SPARK_DIALECT_EQUIVALENTS.get(name) or ORACLE_SQL[name]
+        if _plan_signature(engine.sql(text)) == _plan_signature(
+            QUERIES[name](spark, SF)
+        ):
+            converged.append(name)
+    assert not converged, f"now plan-identical, unexempt: {converged}"
