@@ -168,7 +168,9 @@ def main() -> None:
         keys = [
             r["key_hash"] for r in sink.read().select("key_hash").collect()
         ]
-        batches = sorted(sink.ledger.committed_batches())
+        batches = sorted(
+            int(e["batch_id"]) for e in sink.ledger.committed_batches()
+        )
         gap_free = batches == list(range(batches[0], batches[-1] + 1)) if batches else False
         report = {
             "keys": len(keys),
