@@ -320,3 +320,56 @@ def ns_dedup_canonical(spark, sf_dir):
     return quality_weighted_dedup(docs, "text", "doc_id", "n_chars").orderBy(
         "kept_doc_id"
     )
+
+
+@query(
+    "ns_dedup_quality_weighted",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, n_chars, text,
+             LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0) AS ln_,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(LENGTH(text) AS DOUBLE) AS pr,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> list_contains(['the','a','an','and','of','in','to','is','it','that'], t))) AS DOUBLE)
+               / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS sr
+      FROM documents
+    ), sc AS (
+      SELECT doc_id, n_chars,
+             -1.4 + 1.0 * ln_ + 2.0 * pr + 8.0 * sr AS score,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS key
+      FROM sig
+    ), r AS (
+      SELECT key, doc_id, n_chars, score,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY score DESC, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY key) AS BIGINT)
+               AS cluster_size,
+             CAST(SUM(n_chars) OVER (PARTITION BY key) AS BIGINT) AS csum
+      FROM sc
+    )
+    SELECT doc_id AS kept_doc_id, score AS kept_quality,
+           cluster_size, CAST(csum - n_chars AS BIGINT) AS bytes_dropped
+    FROM r WHERE rn = 1 ORDER BY kept_doc_id
+    """,
+)
+def ns_dedup_quality_weighted(spark, sf_dir):
+    """Duplicate-cluster representative selection ranked by a
+    FRACTIONAL quality score, HASH-VERIFIED: cluster by normalized
+    text, keep the copy with the highest classifier log-odds
+    (ns_quality_classifier's bitwise-reproducible linear score;
+    tiebreak lowest doc_id), account the savings in n_chars — the
+    separated ranking/size API from ADVICE r6 #1, exercised end to end
+    with a double-typed ranking key the old long-cast implementation
+    would have truncated to a constant. Same single partial-aggregable
+    max(struct) keyed aggregation as ns_dedup_canonical — the
+    window-free argmax; kept_quality returned in the score's own
+    double type, hash-matched unrounded."""
+    from hybrid_cdc_demo_spark.operators import classifier as CL
+    from hybrid_cdc_demo_spark.operators.dedup import quality_weighted_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = CL.score_documents(docs)
+    return quality_weighted_dedup(
+        scored, "text", "doc_id", "score", size_col="n_chars"
+    ).orderBy("kept_doc_id")

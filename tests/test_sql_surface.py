@@ -645,6 +645,7 @@ NS_SQL_SURFACE_EXEMPT = {
     "ns_dedup_containment": "list_transform lambda",
     "ns_dedup_editdistance": "regexp_replace 'g' flag collides with Spark's position arg",
     "ns_dedup_ngram_jaccard": "list_transform lambda",
+    "ns_dedup_quality_weighted": "list_filter/list_contains lambdas + regexp 'g' flag (classifier-score ranking)",
     "ns_dedup_substring": "generate_series table function over per-row gram positions",
     "ns_dedup_two_stage": "list_transform lambda",
     "ns_doc_chunking": "unnest over computed per-row lists (LATERAL VIEW family, representatives provided)",
