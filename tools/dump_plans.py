@@ -179,6 +179,12 @@ SHOWCASE = [
      "the per-cluster quality argmax is a partial-aggregated "
      "max(struct(quality, -id, id)) — one candidate per key per task "
      "crosses the wire; the oracle's per-cluster window never runs"),
+    ("ns_lm_coherence", False,
+     "Q20 fixed-point bigram LM: exactly TWO corpus explodes (the "
+     "unigram model rolls up from the bigram+successor counts, the "
+     "vocabulary-sized table localCheckpointed once), scoring is a "
+     "broadcast join + plain integer SUM — no collect_list, no "
+     "HOF fold, whole-stage codegen end to end"),
     ("ns_rfm_segments", False,
      "three quartile ranks from ONE global_rank pass over a slim "
      "3-rows-per-user metric union (rank = pos - metric*n): a single "
