@@ -1089,3 +1089,52 @@ def ivfopq_topk_persisted(
         )
     allc = reduce(DataFrame.unionByName, scans)
     return allc.orderBy("adc_d2", id_col).limit(topk)
+
+
+def ivfopq_refine_topk(
+    spark,
+    path: str,
+    raw_df: DataFrame,
+    query: list[float],
+    topk: int = 10,
+    refine: int = 4,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage refine over the IVF-OPQ-PQ index — FAISS's
+    IndexRefine/"RFlat" pattern, the standard production recall
+    recovery: the compressed index shortlists ``topk * refine``
+    candidates by ADC (cheap, partition-pruned code scan), then ONLY
+    those ids are re-scored EXACTLY against the raw vectors and the
+    true top-k of the shortlist is returned.
+
+    Scale shape: the shortlist is model-sized (k·refine ids collected
+    to the driver — bounded by the API, not the corpus), so the exact
+    pass is a literal IN filter on the raw table: it reaches the
+    parquet scan as a pushed filter (row-group pruning on id stats),
+    one map-only distance projection, TakeOrderedAndProject. ADC
+    quantization error can reorder near-ties; exact re-ranking of the
+    shortlist removes that error for every candidate the coarse stage
+    surfaced — recall is never below plain ADC at identical probes."""
+    cand = [
+        r[id_col]
+        for r in ivfopq_topk_persisted(
+            spark, path, query, topk=topk * refine, nprobe=nprobe
+        ).collect()
+    ]
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    exact = (
+        raw_df.filter(F.col(id_col).isin(cand))
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with(
+                    _as_double_array(vec_col), qlit, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    return exact.orderBy("d2", id_col).limit(topk)

@@ -670,6 +670,96 @@ def ns_simsearch_ivfopq(spark, sf_dir):
     return ivfopq_topk_persisted(spark, path, q, topk=10, nprobe=4)
 
 
+@query("ns_simsearch_refine")  # contract-pinned in tests/test_pq.py
+def ns_simsearch_refine(spark, sf_dir):
+    """Two-stage refine search (FAISS IndexRefine): IVF-OPQ-PQ ADC
+    shortlists topk*4 candidates through partition-pruned code files,
+    then ONLY those ids are exactly re-scored against the raw vectors
+    (bounded IN filter pushed to the parquet scan, map-only L2,
+    TakeOrderedAndProject) — the production recall-recovery stage
+    every compressed billion-vector deployment runs. No SQL oracle
+    (the shortlist depends on the trained index, same as every ANN
+    leg); the contract test pins exact distances on the result (d2
+    matches brute-force L2 bitwise for the returned ids — the refine
+    stage IS exact), recall >= the unrefined ADC top-k, and
+    self-retrieval at distance 0."""
+    from hybrid_cdc_demo_spark.operators.clustering import (
+        ivfopq_refine_topk,
+    )
+
+    path = ensure_ivfopq_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return ivfopq_refine_topk(spark, path, emb, q, topk=10, refine=4, nprobe=4)
+
+
+@query(
+    "ns_simsearch_binary",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT e AS qe FROM emb WHERE vec_id = (SELECT MIN(vec_id) FROM emb)
+    ), w AS (
+      SELECT m.vec_id, j.j,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, 31),
+                 i -> CASE WHEN m.e[j.j * 32 + i + 1] > 0
+                      THEN (CAST(1 AS BIGINT) << i)
+                      ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a + b) AS w,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, 31),
+                 i -> CASE WHEN q.qe[j.j * 32 + i + 1] > 0
+                      THEN (CAST(1 AS BIGINT) << i)
+                      ELSE CAST(0 AS BIGINT) END)),
+               (a, b) -> a + b) AS qw
+      FROM emb m CROSS JOIN q
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) j
+    ), h AS (
+      SELECT vec_id, CAST(SUM(bit_count(xor(w, qw))) AS INT) AS hamming
+      FROM w GROUP BY vec_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY hamming, vec_id) AS INT) AS rank,
+           vec_id, hamming
+    FROM h ORDER BY hamming, vec_id LIMIT 10
+    """,
+)
+def ns_simsearch_binary(spark, sf_dir):
+    """Binary-quantized (1-bit sign) similarity search, HASH-VERIFIED:
+    pack each 64-dim vector's sign bits into two 32-bit-filled BIGINT
+    words map-only, XOR against the driver-packed query, popcount, and
+    take the 10 smallest Hamming distances (ties by id) — the cheapest
+    quantization tier production vector stores ship (32x smaller than
+    float32; Hamming approximates angular distance on roughly
+    isotropic embeddings). The whole pipeline is INTEGER arithmetic,
+    so unlike every float ANN leg it is bitwise engine-reproducible
+    and carries a full DuckDB oracle replaying the identical packing.
+    Plan: map-only projection + TakeOrderedAndProject (per-partition
+    heaps) — no join, no shuffle; at 100 TB the packed words persist
+    beside the ids and queries scan dim/8 bytes per vector."""
+    from hybrid_cdc_demo_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    top = binary_hamming_topk(emb, q, dim=64, topk=10)
+    w = Window.orderBy("hamming", "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        "hamming",
+    ).orderBy("rank")
+
+
 @query("ns_simsearch_ivfpq")  # contract-pinned in tests/test_pq.py
 def ns_simsearch_ivfpq(spark, sf_dir):
     """IVF-PQ residual search for the min-id query vector — the

@@ -350,6 +350,110 @@ class TestIVFOPQ:
         assert len(opq_ids & exact) >= len(pq_ids & exact)
 
 
+class TestRefineAndBinary:
+    """Round-7 surplus ANN tiers: two-stage exact refine (FAISS
+    IndexRefine) and 1-bit binary quantization."""
+
+    def test_ns_simsearch_refine_contract(self, spark):
+        import pyspark.sql.functions as F
+
+        from hybrid_cdc_demo_spark.plans import QUERIES
+        from hybrid_cdc_demo_spark.sources.tables import load_table
+
+        df = QUERIES["ns_simsearch_refine"](spark, SF)
+        assert df.dtypes == [("vec_id", "bigint"), ("d2", "double")]
+        rows = df.collect()
+        assert len(rows) == 10
+        dists = [r["d2"] for r in rows]
+        assert dists == sorted(dists)
+        assert rows[0]["vec_id"] == 0 and rows[0]["d2"] == 0.0
+        # the refine stage is EXACT: every returned d2 must equal the
+        # brute-force L2 for that id, bitwise (same zip_with fold)
+        emb = load_table(spark, SF, "embeddings")
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0][
+                "embedding"
+            ]
+        ]
+        qlit = F.array(*[F.lit(x) for x in q])
+        ids = [r["vec_id"] for r in rows]
+        truth = {
+            r["vec_id"]: r["d2"]
+            for r in emb.filter(F.col("vec_id").isin(ids))
+            .select(
+                "vec_id",
+                F.aggregate(
+                    F.zip_with(
+                        F.transform("embedding", lambda x: x.cast("double")),
+                        qlit,
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+            )
+            .collect()
+        }
+        for r in rows:
+            assert r["d2"] == truth[r["vec_id"]]
+
+    def test_refine_recall_not_worse_than_adc(self, spark):
+        import pyspark.sql.functions as F
+
+        from hybrid_cdc_demo_spark.operators.similarity import (
+            brute_force_topk,
+        )
+        from hybrid_cdc_demo_spark.plans import QUERIES
+        from hybrid_cdc_demo_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0][
+                "embedding"
+            ]
+        ]
+        qdf = spark.createDataFrame([(q,)], "qv array<double>")
+        exact = {
+            r["vec_id"] for r in brute_force_topk(emb, qdf, k=10).collect()
+        }
+        adc = {
+            r["vec_id"]
+            for r in QUERIES["ns_simsearch_ivfopq"](spark, SF).collect()
+        }
+        ref = {
+            r["vec_id"]
+            for r in QUERIES["ns_simsearch_refine"](spark, SF).collect()
+        }
+        assert len(ref & exact) >= len(adc & exact)
+
+    def test_binary_hamming_planted_and_plan(self, spark):
+        from hybrid_cdc_demo_spark.operators.similarity import (
+            binary_hamming_topk,
+            pack_sign_bits,
+        )
+
+        vecs, _ = _planted(seed=73, n=120, dim=16)
+        df = _emb(spark, vecs)
+        out = binary_hamming_topk(df, vecs[0], dim=16, topk=10)
+        rows = out.collect()
+        assert rows[0]["vec_id"] == 0 and rows[0]["hamming"] == 0
+        # brute-force python twin over the packed words
+        qw = pack_sign_bits(vecs[0], 16)
+        def ham(v):
+            return sum(
+                bin(a ^ b).count("1") for a, b in zip(pack_sign_bits(v, 16), qw)
+            )
+        truth = sorted((ham(v), i) for i, v in enumerate(vecs))[:10]
+        assert [(r["hamming"], r["vec_id"]) for r in rows] == truth
+        # map-only + distributed top-k: no join, no hash exchange
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Join" not in plan
+        assert "Exchange hashpartitioning" not in plan
+
+
 def test_ivfpq_persisted_matches_inline(spark, tmp_path):
     from hybrid_cdc_demo_spark.operators.clustering import (
         ivfpq_topk,

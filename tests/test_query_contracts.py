@@ -43,6 +43,7 @@ PINNED_NO_ORACLE = {
     "ns_opq_rotation": "test_pq.py::TestOPQ (orthogonality, error decrease, contract)",
     "ns_simsearch_opq": "test_pq.py::TestOPQ (recall >= plain PQ, contract)",
     "ns_simsearch_ivfopq": "test_pq.py::TestIVFOPQ (recall >= IVF-PQ, orthogonality, pruning, contract)",
+    "ns_simsearch_refine": "test_pq.py::TestRefineAndBinary (exact d2 bitwise, recall >= ADC, self-retrieval)",
 }
 
 

@@ -668,6 +668,7 @@ NS_SQL_SURFACE_EXEMPT = {
     "ns_repetition": "list_transform lambda",
     "ns_semantic_dedup": "CAST(x AS DOUBLE[]) + QUALIFY",
     "ns_simsearch_batch": "CAST(x AS DOUBLE[]) array-type cast",
+    "ns_simsearch_binary": "CAST(x AS DOUBLE[]) + list_transform lambda packing + generate_series",
     "ns_simsearch_ivf_fullprobe": "CAST(x AS DOUBLE[]) array-type cast",
     "ns_source_mix": "DuckDB polymorphic len() over strings and lists",
     "ns_text_entropy": "list(x ORDER BY …) sorted-fold determinism idiom",
