@@ -241,22 +241,32 @@ def assign_with_ids(
     vec_col: str = "_v",
     method: str = "auto",
 ) -> DataFrame:
-    """(id, vec, _cluster) nearest-centroid assignment, choosing
-    between the fold-order-exact literal expression (small k — the
-    oracle path) and the BLAS batch argmin (k above
-    ASSIGN_NUMPY_THRESHOLD, where the interpreted expression's n*k*d
-    work dominates). One entry point so every assignment consumer
-    (kmeans loop, SemDeDup, full-corpus scoring) inherits the scale
-    path."""
-    use_np = method == "numpy" or (
-        method == "auto" and len(centers) > ASSIGN_NUMPY_THRESHOLD
+    """(id, vec, _cluster) nearest-centroid assignment. One entry
+    point so every assignment consumer (kmeans loop, SemDeDup,
+    full-corpus scoring) inherits the same scale path; methods as in
+    similarity.assign_cells — "auto" resolves to the fold-order-exact
+    expression at small k and the margin-GUARDED BLAS argmin (expr-
+    identical by proof, GEMM-fast) above ASSIGN_NUMPY_THRESHOLD, so
+    the default answer is oracle-exact at every scale."""
+    if method == "auto":
+        method = (
+            "guarded" if len(centers) > ASSIGN_NUMPY_THRESHOLD else "expr"
+        )
+    if method == "expr":
+        return data.select(id_col, vec_col).withColumn(
+            "_cluster", assign_expr_with_ids(centers, ids, vec=vec_col)
+        )
+    from hybrid_cdc_demo_spark.operators.similarity import assign_cells
+
+    pos = assign_cells(
+        data, centers, id_col, vec_col, out_col="_pos", method=method
     )
-    if use_np:
-        return assign_cells_np(
-            data, centers, ids, id_col, vec_col
-        ).withColumnRenamed("cluster", "_cluster")
-    return data.select(id_col, vec_col).withColumn(
-        "_cluster", assign_expr_with_ids(centers, ids, vec=vec_col)
+    return pos.select(
+        id_col,
+        vec_col,
+        F.element_at(F.lit([int(i) for i in ids]), F.col("_pos") + 1)
+        .cast("int")
+        .alias("_cluster"),
     )
 
 
@@ -285,13 +295,15 @@ def semantic_dedup(
     mid-cluster.
 
     ``assign_method``: "expr" (nested-literal argmin — exact DuckDB
-    fold-order parity, the oracle path), "numpy" (BLAS matmul argmin —
-    the scale path; distances differ from the expression by float
-    association only, so an assignment can flip on an exact tie), or
-    "auto" (numpy once k exceeds ASSIGN_NUMPY_THRESHOLD — since
-    k ~ n/64 the expression path's n*k*d interpreted work would grow
-    quadratically with the corpus; the round-6 heavy scaling sweep
-    measured this at 23 s for n=20k, k=312).
+    fold-order parity at interpreted cost), "numpy" (raw BLAS matmul
+    argmin — fastest; tie-band answers may differ from expr by float
+    association), "guarded" (BLAS + rigorous margin proof + lazy
+    expression fallback on the uncertain band — expr-IDENTICAL at GEMM
+    speed, similarity.cell_assign_guarded), or "auto" (expr up to
+    ASSIGN_NUMPY_THRESHOLD, guarded above it — since k ~ n/64 the
+    expression path's n*k*d interpreted work would grow quadratically
+    with the corpus; the round-6 heavy scaling sweep measured it at
+    23 s for n=20k, k=312, vs 1.7 s BLAS).
     """
     data = spread(df).select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
     if centers is None:

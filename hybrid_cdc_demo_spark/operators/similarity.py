@@ -347,6 +347,29 @@ def embedding_neardup_pairs(
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 
+def nested_double_lit(rows: list[list[float]]) -> F.Column:
+    """A literal array<array<double>> built in O(1) Py4J roundtrips.
+
+    pyspark's ``F.lit(nested_list)`` decomposes into one JVM call PER
+    ELEMENT (lit → CreateArray → lit per number): a 312×64 centroid
+    table costs ~20k driver socket roundtrips ≈ 13-17 s of pure build
+    time before any execution (profiled r7 — it was most of the
+    expression assignment's corpus-scale cost). Above a small size the
+    literal is instead rendered as ONE SQL text of D-suffixed doubles
+    and parsed JVM-side in a single call; repr() emits the shortest
+    round-tripping decimal and Spark's double-literal parse is
+    correctly rounded, so the values are BITWISE identical to the
+    F.lit form (pinned in tests/test_round7_hardening.py)."""
+    n = sum(len(r) for r in rows)
+    if n <= 2048:
+        return F.lit([[float(x) for x in r] for r in rows])
+    body = ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+        for r in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def cell_assign_expr(centers: list[list[float]], vec="_v") -> F.Column:
     """Nearest-centroid assignment for a double-array column (default
     ``_v``): one nested literal + transform + argmin — the expression
@@ -355,7 +378,7 @@ def cell_assign_expr(centers: list[list[float]], vec="_v") -> F.Column:
     when(best)-chain even nests exponentially — driver OOM). Squared
     L2 metric (monotone with cosine for normalized embeddings)."""
     v = F.col(vec) if isinstance(vec, str) else vec
-    centers_lit = F.lit([[float(x) for x in c] for c in centers])
+    centers_lit = nested_double_lit(centers)
     dists = F.transform(
         centers_lit,
         lambda c: F.aggregate(
@@ -413,6 +436,88 @@ def cell_assign_np(
     )
 
 
+def cell_assign_guarded(
+    data: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "_v",
+    out_col: str = "_cell",
+    slack: float = 8.0,
+) -> DataFrame:
+    """Margin-guarded BLAS assignment: PROVABLY identical to the
+    fold-order-exact expression argmin, at GEMM speed (ADVICE r6 #2's
+    'distance-margin guard' alternative, built in round 7).
+
+    The BLAS pass computes ``||v||² − 2·v·Cᵀ + ||c||²`` distances plus
+    each row's top-2 margin. Both that formula and the expression's
+    strict left fold of ``Σ(vᵢ−cᵢ)²`` deviate from the true distance
+    by at most B = (d+2)·u·(‖v‖ + ‖c‖)² (u = 2⁻⁵³; standard
+    summation error analysis, Cauchy–Schwarz bounding Σ|vᵢcᵢ|), so the
+    expression's argmin can differ from the BLAS argmin ONLY when the
+    BLAS margin is ≤ 4B. Rows above ``slack·(d+2)·u·(‖v‖+‖c_max‖)²``
+    (slack = 8 ≥ the required 4, doubled for headroom) keep the BLAS
+    answer with a proof; the (in practice empty) remainder is
+    re-scored INSIDE THE SAME ARROW BATCH by a strict-left-fold replay
+    of the expression's arithmetic — a vectorized loop over dimensions
+    performing ``acc = acc + (vᵢ−cᵢ)·(vᵢ−cᵢ)`` in dimension order, the
+    exact same sequence of correctly-rounded IEEE operations the Spark
+    expression evaluates, hence bitwise-identical distances and the
+    same first-minimum argmin (exact ties land in the uncertain band
+    by construction and inherit the expression's tie rule). Doing the
+    fallback batch-side — rather than as a literal-expression CASE
+    branch — matters at corpus-scaled k: a 312×64 centroid literal is
+    a 20k-node Catalyst tree that costs seconds of analyzer/optimizer
+    walking on EVERY query build (profiled r7), versus one closure-
+    captured numpy array here."""
+    import pandas as pd
+
+    C = np.asarray(centers, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    max_cnorm = float(np.sqrt(cn).max()) if len(C) else 0.0
+    d = int(C.shape[1]) if C.ndim == 2 and C.shape[0] else 0
+    coef = slack * (d + 2) * 2.0 ** -53
+    id_type = dict(data.dtypes)[id_col]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + cn
+            best = d2.argmin(axis=1)
+            if d2.shape[1] > 1:
+                two = np.partition(d2, 1, axis=1)
+                margin = two[:, 1] - two[:, 0]
+            else:
+                margin = np.full(len(V), np.inf)
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            bound = coef * (vnorm + max_cnorm) ** 2
+            unc = np.flatnonzero(margin <= bound)
+            if unc.size:
+                U = V[unc]
+                # strict left fold in dimension order — bitwise the
+                # Spark expression's aggregate(zip_with(...)) chain
+                acc = np.zeros((U.shape[0], C.shape[0]), dtype=np.float64)
+                for i in range(d):
+                    diff = U[:, i : i + 1] - C[None, :, i]
+                    acc = acc + diff * diff
+                best[unc] = acc.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    out_col: best.astype(np.int32),
+                }
+            )
+
+    return data.select(id_col, vec_col).mapInPandas(
+        assign,
+        schema=(
+            f"{id_col} {id_type}, {vec_col} array<double>, {out_col} int"
+        ),
+    )
+
+
 def assign_cells(
     data: DataFrame,
     centers: list[list[float]],
@@ -421,14 +526,24 @@ def assign_cells(
     out_col: str = "_cell",
     method: str = "auto",
 ) -> DataFrame:
-    """(id, vec, cell) nearest-centroid position assignment, choosing
-    the literal expression (small k — fold-order-exact, the oracle
-    path) or the BLAS argmin (k > CELL_ASSIGN_NUMPY_THRESHOLD)."""
-    use_np = method == "numpy" or (
-        method == "auto" and len(centers) > CELL_ASSIGN_NUMPY_THRESHOLD
-    )
-    if use_np:
+    """(id, vec, cell) nearest-centroid position assignment.
+    Methods: "expr" (literal expression — fold-order-exact, the small-k
+    oracle path), "numpy" (raw BLAS argmin — fastest, tie-band answers
+    may differ from expr by float association), "guarded" (BLAS +
+    margin proof + lazy expression fallback — expr-identical at BLAS
+    speed), "auto" (expr up to CELL_ASSIGN_NUMPY_THRESHOLD where the
+    interpreted cost is negligible, guarded above it — so the default
+    is fold-order-exact at EVERY scale)."""
+    if method == "auto":
+        method = (
+            "guarded"
+            if len(centers) > CELL_ASSIGN_NUMPY_THRESHOLD
+            else "expr"
+        )
+    if method == "numpy":
         return cell_assign_np(data, centers, id_col, vec_col, out_col)
+    if method == "guarded":
+        return cell_assign_guarded(data, centers, id_col, vec_col, out_col)
     return data.select(id_col, vec_col).withColumn(
         out_col, cell_assign_expr(centers, vec=vec_col)
     )

@@ -154,21 +154,25 @@ def ns_semantic_dedup(spark, sf_dir):
     join-based assignment (same operator family).
     Cosine emitted unrounded: both engines left-fold the dot products,
     bitwise-equal (see ns_embedding_neardup_exact).
-    assign_method is PINNED to "expr" here (ADVICE r6 #2): this entry
-    is hash-verified against a DuckDB strict-fold argmin, and the BLAS
-    path's ||v||²-2v·c+||c||² distances differ by float association —
-    an assignment could flip whenever two centroid distances sit
-    inside that error band, not only on exact ties. The "auto" BLAS
-    switch stays the default for non-oracle scale paths; BLAS-vs-expr
-    assignment equality on the expanded sf1 corpus is checked by
-    tools/scale_sweep (SWEEP_r07_scale) rather than assumed."""
+    Assignment parity with the oracle (ADVICE r6 #2): below the
+    threshold "auto" IS the fold-order-exact expression (the
+    historically hash-verified configuration at every driver SF);
+    above it "auto" resolves to the margin-GUARDED BLAS argmin
+    (similarity.cell_assign_guarded) — BLAS answers kept only where
+    the top-2 margin exceeds a rigorous float-error bound covering
+    BOTH distance formulas, the remainder re-assigned by the literal
+    expression in a lazy CASE branch — so the assignment is PROVABLY
+    expr-identical at any scale while staying GEMM-fast (the raw
+    "numpy" path can flip inside the error band, the r6 concern; the
+    sf1 scale sweep additionally certifies numpy==expr empirically on
+    the expanded corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = C.semantic_dedup(
         emb,
         k=semdedup_k(table_num_rows(sf_dir, "embeddings")),
         threshold=0.3,
         seed_by="id",
-        assign_method="expr",
+        assign_method="auto",
     )
     return pairs.select(
         F.col("cluster").cast("int").alias("cluster"), "id_a", "id_b", "cos"

@@ -257,5 +257,6 @@ class TestNumpyCentroidAssignment:
     def test_auto_threshold(self):
         from hybrid_cdc_demo_spark.operators import clustering as C
 
-        # auto must flip to numpy exactly when k exceeds the threshold
+        # auto flips off the pure expression exactly above the
+        # threshold (to the margin-GUARDED BLAS path since r7)
         assert C.ASSIGN_NUMPY_THRESHOLD == 64
