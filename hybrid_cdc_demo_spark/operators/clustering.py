@@ -47,6 +47,7 @@ from hybrid_cdc_demo_spark.operators.similarity import (
     cell_assign_expr,
     cell_assign_np,
     cosine,
+    nested_double_lit,
 )
 
 
@@ -194,7 +195,7 @@ def kmeans(
 def inertia(assigned: DataFrame, centers: list[list[float]], ids: list[int]) -> DataFrame:
     """Within-cluster sum of squared distances (the k-means objective)
     as a 1-row frame — map-only literal distance + one global agg."""
-    centers_lit = F.lit([[float(x) for x in c] for c in centers])
+    centers_lit = nested_double_lit(centers)
     idx = F.array_position(
         F.lit([int(i) for i in ids]), F.col("_cluster")
     ).cast("int")
@@ -816,7 +817,7 @@ def ivfpq_topk(
     indexed, centers = ivf_index(
         df, id_col, vec_col, num_cells, seed, partitions=train_partitions
     )
-    centers_lit = F.lit([[float(x) for x in c] for c in centers])
+    centers_lit = nested_double_lit(centers)
     resid = F.zip_with(
         "_v",
         F.element_at(centers_lit, F.col("_cell") + 1),
@@ -889,7 +890,7 @@ def ivfpq_write(
     indexed, centers = ivf_index(
         df, id_col, vec_col, num_cells, seed, partitions=train_partitions
     )
-    centers_lit = F.lit([[float(x) for x in c] for c in centers])
+    centers_lit = nested_double_lit(centers)
     resid = F.zip_with(
         "_v", F.element_at(centers_lit, F.col("_cell") + 1), lambda a, b: a - b
     )
@@ -1014,7 +1015,7 @@ def ivfopq_write(
     indexed, centers = ivf_index(
         df, id_col, vec_col, num_cells, seed, partitions=train_partitions
     )
-    centers_lit = F.lit([[float(x) for x in c] for c in centers])
+    centers_lit = nested_double_lit(centers)
     resid = F.zip_with(
         "_v", F.element_at(centers_lit, F.col("_cell") + 1), lambda a, b: a - b
     )

@@ -361,7 +361,7 @@ def nested_double_lit(rows: list[list[float]]) -> F.Column:
     correctly rounded, so the values are BITWISE identical to the
     F.lit form (pinned in tests/test_round7_hardening.py)."""
     n = sum(len(r) for r in rows)
-    if n <= 2048:
+    if n <= 256:
         return F.lit([[float(x) for x in r] for r in rows])
     body = ",".join(
         "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"

@@ -29,6 +29,7 @@ from hybrid_cdc_demo_spark.operators.similarity import (
     cell_assign_expr,
     ivf_index,
     ivf_topk_persisted,
+    nested_double_lit,
 )
 from hybrid_cdc_demo_spark.streaming.sinks import BatchLedger
 
@@ -203,7 +204,7 @@ class PQVectorIndexSink:
                 batch, self.id_col, self.vec_col, self.num_cells,
                 self.seed, partitions=self.train_partitions,
             )
-            centers_lit = F.lit([[float(x) for x in c] for c in centers])
+            centers_lit = nested_double_lit(centers)
             rdf = indexed.withColumn(
                 "_r",
                 F.zip_with(
@@ -231,7 +232,7 @@ class PQVectorIndexSink:
         centers = meta["centers"]
         books = [(c, i) for c, i in meta["books"]]
         sub = self.dim // self.m
-        centers_lit = F.lit([[float(x) for x in c] for c in centers])
+        centers_lit = nested_double_lit(centers)
         data = batch.select(
             F.col(self.id_col), _as_double_array(self.vec_col).alias("_v")
         ).withColumn("_cell", cell_assign_expr(centers))
