@@ -185,6 +185,11 @@ SHOWCASE = [
      "vocabulary-sized table localCheckpointed once), scoring is a "
      "broadcast join + plain integer SUM — no collect_list, no "
      "HOF fold, whole-stage codegen end to end"),
+    ("ns_simsearch_binary", False,
+     "1-bit binary quantization: sign-bit packing + XOR + popcount "
+     "is a map-only integer projection over dim/8 bytes per vector, "
+     "and the top-k is TakeOrderedAndProject (per-partition heaps) — "
+     "no join, no hash exchange, the cheapest ANN tier"),
     ("ns_rfm_segments", False,
      "three quartile ranks from ONE global_rank pass over a slim "
      "3-rows-per-user metric union (rank = pos - metric*n): a single "
