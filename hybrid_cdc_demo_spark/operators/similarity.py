@@ -974,3 +974,92 @@ def binary_hamming_topk(
         .orderBy("hamming", id_col)
         .limit(topk)
     )
+
+
+def binary_write(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_meta: dict | None = None,
+) -> None:
+    """Persist the 1-bit index: (id, packed words) parquet + a JSON
+    sidecar — the binary-quantization analog of ivf_write. At 100 TB
+    queries scan dim/8 bytes per vector (32x less than float32) and
+    never touch the raw embeddings until a rescore stage asks."""
+    import json
+    import os
+
+    src = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    packed = src.select(id_col, *binary_sign_words("_v", dim))
+    packed.write.mode("overwrite").parquet(os.path.join(path, "data"))
+    meta = {
+        "id_col": id_col,
+        "dim": dim,
+        "word_bits": 32,
+        **(extra_meta or {}),
+    }
+    tmp = os.path.join(path, ".index.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "index.json"))
+
+
+def binary_topk_persisted(
+    spark,
+    path: str,
+    query: list[float],
+    topk: int = 10,
+) -> DataFrame:
+    """Hamming top-k over the persisted packed words — a map-only
+    integer scan of dim/8 bytes per vector + TakeOrderedAndProject."""
+    import json
+    import os
+
+    with open(os.path.join(path, "index.json")) as fh:
+        meta = json.load(fh)
+    dim, id_col = meta["dim"], meta["id_col"]
+    qwords = pack_sign_bits([float(x) for x in query], dim)
+    packed = spark.read.parquet(os.path.join(path, "data"))
+    ham = None
+    for j, qw in enumerate(qwords):
+        term = F.bit_count(F.col(f"_w{j}").bitwiseXOR(F.lit(qw).cast("long")))
+        ham = term if ham is None else ham + term
+    return (
+        packed.select(id_col, ham.cast("int").alias("hamming"))
+        .orderBy("hamming", id_col)
+        .limit(topk)
+    )
+
+
+def binary_rescore_topk(
+    df: DataFrame,
+    query: list[float],
+    dim: int,
+    topk: int = 10,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized search with exact rescoring — the production
+    BQ pattern (Lucene/Qdrant "oversample then rescore"): Hamming
+    shortlists ``topk * rescore`` candidates over the 1-bit codes,
+    then ONLY those ids are scored exactly by cosine against the raw
+    vectors (bounded IN filter pushed to the scan) and the true top-k
+    of the shortlist is returned as (vec_id, score). Same scale shape
+    as ivfopq_refine_topk: the shortlist is model-sized, the exact
+    pass map-only."""
+    cand = [
+        r[id_col]
+        for r in binary_hamming_topk(
+            df, query, dim, topk=topk * rescore, id_col=id_col,
+            vec_col=vec_col,
+        ).collect()
+    ]
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    exact = df.filter(F.col(id_col).isin(cand)).select(
+        F.col(id_col),
+        cosine(_as_double_array(vec_col), qlit).alias("score"),
+    )
+    return exact.orderBy(F.desc("score"), id_col).limit(topk)

@@ -585,3 +585,62 @@ class TestOPQ:
         got = {r["vec_id"]: list(r["_y"]) for r in rotated.collect()}
         for i, v in enumerate(vecs):  # identity rotation: unchanged
             assert max(abs(a - b) for a, b in zip(got[i], v)) < 1e-12
+
+
+class TestBinaryPersistedAndRescore:
+    """Round-7: the persisted 1-bit index and the BQ oversample-then-
+    rescore composition."""
+
+    def test_persisted_matches_inline(self, spark, tmp_path):
+        from hybrid_cdc_demo_spark.operators.similarity import (
+            binary_hamming_topk,
+            binary_topk_persisted,
+            binary_write,
+        )
+
+        vecs, _ = _planted(seed=79, n=100, dim=16)
+        df = _emb(spark, vecs)
+        path = str(tmp_path / "bin")
+        binary_write(df, path, dim=16)
+        a = binary_topk_persisted(spark, path, vecs[3], topk=8).collect()
+        b = binary_hamming_topk(df, vecs[3], dim=16, topk=8).collect()
+        assert [(r["vec_id"], r["hamming"]) for r in a] == [
+            (r["vec_id"], r["hamming"]) for r in b
+        ]
+
+    def test_rescore_recall_not_worse_than_binary_order(self, spark):
+        """Exact rescoring of the Hamming shortlist must rank by TRUE
+        cosine: every returned score equals brute force for that id,
+        and overlap with the exact top-k is >= the raw Hamming
+        ordering's overlap."""
+        import pyspark.sql.functions as F
+
+        from hybrid_cdc_demo_spark.operators.similarity import (
+            binary_hamming_topk,
+            binary_rescore_topk,
+            brute_force_topk,
+        )
+        from hybrid_cdc_demo_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0][
+                "embedding"
+            ]
+        ]
+        qdf = spark.createDataFrame([(q,)], "qv array<double>")
+        exact_rows = brute_force_topk(emb, qdf, k=10).collect()
+        exact = {r["vec_id"] for r in exact_rows}
+        truth = {r["vec_id"]: r["score"] for r in exact_rows}
+        ham = {
+            r["vec_id"]
+            for r in binary_hamming_topk(emb, q, dim=64, topk=10).collect()
+        }
+        res_rows = binary_rescore_topk(emb, q, dim=64, topk=10).collect()
+        res = {r["vec_id"] for r in res_rows}
+        assert len(res & exact) >= len(ham & exact)
+        assert res_rows[0]["vec_id"] == 0  # self-retrieval, score 1.0
+        for r in res_rows:  # rescore stage is exact cosine
+            if r["vec_id"] in truth:
+                assert r["score"] == truth[r["vec_id"]]
