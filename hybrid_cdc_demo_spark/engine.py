@@ -30,11 +30,15 @@ _COMPAT_FUNCTIONS = (
     "CREATE OR REPLACE TEMPORARY FUNCTION string_split_regex"
     "(s STRING, p STRING) RETURNS ARRAY<STRING> RETURN split(s, p)",
     # DuckDB string_split splits on a LITERAL separator; escape any
-    # regex metacharacters before handing to Spark's regex split
+    # regex metacharacters before handing to Spark's regex split. The
+    # backslash itself is in the class (listed first, before anything
+    # it could escape) — without it a separator like '\d' reached the
+    # regex engine unescaped and split on the digit class instead of
+    # the literal two characters (r7 ADVICE).
     "CREATE OR REPLACE TEMPORARY FUNCTION string_split"
     "(s STRING, sep STRING) RETURNS ARRAY<STRING> "
-    "RETURN split(s, regexp_replace(sep, '([\\\\^$.|?*+()\\\\[\\\\]{}])',"
-    " '\\\\\\\\$1'))",
+    "RETURN split(s, regexp_replace(sep,"
+    " '([\\\\\\\\^$.|?*+()\\\\[\\\\]{}])', '\\\\\\\\$1'))",
     # DuckDB starts_with(a, b) == Spark startswith(a, b)
     "CREATE OR REPLACE TEMPORARY FUNCTION starts_with(a STRING, b STRING) "
     "RETURNS BOOLEAN RETURN startswith(a, b)",

@@ -65,10 +65,17 @@ def quality_weighted_dedup(
     (default: the same column) is what ``bytes_dropped`` sums — pass
     both when the quality score isn't a byte count (e.g. rank by a
     classifier score, account savings in n_chars). ``kept_quality``
-    is returned in the quality column's own type. NULL quality never
-    wins the argmax (ordered as -Infinity, reported NULL if an
-    all-NULL cluster is kept); NULL sizes count 0 toward the savings
-    rather than poisoning the sum.
+    is returned in the quality column's own type. NULL and NaN
+    quality never win the argmax (both ordered as -Infinity — Spark
+    struct ordering otherwise sorts NaN GREATER than every real
+    number, so one degenerate classifier score would always beat
+    every finite one; r7 ADVICE); an all-NULL/NaN cluster falls back
+    to the lowest-id member. NULL sizes count 0 toward the savings
+    rather than poisoning the sum. Precision caveat: integral
+    qualities with magnitude above 2^53 lose exactness in the
+    double-ordered ranking key (adjacent longs compare equal and the
+    tie resolves by lowest id); ``kept_quality`` itself is still
+    reported exact from the native column.
 
     Scale shape: one keyed aggregation on the normalized text. The
     argmax is a single ``max(struct(quality, -id, id, ...))`` — partial-
@@ -79,8 +86,12 @@ def quality_weighted_dedup(
     key = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     q = F.col(quality_col)
     size = F.coalesce(F.col(size_col or quality_col).cast("long"), F.lit(0))
+    qd = q.cast("double")
+    # NULL *and* NaN rank as -Infinity: NaN would otherwise sort above
+    # every real number in struct ordering and always win the argmax
+    q_ord = F.when(qd.isNull() | F.isnan(qd), F.lit(float("-inf"))).otherwise(qd)
     best = F.struct(
-        F.coalesce(q.cast("double"), F.lit(float("-inf"))).alias("q_ord"),
+        q_ord.alias("q_ord"),
         (-F.col(id_col)).alias("negid"),
         F.col(id_col).alias("id"),
         q.alias("q"),

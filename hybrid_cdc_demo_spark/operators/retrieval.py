@@ -334,12 +334,19 @@ def bigram_lm_coherence(
     c(x, y incl. NULL). Both count models therefore come from ONE
     explode pass (map-side partial aggregation collapses the shuffle
     to vocabulary size); the scoring leg is the only other corpus
-    pass — the same pair explode broadcast-joined against the
+    pass — the same pair explode equi-joined against the
     integer-weight table and SUMMED per doc, whole-stage-codegen end
     to end (no higher-order-function fold, no object aggregation).
-    Two corpus passes total, both linear in corpus tokens; everything
-    between them is vocabulary-sized. Docs with < 2 tokens report 0
-    transitions and NULL coherence.
+    Two corpus passes total, both linear in corpus tokens. NOTE the
+    weight table is DISTINCT-BIGRAM-sized — it grows with the corpus
+    (≈ linearly until the type inventory saturates), NOT
+    unigram-vocabulary-sized — so the scoring join strategy is left
+    to AQE's size-based runtime decision rather than a forced
+    ``F.broadcast`` hint: at bench scale AQE broadcasts it (measured
+    table size < autoBroadcastJoinThreshold), at 100 TB it degrades
+    gracefully to a keyed shuffle join instead of OOMing the driver
+    trying to broadcast a billion-row model. Docs with < 2 tokens
+    report 0 transitions and NULL coherence.
     """
     from hybrid_cdc_demo_spark.functions.text import words_lower
 
@@ -381,12 +388,14 @@ def bigram_lm_coherence(
             F.expr("(_c * CAST(1048576 AS BIGINT)) div c_x").alias("w_q20"),
         )
     )
-    # scoring pass: per-doc transitions against the broadcast integer
-    # weights — a plain partial-aggregable SUM, order-independent
+    # scoring pass: per-doc transitions against the integer weights —
+    # a plain partial-aggregable SUM, order-independent. No broadcast
+    # hint: the weight table scales with distinct bigrams, so AQE
+    # picks broadcast-vs-shuffle from the MEASURED size at runtime.
     agg = (
         pair_explode(w)
         .filter(F.col("y").isNotNull())
-        .join(F.broadcast(wtab), ["x", "y"])
+        .join(wtab, ["x", "y"])
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_transitions"),

@@ -359,15 +359,34 @@ def nested_double_lit(rows: list[list[float]]) -> F.Column:
     and parsed JVM-side in a single call; repr() emits the shortest
     round-tripping decimal and Spark's double-literal parse is
     correctly rounded, so the values are BITWISE identical to the
-    F.lit form (pinned in tests/test_round7_hardening.py)."""
+    F.lit form (pinned in tests/test_round8_hardening.py, above and
+    below the 256-element switch, incl. -0.0 and subnormals).
+    Non-finite values (inf/-inf/NaN) are rendered as explicit DOUBLE
+    casts — repr() would yield 'infD'/'nanD' which the SQL parser
+    rejects. Centroid tables are finite by construction, but the
+    builder must not emit unparseable SQL for any float input."""
     n = sum(len(r) for r in rows)
     if n <= 256:
         return F.lit([[float(x) for x in r] for r in rows])
     body = ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in r) + ")"
+        "array(" + ",".join(_double_sql(float(x)) for x in r) + ")"
         for r in rows
     )
     return F.expr(f"array({body})")
+
+
+def _double_sql(x: float) -> str:
+    """One double as Spark SQL text, bitwise-parse-exact vs F.lit(x):
+    shortest-repr 'D' literal for finite values (incl. -0.0 and
+    subnormals — Spark's literal parse is correctly rounded), explicit
+    casts for the three non-finite values repr() can't express."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
 
 
 def cell_assign_expr(centers: list[list[float]], vec="_v") -> F.Column:

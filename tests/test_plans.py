@@ -474,11 +474,15 @@ def test_unigram_likelihood_tf_collapse_shape(spark):
 def test_lm_coherence_two_explodes_no_object_agg(spark):
     """The r7 Q20 rewrite's shape: the corpus token stream is exploded
     exactly TWICE (one model pass — unigram counts roll up from the
-    bigram+successor counts — and one scoring pass), the scoring join
-    is broadcast, and the per-doc reduction is a plain integer SUM —
-    no collect_list/ObjectHashAggregate (the r6 sorted-fold needed an
-    unbounded per-doc array) and no per-row higher-order-function
-    fold."""
+    bigram+successor counts — and one scoring pass), and the per-doc
+    reduction is a plain integer SUM — no collect_list/
+    ObjectHashAggregate (the r6 sorted-fold needed an unbounded
+    per-doc array) and no per-row higher-order-function fold. The
+    scoring join carries NO F.broadcast hint (the weight table is
+    distinct-bigram-sized, i.e. corpus-scaling — r7 ADVICE); at this
+    SF the measured size is tiny so AQE must still pick a broadcast
+    join AT RUNTIME, which this pin checks (strategy chosen by size,
+    not forced)."""
     df = QUERIES["ns_lm_coherence"](spark, SF)
     df.collect()  # AQE decides join strategies on execution
     plan = plan_of(df)
@@ -487,6 +491,12 @@ def test_lm_coherence_two_explodes_no_object_agg(spark):
     assert "collect_list" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # the hint must not come back: the LOGICAL plan (pre-AQE) must not
+    # contain a broadcast hint on the scoring join
+    from hybrid_cdc_demo_spark.plans.catalog import QUERIES as _Q
+
+    logical = _Q["ns_lm_coherence"](spark, SF)._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
 
 
 def test_batch_topk_uses_window_group_limit(spark):
