@@ -354,6 +354,8 @@ def pq_train(
     exact_fold: bool = False,
     seed_by: str = "hash",
     partitions: int | None = None,
+    mode: str = "dist",
+    max_driver_sample: int = 200_000,
 ) -> list[tuple[list[list[float]], list[int]]]:
     """Product-quantization codebooks (Jégou et al. 2011): split the
     vector into ``m`` contiguous subspaces and train an independent
@@ -370,10 +372,39 @@ def pq_train(
     ``exact_fold=True`` makes the centroid update a per-(subspace,
     cluster) sorted strict left fold — bitwise-reproducible against
     DuckDB per subspace (ns_pq_encode's generated oracle).
+
+    ``mode="driver"`` trains on the COLLECTED sample in plain Python —
+    the FAISS production shape (ProductQuantizer::train runs on an
+    in-memory sampled subset; only encode/search are distributed).
+    The math is the exact_fold semantics verbatim (same left-fold
+    distance, same first-minimum tie rule, same vec_id-sorted strict
+    centroid fold — Python floats and JVM doubles are both IEEE-754
+    binary64 evaluated in the same order, so codebooks are BITWISE
+    identical to mode="dist"; pinned in tests/test_pq.py). Why it
+    exists: the distributed Lloyd loop schedules one pass per
+    iteration, and on a bounded sample (500 rows here; ~10^5-10^6 in
+    production) per-job scheduling latency dominates arithmetic by
+    100×. The collect is bounded by contract — ``max_driver_sample``
+    raises rather than silently pulling an unbounded frame onto the
+    driver. At 100 TB the flow is the same: sample a bounded training
+    set, train driver-side, broadcast the model-sized codebooks into
+    the map-only encode.
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
+    if mode == "driver":
+        if not exact_fold:
+            raise ValueError(
+                "pq_train(mode='driver') implements the exact-fold update "
+                "only — the distributed avg path's partial-aggregation "
+                "order cannot be reproduced driver-side"
+            )
+        return _pq_train_driver(
+            df, dim, m, k, id_col, vec_col, iters, seed_by, max_driver_sample
+        )
+    if mode != "dist":
+        raise ValueError(f"pq_train: unknown mode {mode!r}")
     base = df.repartition(partitions) if partitions else spread(df)
     data = base.select(
         F.col(id_col), _as_double_array(vec_col).alias("_v")
@@ -445,6 +476,85 @@ def pq_train(
         return [(books[s], ids[s]) for s in range(m)]
     finally:
         data.unpersist()
+
+
+def _pq_train_driver(
+    df: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    iters: int,
+    seed_by: str,
+    max_driver_sample: int,
+) -> list[tuple[list[list[float]], list[int]]]:
+    """pq_train's exact-fold Lloyd loop on the collected bounded
+    sample (see pq_train mode='driver'). Each arithmetic step mirrors
+    the expression path operation-for-operation:
+
+    - distance: strict left fold ``acc = acc + (a-b)*(a-b)`` in dim
+      order (cell_assign_expr's aggregate/zip_with fold);
+    - argmin: first strict minimum in current-centroid order
+      (array_position-of-array_min keeps the FIRST equal element);
+    - update: members sorted by id, per-dim strict left-fold sum,
+      one division by n (the array_sort/collect_list/aggregate
+      pipeline of the exact_fold branch);
+    - empty clusters dropped, surviving original ids kept.
+    """
+    sub = dim // m
+    data = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    rows = data.collect()
+    if len(rows) > max_driver_sample:
+        raise ValueError(
+            f"pq_train(mode='driver'): sample has {len(rows)} rows, over "
+            f"the {max_driver_sample} driver-side bound — pass a bounded "
+            "training sample (or raise max_driver_sample deliberately)"
+        )
+    sample = sorted(
+        ((r[0], [float(x) for x in r[1]]) for r in rows), key=lambda t: t[0]
+    )
+    if seed_by == "hash":
+        # xxhash64 ordering is JVM-side; one k-row job, same as "dist"
+        seed_rows = [
+            list(r["_v"])
+            for r in data.orderBy(F.xxhash64(F.col(id_col) + 42))
+            .limit(k)
+            .collect()
+        ]
+    else:
+        seed_rows = [v for _, v in sample[:k]]
+    books = [[v[s * sub : (s + 1) * sub] for v in seed_rows] for s in range(m)]
+    ids: list[list[int]] = [list(range(len(books[s]))) for s in range(m)]
+    subvecs = [
+        [(i, v[s * sub : (s + 1) * sub]) for i, v in sample] for s in range(m)
+    ]
+    for _ in range(max(iters, 0)):
+        for s in range(m):
+            centers = books[s]
+            groups: dict[int, list[list[float]]] = {}
+            for _i, sv in subvecs[s]:  # already id-sorted
+                best_pos, best_d = 0, None
+                for j, c in enumerate(centers):
+                    acc = 0.0
+                    for a, b in zip(sv, c):
+                        acc = acc + (a - b) * (a - b)
+                    if best_d is None or acc < best_d:
+                        best_d, best_pos = acc, j
+                groups.setdefault(ids[s][best_pos], []).append(sv)
+            new_ids, new_books = [], []
+            for cid in ids[s]:
+                members = groups.get(cid)
+                if not members:
+                    continue  # empty cluster dropped (oracle policy)
+                acc = [0.0] * sub
+                for e in members:
+                    acc = [a + b for a, b in zip(acc, e)]
+                n = float(len(members))
+                new_ids.append(cid)
+                new_books.append([x / n for x in acc])
+            ids[s], books[s] = new_ids, new_books
+    return [(books[s], ids[s]) for s in range(m)]
 
 
 def pq_encode(

@@ -1079,26 +1079,37 @@ def s7(spark, sf_dir):
     """Batch replay of the stream-stream interval join (windows.
     interval_join): pairs of events from the same user within 5
     minutes. In streaming form both sides carry watermarks so state
-    stays bounded; the batch form is the verifiable equivalent."""
+    stays bounded; the batch form is the verifiable equivalent.
+
+    r8 plan: keyed_interval_join — equi-join on (user, 5-minute time
+    bucket) instead of user alone. The round-8 skew corpus (one user =
+    50% of events) made the plain keyed join a single quadratic task
+    (7.1× runtime blowup, SKEW_r08.json); bucketing splits the hot
+    user across its time range, bounding each task by events-per-
+    (user, window). Identical output (bucket candidates are exact
+    integer arithmetic; oracle hash unchanged)."""
+    from hybrid_cdc_demo_spark.operators.rangejoin import (
+        keyed_interval_join,
+        ntz_micros,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     a = ev.select(
         F.col("event_id").alias("left_id"),
         F.col("user_id").alias("u"),
-        F.col("ts").alias("a_ts"),
+        ntz_micros("ts").alias("a_us"),
     )
     b = ev.select(
         F.col("event_id").alias("right_id"),
         F.col("user_id").alias("u2"),
-        F.col("ts").alias("b_ts"),
+        ntz_micros("ts").alias("b_us"),
     )
     return (
-        a.join(
-            b,
-            (a.u == b.u2)
-            & (b.b_ts >= a.a_ts)
-            & (b.b_ts <= a.a_ts + F.expr("INTERVAL 5 minutes"))
-            & (F.col("left_id") != F.col("right_id")),
+        keyed_interval_join(
+            a, b, on=[("u", "u2")], left_us="a_us", right_us="b_us",
+            upper_us=300_000_000,
         )
+        .filter(F.col("left_id") != F.col("right_id"))
         .select("left_id", "right_id")
         .orderBy("left_id", "right_id")
     )
@@ -1684,29 +1695,42 @@ def s9(spark, sf_dir):
     same-user events in the next 5 minutes or null if none — the
     missing-follow-up detection shape. In streaming form the outer row
     emits once the watermark passes; this batch form is the verifiable
-    equivalent (same join condition, same schema)."""
+    equivalent (same join condition, same schema).
+
+    r8 plan: the outer is composed as the bucketized INNER
+    keyed_interval_join (see s7 — skew-immune hash join on (user,
+    time bucket)) plus an anti-join adding the never-matched left
+    events with a null partner; exploding the outer's left side
+    directly would null-extend each unmatched candidate bucket twice."""
+    from hybrid_cdc_demo_spark.operators.rangejoin import (
+        keyed_interval_join,
+        ntz_micros,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     a = ev.select(
         F.col("event_id").alias("left_id"),
         F.col("user_id").alias("u"),
-        F.col("ts").alias("a_ts"),
+        ntz_micros("ts").alias("a_us"),
     )
     b = ev.select(
         F.col("event_id").alias("right_id"),
         F.col("user_id").alias("u2"),
-        F.col("ts").alias("b_ts"),
+        ntz_micros("ts").alias("b_us"),
     )
-    return (
-        a.join(
-            b,
-            (a.u == b.u2)
-            & (b.b_ts >= a.a_ts)
-            & (b.b_ts <= a.a_ts + F.expr("INTERVAL 5 minutes"))
-            & (F.col("left_id") != F.col("right_id")),
-            "left",
+    matched = (
+        keyed_interval_join(
+            a, b, on=[("u", "u2")], left_us="a_us", right_us="b_us",
+            upper_us=300_000_000,
         )
+        .filter(F.col("left_id") != F.col("right_id"))
         .select("left_id", "right_id")
-        .orderBy("left_id", F.col("right_id").asc_nulls_first())
+    )
+    unmatched = a.join(
+        matched.select("left_id").distinct(), "left_id", "left_anti"
+    ).select("left_id", F.lit(None).cast("long").alias("right_id"))
+    return matched.unionByName(unmatched).orderBy(
+        "left_id", F.col("right_id").asc_nulls_first()
     )
 
 

@@ -434,14 +434,18 @@ def ns_pq_encode(spark, sf_dir):
     bytes, the compression that makes billion-vector ANN feasible.
     Codes are integers (zero FP surface in the result); the oracle
     replays all four training chains in generated SQL, so the hash
-    match certifies the entire train->encode pipeline per subspace."""
+    match certifies the entire train->encode pipeline per subspace.
+    Training runs mode="driver" (r8): the bounded sample collects once
+    and the exact-fold Lloyd loop runs in plain Python — the FAISS
+    train-on-sample shape, bitwise-identical codebooks (pinned in
+    test_pq.py), ~5 scheduled jobs fewer per call."""
     from hybrid_cdc_demo_spark.operators.clustering import pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") < 500)
     books = pq_train(
         train, dim=64, m=4, k=8, iters=2, exact_fold=True, seed_by="id",
-        partitions=4,  # 500-row sample: scheduling-bound, not compute-bound
+        mode="driver",  # bounded 500-row sample: collect once, train local
     )
     return pq_encode(emb, books, dim=64).orderBy("vec_id")
 
@@ -505,7 +509,7 @@ def ns_pq_adc_topk(spark, sf_dir):
     train = emb.filter(F.col("vec_id") < 500)
     books = pq_train(
         train, dim=64, m=4, k=8, iters=2, exact_fold=True, seed_by="id",
-        partitions=4,
+        mode="driver",  # bounded sample — see ns_pq_encode
     )
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     query_vec = [float(x) for x in qrow["embedding"]]

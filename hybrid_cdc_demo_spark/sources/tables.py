@@ -29,6 +29,22 @@ TABLES = [
 ]
 
 
+#: Fault-injection seam for the task-retry determinism audit
+#: (tools/retry_audit.py): when set, every loaded table is passed
+#: through ``hook(df, name) -> df`` before being handed to a query
+#: builder — the audit wraps tables in a mapInPandas stage that fails
+#: its first attempt so Spark's task retry re-executes the downstream
+#: operators, proving their results don't depend on attempt history.
+#: None in production; never set by library code.
+_POST_LOAD_HOOK = None
+
+
+def set_post_load_hook(hook) -> None:
+    """Install (or clear, with None) the audit-only post-load hook."""
+    global _POST_LOAD_HOOK
+    _POST_LOAD_HOOK = hook
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing the events ns-timestamp."""
     if name == "events":
@@ -39,6 +55,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    if _POST_LOAD_HOOK is not None:
+        df = _POST_LOAD_HOOK(df, name)
     return df
 
 

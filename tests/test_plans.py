@@ -731,3 +731,22 @@ def test_weighted_sample_is_heap_topk_no_global_sort(spark):
     plan = plan_of(QUERIES["ns_weighted_sample"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_interval_join_bucketized_shape(spark):
+    """s7/s9's r8 rewrite: the interval self-join must plan as a hash
+    EQUI-join whose key includes the time bucket (__ib) — one Generate
+    (the 2-candidate explode), no nested-loop/cartesian fallback, and
+    the join key carrying the bucket so a hot user's rows spread over
+    its time range instead of one quadratic task (SKEW_r08's worst
+    amplifier before the rewrite)."""
+    for name in ("s7_interval_join", "s9_interval_join_outer"):
+        df = QUERIES[name](spark, SF)
+        df.collect()  # AQE finalizes join strategies
+        # AQE's toString appends the pre-execution "Initial Plan" —
+        # pin only the final section
+        plan = plan_of(df).split("== Initial Plan ==")[0]
+        assert plan.count("Generate") == 1, name
+        assert "__ib" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name

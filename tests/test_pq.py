@@ -644,3 +644,72 @@ class TestBinaryPersistedAndRescore:
         for r in res_rows:  # rescore stage is exact cosine
             if r["vec_id"] in truth:
                 assert r["score"] == truth[r["vec_id"]]
+
+
+class TestDriverTrainParity:
+    """pq_train(mode='driver') must be BITWISE identical to the
+    distributed exact-fold path — same codebooks (struct-packed double
+    comparison, not approximate), same surviving cluster ids — on
+    random data, planted clusters (empty-cluster drops exercised), and
+    both seeding strategies."""
+
+    def _books_bits(self, books):
+        import struct
+
+        return [
+            ([tuple(struct.pack(">d", x) for x in c) for c in centers], ids)
+            for centers, ids in books
+        ]
+
+    def test_bitwise_parity_random(self, spark):
+        from hybrid_cdc_demo_spark.operators.clustering import pq_train
+
+        rng = random.Random(88)
+        vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(150)]
+        df = _emb(spark, vecs)
+        dist = pq_train(df, dim=16, m=4, k=6, iters=3, exact_fold=True,
+                        seed_by="id")
+        drv = pq_train(df, dim=16, m=4, k=6, iters=3, exact_fold=True,
+                       seed_by="id", mode="driver")
+        assert self._books_bits(drv) == self._books_bits(dist)
+
+    def test_bitwise_parity_planted_with_drops(self, spark):
+        from hybrid_cdc_demo_spark.operators.clustering import pq_train
+
+        # only 3 DISTINCT vectors: the 8 id-ordered seeds contain
+        # duplicates, every row lands on the FIRST of each duplicate
+        # set (first-minimum rule) and the later seeds go empty — the
+        # drop policy must match too
+        anchors = [[float(g + j) for j in range(8)] for g in range(3)]
+        vecs = [anchors[i % 3] for i in range(90)]
+        df = _emb(spark, vecs)
+        dist = pq_train(df, dim=8, m=2, k=8, iters=2, exact_fold=True,
+                        seed_by="id")
+        drv = pq_train(df, dim=8, m=2, k=8, iters=2, exact_fold=True,
+                       seed_by="id", mode="driver")
+        assert self._books_bits(drv) == self._books_bits(dist)
+        assert any(len(ids) < 8 for _, ids in drv)  # drops actually happened
+
+    def test_bitwise_parity_hash_seed(self, spark):
+        from hybrid_cdc_demo_spark.operators.clustering import pq_train
+
+        rng = random.Random(9)
+        vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(60)]
+        df = _emb(spark, vecs)
+        dist = pq_train(df, dim=8, m=2, k=4, iters=2, exact_fold=True,
+                        seed_by="hash")
+        drv = pq_train(df, dim=8, m=2, k=4, iters=2, exact_fold=True,
+                       seed_by="hash", mode="driver")
+        assert self._books_bits(drv) == self._books_bits(dist)
+
+    def test_driver_mode_guards(self, spark):
+        import pytest
+
+        from hybrid_cdc_demo_spark.operators.clustering import pq_train
+
+        df = _emb(spark, [[0.0] * 8] * 10)
+        with pytest.raises(ValueError, match="exact-fold"):
+            pq_train(df, dim=8, m=2, k=2, mode="driver")
+        with pytest.raises(ValueError, match="driver-side bound"):
+            pq_train(df, dim=8, m=2, k=2, exact_fold=True, mode="driver",
+                     max_driver_sample=5)

@@ -706,6 +706,8 @@ PLAN_SIG_EXEMPT = {
     "q53_unpivot": "builder uses the Expand-based unpivot operator; SQL's UNPIVOT plans as a union",
     "q62_ordered_string_agg": "collect_set+array_sort (1 exchange) vs SQL DISTINCT aggregate (2)",
     "s3_session_window": "builder uses the session_window builtin; SQL emulates with gap windows",
+    "s7_interval_join": "oracle states the plain key+range-predicate join; builder is the skew-immune (key, time-bucket) equi-join rewrite (keyed_interval_join, r8 — SKEW_r08's worst amplifier)",
+    "s9_interval_join_outer": "oracle is a direct LEFT OUTER interval join; builder composes the bucketized inner keyed_interval_join with an anti-join for the null-extended rows",
 }
 
 #: ns_ pairs whose SQL text and builder legitimately compile to

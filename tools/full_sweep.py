@@ -45,17 +45,31 @@ TABLES = [
 ]
 
 
+def _tupled(v):
+    """Array-typed cells as nested tuples: Spark's toPandas yields
+    numpy.ndarray (unhashable, breaks sort_values) where DuckDB yields
+    list — tuples sort and compare uniformly for both."""
+    if hasattr(v, "tolist"):
+        v = v.tolist()
+    if isinstance(v, list):
+        return tuple(_tupled(x) for x in v)
+    return v
+
+
 def norm(pdf):
+    import numpy as np
     import pandas as pd
 
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     for c in pdf.columns:
         if pd.api.types.is_datetime64_any_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("datetime64[us]")
-        elif pdf[c].dtype == object and len(pdf[c].dropna()) and isinstance(
-            pdf[c].dropna().iloc[0], (datetime.date, datetime.datetime)
-        ):
-            pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+        elif pdf[c].dtype == object and len(pdf[c].dropna()):
+            head = pdf[c].dropna().iloc[0]
+            if isinstance(head, (datetime.date, datetime.datetime)):
+                pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+            elif isinstance(head, (np.ndarray, list, tuple)):
+                pdf[c] = pdf[c].map(_tupled)
     return pdf.sort_values(list(pdf.columns), na_position="first").reset_index(
         drop=True
     )
