@@ -53,3 +53,8 @@ def test_retry_slice_deterministic(tmp_path):
     assert doc["summary"]["total_injected_failures"] >= len(SLICE)
     for q in SLICE:
         assert doc["queries"][q]["match"], q
+    # exactly-once through the partition-scope JDBC sink under task
+    # retry: pre-commit failure (rollback + retry) and post-commit
+    # crash (idempotent re-application) both converge to ground truth
+    for k, v in doc["sink_scenarios"].items():
+        assert v["match"], (k, v)

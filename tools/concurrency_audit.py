@@ -32,6 +32,8 @@ serial-vs-concurrent wall-clock ratio. Usage:
 Env:
     CONC_SF_DIR   parquet dir (default /root/testdata/sf0.01)
     CONC_THREADS  worker threads (default 8)
+    CONC_QUERIES  comma-separated subset (default: all) — used by
+                  tests/test_concurrency_audit.py for a fast slice
 """
 
 from __future__ import annotations
@@ -65,6 +67,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry.queries()
+    only = os.environ.get("CONC_QUERIES")
+    if only:
+        wanted = {q.strip() for q in only.split(",") if q.strip()}
+        missing = wanted - set(queries)
+        if missing:
+            raise SystemExit(f"unknown CONC_QUERIES: {sorted(missing)}")
+        queries = {q: queries[q] for q in wanted}
     names = sorted(queries)
 
     # --- serial pass -----------------------------------------------------

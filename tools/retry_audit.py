@@ -92,6 +92,127 @@ def make_chaos_hook(marker_dir: str):
     return hook
 
 
+def make_chaos_conn_factory(db_path: str, mode: str):
+    """sqlite connection factory whose FIRST-attempt partition-0
+    connection sabotages the commit: mode='pre' fails INSTEAD of
+    committing (transaction rolls back, retry applies from scratch),
+    mode='post' commits THEN dies (the worst case — the retried task
+    re-applies rows already committed, which only keyed-idempotent
+    statements absorb). Closure is cloudpickle-shipped by value, like
+    the production factories."""
+
+    def factory():
+        import sqlite3
+
+        from pyspark import TaskContext
+
+        conn = sqlite3.connect(db_path, timeout=30)
+        tc = TaskContext.get()
+        if not (
+            tc is not None
+            and tc.partitionId() == 0
+            and tc.attemptNumber() == 0
+        ):
+            return conn
+
+        class Sabotaged:
+            def __init__(self, c):
+                self._c = c
+
+            def cursor(self):
+                return self._c.cursor()
+
+            def commit(self):
+                if mode == "pre":
+                    self._c.rollback()
+                    raise RuntimeError("retry-audit: pre-commit failure")
+                self._c.commit()
+                raise RuntimeError("retry-audit: post-commit crash")
+
+            def rollback(self):
+                self._c.rollback()
+
+            def close(self):
+                self._c.close()
+
+        return Sabotaged(conn)
+
+    return factory
+
+
+def run_sink_scenarios(spark) -> dict:
+    """Exactly-once under TASK retry for the partition-scope JDBC
+    upsert sink: the batch-replay ledger tests (test_jdbc_sink) cover
+    driver-level crashes; this covers the executor-level ones. For
+    both failure points the final table must equal the clean-run
+    ground truth and the offset ledger must hold exactly one row for
+    the batch."""
+    import sqlite3
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from hybrid_cdc_demo_spark.streaming.jdbc import JdbcUpsertSink
+
+    rows = [
+        Row(
+            event_type="INSERT" if i % 7 else "DELETE",
+            timestamp_micros=1_700_000_000_000_000 + i,
+            user_id=i % 40,
+            email=f"u{i}@example.com",
+        )
+        for i in range(200)
+    ]
+    from hybrid_cdc_demo_spark.streaming.jdbc import OFFSET_TABLE_DDL
+
+    def run(mode: str | None) -> tuple[list, list]:
+        db = tempfile.mktemp(prefix=f"retry_sink_{mode}_", suffix=".db")
+        conn = sqlite3.connect(db)
+        conn.execute(
+            "CREATE TABLE users (user_id INTEGER PRIMARY KEY, email TEXT)"
+        )
+        conn.executescript(OFFSET_TABLE_DDL)
+        conn.commit()
+        conn.close()
+        if mode is None:
+
+            def factory(path=db):
+                import sqlite3 as _s
+
+                return _s.connect(path, timeout=30)
+
+        else:
+            factory = make_chaos_conn_factory(db, mode)
+        sink = JdbcUpsertSink(
+            factory, "users", ["user_id", "email"], ["user_id"],
+            txn_scope="partition",
+        )
+        batch = spark.createDataFrame(rows).repartition(2)
+        sink.write_batch(batch, batch_id=7)
+        conn = sqlite3.connect(db)
+        try:
+            data = conn.execute(
+                "SELECT user_id, email FROM users ORDER BY user_id"
+            ).fetchall()
+            offsets = conn.execute(
+                "SELECT batch_id, events_replicated_count FROM cdc_offsets"
+            ).fetchall()
+        finally:
+            conn.close()
+        return data, offsets
+
+    truth, truth_off = run(None)
+    out = {}
+    for mode in ("pre", "post"):
+        data, offsets = run(mode)
+        out[f"sink_commit_{mode}_failure"] = {
+            "match": data == truth and offsets == truth_off,
+            "rows": len(data),
+            "offset_rows": offsets,
+        }
+    return out
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "RETRY_r08.json"
     sf_dir = os.environ.get("RETRY_SF_DIR", "/root/testdata/sf0.01")
@@ -168,11 +289,18 @@ def main() -> None:
             flush=True,
         )
 
-    mismatches = [q for q, r in results.items() if not r.get("match")]
+    sink_scenarios = run_sink_scenarios(spark)
+    for k, v in sink_scenarios.items():
+        print(f"{k}: {'ok' if v['match'] else 'FAIL'}", flush=True)
+
+    mismatches = [q for q, r in results.items() if not r.get("match")] + [
+        k for k, v in sink_scenarios.items() if not v["match"]
+    ]
     zero_injection = [
         q for q, r in results.items() if r.get("injected_failures") == 0
     ]
     doc = {
+        "sink_scenarios": sink_scenarios,
         "summary": {
             "queries": len(results),
             "mismatches": len(mismatches),
