@@ -158,13 +158,31 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("full-sweep")
-        .getOrCreate()
     )
+    # PLAN-STABILITY MODE: SWEEP_SPARK_CONF="k=v,k=v" forces hostile
+    # runtime-planning configs (AQE off, adversarial shuffle-partition
+    # counts) so the sweep can certify that answers do not depend on
+    # the physical plan Spark happens to pick — the determinism class
+    # the retry/skew/concurrency audits don't cover.
+    conf_overrides = {}
+    for pair in filter(None, os.environ.get("SWEEP_SPARK_CONF", "").split(",")):
+        k, _, v = pair.partition("=")
+        conf_overrides[k.strip()] = v.strip()
+        builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    subset = [
+        n for n in os.environ.get("SWEEP_QUERIES", "").split(",") if n
+    ]
+    if subset:
+        unknown = sorted(set(subset) - set(osql))
+        if unknown:
+            raise SystemExit(f"unknown/no-oracle queries: {unknown}")
+        osql = {n: osql[n] for n in subset}
     available = {
         t for t in TABLES if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
     }
@@ -226,6 +244,7 @@ def main() -> None:
     doc = {
         "_summary": {
             "sf_dir": sf_dir,
+            **({"spark_conf_overrides": conf_overrides} if conf_overrides else {}),
             "oracle_queries": len(osql),
             "registered_queries": len(qs),
             "checked": len(results),
