@@ -33,6 +33,14 @@ Env:
     SPILL_SF_DIR   parquet dir (default /root/repo/.scaling/sf1;
                    derive it with tools/expand_testdata.py --sfs 1)
     SPILL_CPUS     local cores (default 16)
+    SPILL_MEM_GB   JVM heap in GiB (default = SPILL_CPUS, i.e. 1 GiB
+                   per core — the conservative end of real executor
+                   sizing; the audit's zero-spill claim is always
+                   relative to this explicit per-core budget. The
+                   first sf10 run used the pyspark default ~1 GiB
+                   TOTAL across 16 threads — 64 MiB/task — and
+                   produced a graceful spill plus one GC-death, both
+                   artifacts of a budget no cluster would run)
     SPILL_QUERIES  comma-separated subset (default: the heavy tier)
     SPILL_UI_PORT  Spark UI port for the REST reads (default 4049)
 """
@@ -112,6 +120,7 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SPILL.json"
     sf_dir = os.environ.get("SPILL_SF_DIR", "/root/repo/.scaling/sf1")
     cpus = int(os.environ.get("SPILL_CPUS", "16"))
+    mem_gb = int(os.environ.get("SPILL_MEM_GB", str(cpus)))
     port = int(os.environ.get("SPILL_UI_PORT", "4049"))
     names = [
         n for n in os.environ.get("SPILL_QUERIES", ",".join(HEAVY)).split(",")
@@ -131,6 +140,7 @@ def main() -> None:
         .appName("spill-audit")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(port))
+        .config("spark.driver.memory", f"{mem_gb}g")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
@@ -189,6 +199,7 @@ def main() -> None:
         "_summary": {
             "sf_dir": sf_dir,
             "cpus": cpus,
+            "mem_gb": mem_gb,
             "shuffle_partitions": 32,
             "queries": len(names),
             "errors": sorted(
