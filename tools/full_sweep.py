@@ -183,6 +183,16 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown/no-oracle queries: {unknown}")
         osql = {n: osql[n] for n in subset}
+    # NO SILENT CAPS: queries excluded because the DUCKDB side of the
+    # pair is intractable at the target SF (never because the engine
+    # side is) are recorded in _skipped with their stated reason.
+    # Format: SWEEP_EXCLUDE="name:reason;name:reason"
+    excluded: dict[str, str] = {}
+    for item in filter(None, os.environ.get("SWEEP_EXCLUDE", "").split(";")):
+        name, _, reason = item.partition(":")
+        if name.strip() in osql:
+            excluded[name.strip()] = reason.strip() or "excluded"
+            del osql[name.strip()]
     available = {
         t for t in TABLES if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
     }
@@ -193,7 +203,7 @@ def main() -> None:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     results: dict[str, dict] = {}
-    skipped: dict[str, str] = {}
+    skipped: dict[str, str] = dict(excluded)
     bad = 0
     for name in sorted(osql):
         missing = tables_referenced(osql[name]) - available
@@ -248,7 +258,10 @@ def main() -> None:
             "oracle_queries": len(osql),
             "registered_queries": len(qs),
             "checked": len(results),
-            "skipped_missing_tables": len(skipped),
+            "skipped_missing_tables": len(skipped) - len(excluded),
+            **(
+                {"excluded_with_reason": len(excluded)} if excluded else {}
+            ),
             "mismatches": bad,
         },
         **({"_assignment_paths": assign_check} if assign_check else {}),
