@@ -135,6 +135,30 @@ def run_queries(
     return medians, mins, all_reps
 
 
+def calibration_probe(spark, reps: int = 3) -> float:
+    """Fixed-workload session-noise probe (VERDICT r8 #3): the q03
+    scan-agg at sf0.001, materialized ``reps`` times, median reported.
+
+    The probe's code path never changes round-over-round, so its
+    drift IS the shared-sandbox session band: r8's driver bench moved
+    a median 1.44× on completely untouched queries while the sweep
+    harness run on the same two code states moved 1.00× — without a
+    calibration number in the artifact, that forensic cross-check had
+    to be redone by hand. Interpretation rule (PERF.md): a per-query
+    delta is only attributable to code when it clearly exceeds the
+    calibration drift between the rounds being compared."""
+    from hybrid_cdc_demo_spark.plans import QUERIES
+
+    q = QUERIES["q03_agg_tpch_q1"]
+    materialize(q(spark, "/root/testdata/sf0.001"))  # untimed warm
+    samples = []
+    for _ in range(reps):
+        start = time.perf_counter()
+        materialize(q(spark, "/root/testdata/sf0.001"))
+        samples.append(time.perf_counter() - start)
+    return round(statistics.median(samples), 4)
+
+
 def run_streaming_bench(
     spark, runs: int = 3, n_events: int = 50000
 ) -> dict[str, float]:
@@ -371,10 +395,27 @@ def main() -> None:
     # workloads exactly as a real deployment does (the pipeline owns
     # its driver). The batch inventory is throughput-oriented and
     # insensitive to ordering.
+    calibration_pre = calibration_probe(spark)
     streaming = run_streaming_bench(spark)
+    # The p99 target (BASELINE.md row 3: < 1,000 ms) must hold on the
+    # WORST of the three replays, not a lucky draw (VERDICT r8 #1). A
+    # breach is loud in both the artifact and stderr; the calibration
+    # numbers say whether the session itself was degraded.
+    streaming["streaming_p99_target_met"] = all(
+        p < 1.0 for p in streaming["streaming_p99_runs"]
+    )
+    if not streaming["streaming_p99_target_met"]:
+        print(
+            "# WARNING: streaming p99 target breached on at least one "
+            f"replay: {streaming['streaming_p99_runs']} (target < 1.0 s "
+            "on every run) — check calibration_*_sec for session noise",
+            file=sys.stderr,
+        )
     if os.environ.get("SPARK_GRAFT_SWEEP"):
         streaming.update(run_batch_size_sweep(spark))
+    calibration_mid = calibration_probe(spark)
     medians, mins, all_reps = run_queries(spark, sf_dir)
+    calibration_post = calibration_probe(spark)
     total = round(sum(t for t in medians.values() if t >= 0), 3)
     result = {
         "metric": "total_query_sec",
@@ -386,6 +427,13 @@ def main() -> None:
         "queries": medians,
         "bench_reps": 3,
         "sf": sf,
+        # session-noise calibration (VERDICT r8 #3): the same fixed
+        # probe before the streaming leg, between the legs, and after
+        # the batch loop — round-over-round per-query deltas are
+        # interpreted RELATIVE to the drift of these three numbers
+        "calibration_pre_sec": calibration_pre,
+        "calibration_mid_sec": calibration_mid,
+        "calibration_post_sec": calibration_post,
         **streaming,
     }
     # stdout first: the result line must survive even when the artifact

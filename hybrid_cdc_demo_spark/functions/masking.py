@@ -13,8 +13,11 @@ Reference behavior reproduced (file:line cites into /root/reference):
 Spark-first design: classification happens driver-side over the
 DataFrame *schema* (cheap, no data touched); masking is injected as
 column expressions in a single Catalyst-optimized projection. SHA-256
-uses the builtin null-safe ``sha2``; HMAC has no Spark builtin ≤4.x so
-it is an Arrow-vectorized pandas_udf (the only Python in the path).
+uses the builtin null-safe ``sha2``; HMAC has no Spark builtin ≤4.x but
+RFC 2104 unrolls into two ``sha2`` calls over driver-side-padded key
+literals (``hmac_sha256_expr``), so the hot path is 100% JVM-side.
+The Arrow pandas_udf form (``hmac_sha256_udf``) remains as the declared
+§2d scalar-UDF surface and a digest cross-check.
 """
 
 from __future__ import annotations
@@ -70,11 +73,37 @@ def mask_pii(col: Column | str) -> Column:
     return F.sha2(c.cast("string"), 256)
 
 
+def hmac_sha256_expr(col: Column | str, secret_key: str = DEFAULT_SECRET_KEY) -> Column:
+    """HMAC-SHA256 as a pure builtin expression (RFC 2104 unrolled):
+
+        HMAC(K, m) = SHA256((K' ^ opad) || SHA256((K' ^ ipad) || m))
+
+    The key padding/xor happens driver-side (the key is a config
+    literal); the per-row work is two ``sha2`` calls plus ``concat`` /
+    ``unhex`` — all JVM-side inside whole-stage codegen. This keeps the
+    CDC hot path (every micro-batch masks PHI columns) free of Python
+    worker round-trips; digest parity with the stdlib ``hmac`` module
+    (and hence the reference's masking.py:151-177) is pinned by the
+    test vectors in tests/test_masking.py.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    key = secret_key.encode("utf-8")
+    if len(key) > 64:  # RFC 2104: long keys are hashed first
+        key = hashlib.sha256(key).digest()
+    key = key.ljust(64, b"\x00")
+    ipad = bytearray(b ^ 0x36 for b in key)
+    opad = bytearray(b ^ 0x5C for b in key)
+    inner = F.sha2(F.concat(F.lit(ipad), F.encode(c.cast("string"), "utf-8")), 256)
+    return F.sha2(F.concat(F.lit(opad), F.unhex(inner)), 256)
+
+
 def hmac_sha256_udf(secret_key: str):
     """Arrow-vectorized HMAC-SHA256 tokenizer (masking.py:151-177).
 
-    No Spark builtin HMAC exists; a scalar pandas_udf keeps the
-    transfer Arrow-batched rather than per-row pickled.
+    Kept as the declared scalar-pandas_udf surface (SURVEY §2d) and as
+    an executable cross-check of ``hmac_sha256_expr`` — the hot path
+    uses the builtin expression form, which stays inside whole-stage
+    codegen instead of paying an Arrow round-trip per batch.
     """
     key_bytes = secret_key.encode("utf-8")
 
@@ -90,8 +119,7 @@ def hmac_sha256_udf(secret_key: str):
 
 
 def mask_phi(col: Column | str, secret_key: str = DEFAULT_SECRET_KEY) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return hmac_sha256_udf(secret_key)(c.cast("string"))
+    return hmac_sha256_expr(col, secret_key)
 
 
 def mask_expr(name: str, rules: MaskingRules | None = None) -> Column:

@@ -62,14 +62,77 @@ def ns_graph_triangles(spark, sf_dir):
     return triangle_stats(token_edges(docs))
 
 
-@query("ns_pagerank_tokens")  # contract-pinned in tests/test_graph.py
+def _pagerank_oracle_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """GENERATED DuckDB oracle for damped PageRank: the k power-
+    iteration passes unrolled as a CTE chain (the same generated-SQL
+    trick as the PQ training oracles, VERDICT r8 #5). Every
+    elementwise operation mirrors operators/graph.py:pagerank exactly
+    — same damping literal, same dangling-mass redistribution, same
+    1/n initialization — so the only engine difference is floating
+    SUM order (ulp-level), which the 6-dp presentation rounding
+    absorbs: ranks are O(1e-2..1e-5) with accumulated order error
+    ~1e-13, six orders below the rounding quantum."""
+    d = repr(damping)
+    parts = [
+        """
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), edges AS MATERIALIZED (
+      SELECT DISTINCT w[i] AS src, w[i + 1] AS dst
+      FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+      WHERE w[i] <> w[i + 1]
+    ), nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+    ), nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS outd FROM edges GROUP BY src
+    ),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+      SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+      FROM r{i} r LEFT JOIN outdeg o ON r.node = o.src
+      WHERE o.src IS NULL
+    ), c{i} AS MATERIALIZED (
+      SELECT e.dst, SUM(r.rank / o.outd) AS cin
+      FROM edges e
+      JOIN r{i} r ON e.src = r.node
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst
+    ), r{i + 1} AS MATERIALIZED (
+      SELECT n.node,
+             (1.0 - {d}) / (SELECT n FROM nn)
+             + {d} * (COALESCE(c.cin, 0.0)
+                      + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, ROUND(rank, 6) AS rank_6dp
+    FROM r{iterations}
+    ORDER BY rank_6dp DESC, node
+    LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@query("ns_pagerank_tokens", oracle=_pagerank_oracle_sql(iterations=10))
 def ns_pagerank_tokens(spark, sf_dir):
     """Top-20 tokens by PageRank over the directed bigram graph —
     the iterative-graph workload class (join + aggregate per round,
-    lineage truncated by localCheckpoint). Float rank sums are
-    iteration-order FP, so this is contract-pinned (mass
-    conservation, hand-graph differential, top-set stability) rather
-    than hash-matched; ranks round to 6 dp for stable presentation."""
+    lineage truncated by localCheckpoint). HASH-VERIFIED against a
+    GENERATED DuckDB oracle (the 10 damped power-iteration passes
+    unrolled as CTEs — see _pagerank_oracle_sql); the 6-dp rounding
+    absorbs the ulp-level SUM-order difference between engines while
+    pinning every algorithmic choice (damping, dangling mass,
+    initialization) bit-for-bit. The differential contract tests in
+    tests/test_graph.py (mass conservation, hand-graph) remain as
+    the structural safety net."""
     docs = load_table(spark, sf_dir, "documents")
     ranks = pagerank(token_edges(docs, directed=True), iterations=10)
     top = ranks.select(

@@ -112,17 +112,45 @@ def ns_kmeans_assign(spark, sf_dir):
 
 @query(
     "ns_semantic_dedup",
+    # Assignment is TWO-STAGE so the oracle stays tractable at scale
+    # (VERDICT r8 #4: the exact-fold n x k cross join was a >2 h
+    # interpreted-lambda scan at sf3, forcing an oracle-cost
+    # exclusion): stage 1 scores every (point, centroid) pair with the
+    # NATIVE list_dot_product expansion |t|^2+|c|^2-2 t.c (vectorized
+    # C++, no lambda interpreter) and keeps candidates within 1e-6 of
+    # the per-point minimum; stage 2 re-ranks ONLY the candidates with
+    # the exact fold the Spark side uses. Completeness: the two d^2
+    # formulas agree to ~1e-12 absolute on this corpus (64 fused ops
+    # on O(1) doubles), so the exact-fold argmin always survives a
+    # 1e-6 window — the filter can only ADD near-tied candidates,
+    # which the exact re-rank then orders. The final assignment is
+    # therefore bit-identical to the pure exact-fold argmin, at
+    # n x k native dots + |candidates| interpreted folds.
     oracle=f"""
-    WITH emb AS (
+    WITH emb AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-    ), c0 AS (
+    ), c0 AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS c
       FROM emb
       QUALIFY row_number() OVER (ORDER BY vec_id)
               <= (SELECT GREATEST(8, COUNT(*) // 64) FROM emb)
-    ), a AS (
+    ), normc AS MATERIALIZED (
+      SELECT cluster, c, list_dot_product(c, c) AS nc FROM c0
+    ), normt AS MATERIALIZED (
+      SELECT vec_id, e, list_dot_product(e, e) AS nt FROM emb
+    ), cand AS MATERIALIZED (
+      SELECT vec_id, cluster
+      FROM (
+        SELECT t.vec_id, c.cluster,
+               t.nt + c.nc - 2.0 * list_dot_product(t.e, c.c) AS d2f
+        FROM normt t CROSS JOIN normc c
+      )
+      QUALIFY d2f <= MIN(d2f) OVER (PARTITION BY vec_id) + 1e-6
+    ), a AS MATERIALIZED (
       SELECT t.vec_id, t.e, CAST(c.cluster AS INT) AS cluster
-      FROM emb t CROSS JOIN c0 c
+      FROM cand z
+      JOIN emb t ON z.vec_id = t.vec_id
+      JOIN c0 c ON z.cluster = c.cluster
       QUALIFY row_number() OVER (
         PARTITION BY t.vec_id ORDER BY {_D2}, c.cluster) = 1
     )
@@ -210,16 +238,102 @@ def ns_quality_classifier(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query("ns_lr_training")  # contract-pinned in tests/test_classifier.py
+def _lr_training_oracle_sql(iters: int = 8, lr: float = 1.0) -> str:
+    """GENERATED DuckDB oracle for full-batch logistic-regression GD:
+    the ``iters`` gradient steps unrolled as a CTE chain carrying the
+    4 weights as a 1-row relation per step (the PQ generated-SQL
+    trick, VERDICT r8 #5). Feature extraction reuses the hash-verified
+    ns_quality_classifier expressions; standardization, the stable
+    cross-entropy, the sigmoid, and the update rule mirror
+    operators/classifier.py:train_logistic term-for-term. Engine
+    differences are ulp-level (SUM order; LN(1+x) vs log1p; AVG /
+    STDDEV_POP accumulation order) and the training curve rounds to 3
+    decimals, ~9 orders above the accumulated error — so the curve is
+    hash-exact while the weights themselves (never emitted) remain
+    iteration-order FP. Every CTE is MATERIALIZED: each step is
+    referenced by the next AND by the history projection, and DuckDB
+    inlining would re-evaluate the chain exponentially."""
+    L = repr(lr)
+    head = """
+    WITH feats AS MATERIALIZED (
+      SELECT LEAST(CAST(LENGTH(text) AS DOUBLE) / 200.0, 1.0) AS rf0,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+               / CAST(LENGTH(text) AS DOUBLE) AS rf1,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> list_contains(['the','a','an','and','of','in','to','is','it','that'], t))) AS DOUBLE)
+               / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS rf2
+      FROM documents
+    ), labeled AS MATERIALIZED (
+      SELECT rf0, rf1, rf2,
+             CAST(-1.4 + 1.0 * rf0 + 2.0 * rf1 + 8.0 * rf2 > 0 AS DOUBLE) AS y
+      FROM feats
+    ), st AS MATERIALIZED (
+      SELECT AVG(rf0) AS m0, AVG(rf1) AS m1, AVG(rf2) AS m2,
+             COALESCE(NULLIF(STDDEV_POP(rf0), 0.0), 1.0) AS s0,
+             COALESCE(NULLIF(STDDEV_POP(rf1), 0.0), 1.0) AS s1,
+             COALESCE(NULLIF(STDDEV_POP(rf2), 0.0), 1.0) AS s2
+      FROM labeled
+    ), norm AS MATERIALIZED (
+      SELECT (rf0 - st.m0) / st.s0 AS f0,
+             (rf1 - st.m1) / st.s1 AS f1,
+             (rf2 - st.m2) / st.s2 AS f2,
+             y
+      FROM labeled CROSS JOIN st
+    ),
+    w0 AS MATERIALIZED (
+      SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3
+    )"""
+    parts = [head]
+    for i in range(iters):
+        parts.append(
+            f""",
+    z{i} AS MATERIALIZED (
+      SELECT f0, f1, f2, y,
+             w.b + w.w1 * f0 + w.w2 * f1 + w.w3 * f2 AS z
+      FROM norm CROSS JOIN w{i} w
+    ), p{i} AS MATERIALIZED (
+      SELECT f0, f1, f2, y, z, 1.0 / (1.0 + EXP(-z)) AS p FROM z{i}
+    ), a{i} AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(GREATEST(z, 0.0) - z * y + LN(1.0 + EXP(-ABS(z)))) AS loss,
+             SUM(CAST(CAST(p > 0.5 AS DOUBLE) = y AS DOUBLE)) AS hits,
+             SUM(p - y) AS g0,
+             SUM((p - y) * f0) AS g1,
+             SUM((p - y) * f1) AS g2,
+             SUM((p - y) * f2) AS g3
+      FROM p{i}
+    ), w{i + 1} AS MATERIALIZED (
+      SELECT w.b - {L} * a.g0 / a.n AS b,
+             w.w1 - {L} * a.g1 / a.n AS w1,
+             w.w2 - {L} * a.g2 / a.n AS w2,
+             w.w3 - {L} * a.g3 / a.n AS w3
+      FROM w{i} w CROSS JOIN a{i} a
+    )"""
+        )
+    hist = " UNION ALL ".join(
+        f"SELECT {i} AS iteration, ROUND(loss / n, 3) AS loss, "
+        f"ROUND(hits / n, 3) AS accuracy FROM a{i}"
+        for i in range(iters)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(iteration AS INT) AS iteration, loss, accuracy
+    FROM ({hist}) ORDER BY iteration"""
+    )
+    return "".join(parts)
+
+
+@query("ns_lr_training", oracle=_lr_training_oracle_sql(iters=8, lr=1.0))
 def ns_lr_training(spark, sf_dir):
     """Distributed full-batch gradient descent for logistic regression
     (distilling the fixed-weight quality rule): one aggregation job
     per iteration, map-side partial gradient sums, only the
     O(num_features) model round-trips to the driver. Output is the
     training curve (loss/accuracy per iteration, rounded to 3 decimals
-    — sub-ulp shuffle-order wobble rounds away). No SQL oracle: the
-    trained weights are iteration-order FP, so the contract test pins
-    monotone loss decrease and final accuracy instead."""
+    — sub-ulp shuffle-order wobble rounds away). HASH-VERIFIED against
+    a GENERATED DuckDB oracle (the 8 GD steps unrolled as CTEs — see
+    _lr_training_oracle_sql); the convergence contract test in
+    tests/test_classifier.py remains as the structural safety net."""
     docs = load_table(spark, sf_dir, "documents")
     feats = CL.doc_feature_exprs("text")
     label = CL.logit_score(feats, CL.QUALITY_WEIGHTS) > 0

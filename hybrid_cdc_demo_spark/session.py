@@ -65,6 +65,18 @@ def get_spark(
     builder = builder.config(
         "spark.sql.shuffle.partitions", str(shuffle_partitions or default_parallelism())
     )
+    # FAIR scheduler with a deprioritized "background" pool: sink
+    # maintenance (LSM compaction / optimize) submits its jobs there so
+    # a background merge never steals task slots from an in-flight
+    # micro-batch (the p99 replication-lag path). Static conf — only
+    # takes effect on sessions built here; on a foreign FIFO session
+    # the pool local-property is inert and everything still runs.
+    alloc = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "resources", "fairscheduler.xml"
+    )
+    if os.path.exists(alloc):
+        builder = builder.config("spark.scheduler.mode", "FAIR")
+        builder = builder.config("spark.scheduler.allocation.file", alloc)
     for k, v in SESSION_CONFS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.ui.enabled", "false")

@@ -49,6 +49,36 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 
+def _in_background_pool(spark: SparkSession, fn):
+    """Wrap a maintenance task (compaction/optimize) so the Spark jobs
+    it submits land in the deprioritized ``background`` FAIR pool (see
+    session.py / resources/fairscheduler.xml): a background merge then
+    never steals task slots from an in-flight micro-batch, which is
+    what keeps the per-trigger replication-lag p99 flat while
+    compaction is active. On a FIFO session the local property is
+    inert — the task still runs, just without the priority split.
+
+    The pool property is per-thread (PySpark pinned-thread mode), set
+    on entry and cleared on exit because the single maintenance worker
+    thread is reused across submissions."""
+
+    def run():
+        sc = spark.sparkContext
+        try:
+            sc.setLocalProperty("spark.scheduler.pool", "background")
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+        try:
+            return fn()
+        finally:
+            try:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+            except Exception:  # pragma: no cover
+                pass
+
+    return run
+
+
 class VersionedParquetTable:
     """A tiny ACID-ish table: versioned parquet snapshots + a pointer
     file updated atomically (os.replace). Enough for single-writer
@@ -309,7 +339,9 @@ class UpsertSink:
         if len(self._segments()) >= self.compact_every and (
             self._compact_future is None or self._compact_future.done()
         ):
-            self._compact_future = self._compact_pool.submit(self.compact)
+            self._compact_future = self._compact_pool.submit(
+                _in_background_pool(self.spark, self.compact)
+            )
         return n
 
     def flush(self) -> None:
@@ -456,7 +488,9 @@ class AppendSink:
             and (self._optimize_future is None or self._optimize_future.done())
         ):
             self._optimize_future = self._optimize_pool.submit(
-                self.optimize, batch_id, 2
+                _in_background_pool(
+                    self.spark, lambda: self.optimize(batch_id, 2)
+                )
             )
         return n
 
@@ -911,7 +945,9 @@ class AggregateSink:
         if len(self._segments()) >= self.compact_every and (
             self._compact_future is None or self._compact_future.done()
         ):
-            self._compact_future = self._compact_pool.submit(self.compact)
+            self._compact_future = self._compact_pool.submit(
+                _in_background_pool(self.spark, self.compact)
+            )
         return n
 
     def flush(self) -> None:

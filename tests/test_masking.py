@@ -104,3 +104,29 @@ def test_scrub_text_pii_null_safe(spark):
 
     df = spark.createDataFrame([(1, None)], "i int, t string")
     assert df.select(scrub_text_pii("t").alias("s")).collect()[0]["s"] is None
+
+
+def test_hmac_expr_vectors(spark):
+    """The builtin-expression HMAC (RFC 2104 unrolled into two sha2
+    calls — the hot-path form) is digest-identical to the stdlib hmac
+    module AND to the Arrow pandas_udf form, across the key-length
+    branch (>64-byte keys are pre-hashed) and null/unicode/empty
+    values."""
+    from hybrid_cdc_demo_spark.functions.masking import (
+        hmac_sha256_expr,
+        hmac_sha256_udf,
+    )
+
+    vals = ["hello", "", "üñïçødé ✓", None, "1234567890" * 20]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    for key in [DEFAULT_SECRET_KEY, "k", "x" * 100]:  # short/long-key paths
+        got = [r[0] for r in df.select(hmac_sha256_expr(F.col("v"), key)).collect()]
+        expected = [
+            None
+            if v is None
+            else hmac.new(key.encode(), v.encode(), hashlib.sha256).hexdigest()
+            for v in vals
+        ]
+        assert got == expected, f"builtin-expr HMAC diverges for key={key!r}"
+        via_udf = [r[0] for r in df.select(hmac_sha256_udf(key)(F.col("v"))).collect()]
+        assert via_udf == expected, f"pandas_udf HMAC diverges for key={key!r}"

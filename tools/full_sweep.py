@@ -175,6 +175,11 @@ def main() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    # pre-filter inventory size: recorded in _summary so a SLICE
+    # artifact (SWEEP_QUERIES / SWEEP_EXCLUDE active) is always
+    # distinguishable from a shrunken full inventory when diffing
+    # summaries round-over-round (r8 ADVICE)
+    oracle_inventory = len(osql)
     subset = [
         n for n in os.environ.get("SWEEP_QUERIES", "").split(",") if n
     ]
@@ -256,6 +261,10 @@ def main() -> None:
             "sf_dir": sf_dir,
             **({"spark_conf_overrides": conf_overrides} if conf_overrides else {}),
             "oracle_queries": len(osql),
+            "oracle_inventory": oracle_inventory,
+            **(
+                {"subset": sorted(subset)} if subset else {}
+            ),
             "registered_queries": len(qs),
             "checked": len(results),
             "skipped_missing_tables": len(skipped) - len(excluded),

@@ -13,11 +13,16 @@ the Spark UI shows):
 * inputBytes / inputRecords       — what the scan actually read
 * shuffleWriteBytes / ReadBytes   — what crossed the exchange
 * memoryBytesSpilled / diskBytesSpilled — spill (the audit's pass bar
-  is ZERO disk spill for every query at 10x bench SF)
+  is ZERO spill of EITHER kind for every query at 10x bench SF —
+  memory-spill means the execution memory manager had to unspill
+  pages, so both count as budget breaches and both exit 1)
 * peakExecutionMemory             — max over the query's stages
 * max task shuffleWriteBytes      — the LARGEST single shuffle-map
-  task, i.e. the number that must fit in one executor's memory at any
-  cluster size; stage aggregates alone hide skewed partitions.
+  task across EVERY stage that wrote shuffle data, i.e. the number
+  that must fit in one executor's memory at any cluster size; stage
+  aggregates alone hide skewed partitions, and checking only the
+  aggregate-largest stage would hide a skewed task inside a smaller
+  stage (r8 ADVICE).
 
 Why bytes and not seconds: the scaling sweeps already time queries;
 byte metrics are deterministic for a deterministic plan, so this
@@ -94,9 +99,8 @@ def _stages(api: str) -> dict[int, dict]:
 
 
 def _max_task_shuffle_write(api: str, stage: dict) -> int:
-    """Largest single-task shuffle write in a stage, via the
-    per-stage task list (bounded: only called for the stage with the
-    largest aggregate shuffle write per query)."""
+    """Largest single-task shuffle write in one stage, via the
+    per-stage task list."""
     sid, att = stage["stageId"], stage["attemptId"]
     try:
         detail = _get(
@@ -114,6 +118,48 @@ def _max_task_shuffle_write(api: str, stage: dict) -> int:
         )
     except Exception:  # noqa: BLE001 — metric is best-effort extra depth
         return -1
+
+
+def _max_task_shuffle_write_all(api: str, stages: list[dict]) -> int:
+    """Per-task shuffle-write max across EVERY stage that wrote any
+    shuffle data (r8 ADVICE: the aggregate-largest stage can hide a
+    skewed single task inside a smaller stage — a skew signature, the
+    exact thing the 100 TB per-task projections must not miss)."""
+    best = 0
+    for s in stages:
+        if not s.get("shuffleWriteBytes", 0):
+            continue
+        m = _max_task_shuffle_write(api, s)
+        if m < 0:
+            return -1  # surface the partial read rather than a low number
+        best = max(best, m)
+    return best
+
+
+def _settle(api: str, status_tracker) -> dict[int, dict]:
+    """Wait for the status store to drain (r8 ADVICE: it is updated
+    asynchronously from the listener bus, so a fixed sleep can miss a
+    late stage-completion on a loaded box — silently undercounting
+    spill). Poll until the tracker reports no active jobs/stages AND
+    the completed-stage count is stable for two consecutive intervals,
+    with a hard 30 s ceiling so a stuck store can't hang the audit."""
+    deadline = time.monotonic() + 30.0
+    stable = 0
+    last = -1
+    while time.monotonic() < deadline:
+        active = len(status_tracker.getActiveJobsIds()) + len(
+            status_tracker.getActiveStageIds()
+        )
+        stages = _stages(api)
+        if active == 0 and len(stages) == last:
+            stable += 1
+            if stable >= 2:
+                return stages
+        else:
+            stable = 0
+        last = len(stages)
+        time.sleep(0.25)
+    return _stages(api)
 
 
 def main() -> None:
@@ -163,15 +209,9 @@ def main() -> None:
             results[name] = {"error": f"{type(exc).__name__}: {exc}"}
             continue
         sec = round(time.perf_counter() - t0, 2)
-        # the REST store is updated asynchronously from the listener
-        # bus; give it a beat to drain before diffing
-        time.sleep(0.5)
-        stages = _stages(api)
+        stages = _settle(api, spark.sparkContext.statusTracker())
         new = [stages[sid] for sid in sorted(set(stages) - before)]
         agg = {k: sum(s.get(k, 0) for s in new) for k in STAGE_SUMS}
-        biggest = max(
-            new, key=lambda s: s.get("shuffleWriteBytes", 0), default=None
-        )
         rec = {
             "sec": sec,
             "num_stages": len(new),
@@ -179,10 +219,8 @@ def main() -> None:
             "peak_execution_memory": max(
                 (s.get("peakExecutionMemory", 0) for s in new), default=0
             ),
-            "max_task_shuffle_write_bytes": (
-                _max_task_shuffle_write(api, biggest)
-                if biggest and biggest.get("shuffleWriteBytes", 0)
-                else 0
+            "max_task_shuffle_write_bytes": _max_task_shuffle_write_all(
+                api, new
             ),
         }
         if agg["inputRecords"]:
