@@ -26,7 +26,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming import StreamingQuery
 
 from hybrid_cdc_demo_spark.functions.masking import MaskingRules, mask_phi, mask_pii
@@ -347,6 +347,20 @@ class CDCPipeline:
         """Stage 3 (O28): duplicate-delivery removal by event_id."""
         return batch.dropDuplicates(["event_id"])
 
+    def _flag_latest(self, batch: DataFrame) -> DataFrame:
+        """Add the shared latest-wins flag (``__latest``): true on the
+        newest row per replica key (same window as
+        sinks.latest_per_key — timestamp desc, event_id tiebreak).
+        Computed ONCE inside the cached batch so every upsert-
+        personality sink filters it map-side instead of each paying
+        its own window shuffle; append/aggregate personalities drop
+        the column (it is upsert-only metadata). The flag rides the
+        cache, never the sinks' storage or the DLQ."""
+        w = Window.partitionBy(
+            *[F.col(c) for c in self.config.key_cols]
+        ).orderBy(F.desc("timestamp_micros"), F.desc("event_id"))
+        return batch.withColumn("__latest", F.row_number().over(w) == 1)
+
     def mask(self, batch: DataFrame) -> DataFrame:
         """Stage 4 (O11-O14): mask classified payload fields inside the
         JSON columns string without fixing a payload schema — the
@@ -403,11 +417,15 @@ class CDCPipeline:
                 valid, quality_bad = gate(valid, self._quality_rules)
             else:
                 quality_bad = None
-            valid = self.mask(self.dedup(valid)).persist()
+            valid = self._flag_latest(self.mask(self.dedup(valid))).persist()
             # job 1: materialize the transformed batch into cache so
             # the parallel fan-out reads warm data instead of racing
             # cold-cache partitions; the same job computes the O19
-            # stat AND the schema-drift probe (no extra pass)
+            # stat AND the schema-drift probe (no extra pass).
+            # _flag_latest adds the shared latest-wins flag (__latest)
+            # in the SAME cached frame: one window shuffle per batch
+            # instead of one per upsert sink — the fan-out's MERGE
+            # writes become map-only filters over warm cache.
             schema = self.registry.latest(self.config.keyspace, self.config.table)
             if self.config.auto_evolve and schema is not None:
                 from hybrid_cdc_demo_spark.schema.evolution import _json_class
@@ -469,8 +487,10 @@ class CDCPipeline:
                 if outcome["action"] == "incompatible":
                     # reference semantics: incompatible change diverts
                     # the table's events to the DLQ, sinks untouched
+                    # (__latest is in-flight upsert metadata, not part
+                    # of the DLQ'd envelope)
                     write_dlq(
-                        valid,
+                        valid.drop("__latest"),
                         self.config.dlq_path,
                         destination="schema",
                         error_type="schema_incompatible",
@@ -549,9 +569,18 @@ class CDCPipeline:
                 self.metrics.set_gauge(
                     "cdc_backlog_depth", int(counts["n"] or 0), destination=name
                 )
+                # the shared __latest flag is only valid for sinks
+                # keyed exactly like the pipeline — a foreign sink
+                # (user-attached, different key_cols) must not trust a
+                # flag computed on someone else's keys
+                batch_for_sink = (
+                    valid
+                    if list(getattr(sink, "key_cols", ())) == list(self.config.key_cols)
+                    else valid.drop("__latest")
+                )
                 try:
                     return name, with_retry(
-                        lambda: sink.write_batch(valid, batch_id),
+                        lambda: sink.write_batch(batch_for_sink, batch_id),
                         self.config.retry,
                         # reference increment_retries (metrics.py:68-70):
                         # one tick per re-attempt of this destination
@@ -585,7 +614,7 @@ class CDCPipeline:
                         name, type(exc).__name__, self.sink_errors[name]
                     )
                     write_dlq(
-                        valid,
+                        valid.drop("__latest"),
                         self.config.dlq_path,
                         destination=name,
                         error_type=type(exc).__name__,

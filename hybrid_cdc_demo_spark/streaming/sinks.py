@@ -322,7 +322,15 @@ class UpsertSink:
     def write_batch(self, batch: DataFrame, batch_id: int) -> int:
         if self.ledger.is_committed(batch_id):
             return 0
-        incoming = self._augment(latest_per_key(batch, self.key_cols))
+        if "__latest" in batch.columns:
+            # the pipeline pre-computed the latest-wins flag inside the
+            # shared cached batch (one window shuffle for ALL upsert
+            # sinks instead of one per sink); this write is then a
+            # map-only filter over warm cache
+            incoming = batch.filter(F.col("__latest")).drop("__latest")
+        else:
+            incoming = latest_per_key(batch, self.key_cols)
+        incoming = self._augment(incoming)
         # overwrite-by-batchId → crash between write and ledger commit
         # replays into the SAME segment, never duplicating data
         seg = self.delta_path / f"seg-{batch_id:012d}"
@@ -462,6 +470,11 @@ class AppendSink:
     def write_batch(self, batch: DataFrame, batch_id: int) -> int:
         if self.ledger.is_committed(batch_id):
             return 0
+        # append personality stores EVERY row; the pipeline's shared
+        # latest-wins flag (see UpsertSink.write_batch) is upsert-only
+        # metadata and must not reach the log
+        if "__latest" in batch.columns:
+            batch = batch.drop("__latest")
         if self.delete_policy == "skip":
             # reference parity: DELETEs dropped with a warning
             # (clickhouse.py:109-116) — a documented divergence source
@@ -931,6 +944,10 @@ class AggregateSink:
     def write_batch(self, batch: DataFrame, batch_id: int) -> int:
         if self.ledger.is_committed(batch_id):
             return 0
+        # partial-aggregate personality folds EVERY row; the shared
+        # latest-wins flag is upsert-only metadata (see UpsertSink)
+        if "__latest" in batch.columns:
+            batch = batch.drop("__latest")
         seg = self.delta_path / f"seg-{batch_id:012d}"
         self._partial(batch).write.mode("overwrite").parquet(str(seg))
         n, max_ts = _segment_stats(seg)

@@ -168,6 +168,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPILL_CPUS", "16"))
     mem_gb = int(os.environ.get("SPILL_MEM_GB", str(cpus)))
     port = int(os.environ.get("SPILL_UI_PORT", "4049"))
+    # STARVED-BUDGET MODE (VERDICT r8 #6): under a deliberately
+    # undersized memory budget the PASS criterion inverts — queries
+    # must SPILL-AND-COMPLETE (graceful degradation) rather than stay
+    # spill-free; errors (OOM/GC death) still fail. The artifact
+    # records which regime it measured.
+    expect_spill = os.environ.get("SPILL_EXPECT_SPILL", "") == "1"
     names = [
         n for n in os.environ.get("SPILL_QUERIES", ",".join(HEAVY)).split(",")
         if n
@@ -238,6 +244,11 @@ def main() -> None:
             "sf_dir": sf_dir,
             "cpus": cpus,
             "mem_gb": mem_gb,
+            "pass_criterion": (
+                "spill-and-complete (starved budget)"
+                if expect_spill
+                else "zero spill of either kind"
+            ),
             "shuffle_partitions": 32,
             "queries": len(names),
             "errors": sorted(
@@ -270,6 +281,8 @@ def main() -> None:
         print(f"# artifact write failed: {exc}", file=sys.stderr)
     print(json.dumps(doc["_summary"]))
     spark.stop()
+    if expect_spill:
+        sys.exit(1 if doc["_summary"]["errors"] else 0)
     sys.exit(1 if (spilled or doc["_summary"]["errors"]) else 0)
 
 
