@@ -261,16 +261,90 @@ def ns_transcript_assembly(spark, sf_dir):
     return transcript_assembly(events, max_turns=8).orderBy("user_id")
 
 
-@query("ns_mmr_diverse")  # greedy-iterative: contract-pinned, no SQL oracle
+def _mmr_oracle_sql(k: int = 10, lam: float = 0.7) -> str:
+    """GENERATED DuckDB oracle for greedy MMR: the k picks unrolled as
+    a MATERIALIZED CTE chain (the PageRank/LR generated-SQL shape,
+    round 9). Bitwise-safe because every floating expression mirrors
+    operators/similarity.mmr_select term-for-term: DuckDB's
+    list_dot_product is bitwise-identical to the engine's
+    aggregate(zip_with) left fold (verified on the driver corpus),
+    sqrt is IEEE correctly-rounded in both engines, and the literals
+    reproduce the PYTHON-computed constants exactly (1 - lam is
+    emitted as repr(1.0 - lam) = 0.30000000000000004, not 0.3 — the
+    engine multiplies by the former). Identical doubles make the
+    per-step argmax pick identical ids, so the greedy recursion stays
+    in lockstep; scores are then equal bit-for-bit, not just within
+    tolerance."""
+    l1 = repr(float(lam))
+    l2 = repr(1.0 - float(lam))
+    score = f"{l1} * rel - {l2} * COALESCE(ms, 0.0)"
+    head = f"""
+    WITH q0 AS MATERIALIZED (
+      SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ), s0 AS MATERIALIZED (
+      SELECT vec_id, v,
+             1.0 / sqrt(list_dot_product(v, v)) AS inv,
+             rel,
+             CAST(NULL AS DOUBLE) AS ms
+      FROM (
+        SELECT e.vec_id, e.v,
+               CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(q.q, q.q)) = 0.0
+                    THEN NULL
+                    ELSE list_dot_product(e.v, q.q)
+                         / (sqrt(list_dot_product(e.v, e.v))
+                            * sqrt(list_dot_product(q.q, q.q)))
+               END AS rel
+        FROM (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) > 0
+        ) e CROSS JOIN q0 q
+      )
+      WHERE rel IS NOT NULL
+    )"""
+    parts = [head]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+    p{i} AS MATERIALIZED (
+      SELECT * FROM s{i - 1}
+      ORDER BY {score} DESC, vec_id
+      LIMIT 1
+    ), s{i} AS MATERIALIZED (
+      SELECT t.vec_id, t.v, t.inv, t.rel,
+             GREATEST(
+               COALESCE(t.ms, -2.0),
+               list_dot_product(
+                 t.v, list_transform(p.v, x -> x * p.inv)
+               ) * t.inv
+             ) AS ms
+      FROM s{i - 1} t CROSS JOIN p{i} p
+      WHERE t.vec_id <> p.vec_id
+    )"""
+        )
+    hist = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, vec_id, rel AS relevance, "
+        f"{score} AS mmr_score FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({hist}) ORDER BY rank")
+    return "".join(parts)
+
+
+@query("ns_mmr_diverse", oracle=_mmr_oracle_sql(k=10, lam=0.7))
 def ns_mmr_diverse(spark, sf_dir):
     """Maximal-marginal-relevance diverse top-10 (lambda=0.7) against
     the min-id probe vector — the diversity-aware alternative to plain
     cosine top-k (which returns one neighborhood k times). Greedy by
     construction: k bounded argmax jobs over a checkpointed relevance
     frame, selected vectors broadcast as literals, corpus never
-    collected. Verified against an exact numpy reference in
-    tests/test_textmetrics.py (no SQL oracle: the greedy recursion is
-    not expressible as a DuckDB query)."""
+    collected. HASH-VERIFIED against a GENERATED DuckDB oracle (the k
+    greedy picks unrolled as CTEs — see _mmr_oracle_sql; the bitwise
+    fold parity makes each argmax pick the same id in both engines);
+    the exact numpy-greedy differential in tests/test_textmetrics.py
+    remains as the structural safety net."""
     from hybrid_cdc_demo_spark.operators.similarity import (
         _as_double_array,
         mmr_select,

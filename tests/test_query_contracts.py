@@ -34,10 +34,7 @@ PINNED_NO_ORACLE = {
     "ns_quantile_sketch": "test_sketches.py (rank error vs exact quantiles)",
     "ns_dedup_bucket_coverage": "test_query_contracts.py::test_ns_dedup_bucket_coverage_pinned",
     "ns_pca_project": "test_linalg.py::test_ns_pca_project_contract",
-    "ns_bpe_vocab": "test_bpe.py::test_ns_bpe_vocab_contract",
-    "ns_bpe_encode": "test_bpe.py::test_ns_bpe_encode_contract",
     "ns_simsearch_ivfpq": "test_pq.py::test_ns_simsearch_ivfpq_contract",
-    "ns_mmr_diverse": "test_textmetrics.py::TestMMR (exact numpy greedy reference)",
     "ns_opq_rotation": "test_pq.py::TestOPQ (orthogonality, error decrease, contract)",
     "ns_simsearch_opq": "test_pq.py::TestOPQ (recall >= plain PQ, contract)",
     "ns_simsearch_ivfopq": "test_pq.py::TestIVFOPQ (recall >= IVF-PQ, orthogonality, pruning, contract)",

@@ -377,3 +377,88 @@ class TestSharedLatestFlag:
         p.run_available()
         assert "cols" in seen
         assert "__latest" not in seen["cols"]
+
+
+class TestMMRGeneratedOracle:
+    def test_mmr_oracle_unrolls_picks(self):
+        from hybrid_cdc_demo_spark.plans import ORACLE_SQL
+        from hybrid_cdc_demo_spark.plans.textmetrics_queries import (
+            _mmr_oracle_sql,
+        )
+
+        sql = _mmr_oracle_sql(k=10, lam=0.7)
+        assert ORACLE_SQL["ns_mmr_diverse"] == sql
+        assert "p10" in sql and "p11" not in sql
+        # 1 - lam must be the PYTHON double, not the decimal 0.3 —
+        # the engine multiplies by exactly this constant
+        assert "0.30000000000000004" in sql
+        assert sql.count("AS MATERIALIZED") >= 2 * 10 + 2
+        import duckdb
+
+        out = (
+            duckdb.connect()
+            .execute(
+                "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+                "(0, [1.0,0.0]), (1, [0.9,0.1]), (2, [0.0,1.0])) "
+                "t(vec_id, embedding)"
+            )
+            .execute(sql)
+            .df()
+        )
+        # 3 candidates < k picks: pool exhausts gracefully like the
+        # engine side, and the query vector (min id) ranks first
+        assert list(out["rank"]) == [1, 2, 3]
+        assert out["vec_id"][0] == 0
+
+
+class TestBPEGeneratedOracles:
+    CORPUS = (
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest"
+    )
+
+    def test_vocab_oracle_textbook_merges(self):
+        """The generated 6-step chain reproduces the Sennrich textbook
+        merge sequence on the classic corpus."""
+        import duckdb
+
+        from hybrid_cdc_demo_spark.plans import ORACLE_SQL
+        from hybrid_cdc_demo_spark.plans.tokenizer_queries import (
+            _bpe_vocab_oracle_sql,
+        )
+
+        sql = _bpe_vocab_oracle_sql(6)
+        assert ORACLE_SQL["ns_bpe_vocab"] == sql
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT '{self.CORPUS}' AS text"
+        )
+        out = con.execute(sql).df()
+        assert list(out["merged"])[:4] == ["es", "est", "lo", "low"]
+        assert list(out["cnt"])[:4] == [9, 9, 7, 7]
+
+    def test_encode_oracle_counts(self):
+        """Dictionary-encoded tokenization over the trained chain:
+        'lowest' is not in the training vocab, so the encode oracle
+        only covers corpus words — checked on the corpus itself
+        (n_bpe <= n_chars per word, and the known totals)."""
+        import duckdb
+
+        from hybrid_cdc_demo_spark.plans import ORACLE_SQL
+        from hybrid_cdc_demo_spark.plans.tokenizer_queries import (
+            _bpe_encode_oracle_sql,
+        )
+
+        sql = _bpe_encode_oracle_sql(6)
+        assert ORACLE_SQL["ns_bpe_encode"] == sql
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT 1 AS doc_id, '{self.CORPUS}' AS text "
+            "UNION ALL SELECT 2, 'low lower'"
+        )
+        out = con.execute(sql).df().set_index("doc_id")
+        assert out.loc[1, "n_words"] == 16
+        # doc 2: low -> [low] (1 token), lower -> [low,e,r] (3 tokens)
+        assert out.loc[2, "n_words"] == 2
+        assert out.loc[2, "n_bpe_tokens"] == 4
