@@ -159,16 +159,40 @@ def calibration_probe(spark, reps: int = 3) -> float:
     return round(statistics.median(samples), 4)
 
 
+def _warm_until_stable(
+    spark, max_rounds: int = 6, tol: float = 1.25
+) -> list[float]:
+    """Session-start ramp guard. A fresh JVM on this sandbox spends
+    its first minutes page-faulting freshly-ballooned VM memory and
+    JIT-compiling — the calibration probe reads 2-8x slower at
+    session start than 3 minutes in (observed across every r9 probe
+    session), and the FIRST timed replay was the worst one in 5/5
+    recorded sessions, independent of code state. Benchmarks measure
+    steady state, so: run small untimed replays and re-probe until
+    two consecutive probes agree within ``tol`` (or ``max_rounds``
+    is hit), and return the probe trace for the artifact."""
+    trace: list[float] = []
+    best = None
+    for _ in range(max_rounds):
+        run_streaming_replay(spark, n_events=2000)  # untimed warmup
+        p = calibration_probe(spark, reps=1)
+        trace.append(p)
+        if best is not None and p <= best * tol:
+            return trace
+        best = p if best is None else min(best, p)
+    return trace
+
+
 def run_streaming_bench(
     spark, runs: int = 3, n_events: int = 50000
 ) -> dict[str, float]:
-    """Three consecutive full replays after one small untimed warmup
-    replay (first-touch codegen/JIT of the pipeline plan costs ~0.5 s
-    on whichever batch runs it first — a fixed compile cost, not a
-    per-batch execution cost). p99 is reported as the WORST of the
-    three runs, so a sub-1 s claim holds across consecutive runs
-    rather than on one lucky draw."""
-    run_streaming_replay(spark, n_events=2000)  # untimed warmup
+    """Three consecutive full replays after an untimed
+    stabilization warmup (see _warm_until_stable: first-touch
+    codegen/JIT plus the sandbox's session-start page-fault ramp are
+    fixed costs, not per-batch execution costs). p99 is reported as
+    the WORST of the three runs, so a sub-1 s claim holds across
+    consecutive runs rather than on one lucky draw."""
+    warm_trace = _warm_until_stable(spark)
     results = []
     for _ in range(runs):
         # GC barrier: a replay's p99 is one worst batch — don't let a
@@ -232,6 +256,9 @@ def run_streaming_bench(
         "streaming_cold_start_sec": max(
             r["streaming_cold_start_sec"] for r in [*results, *singles, *binaries]
         ),
+        # the stabilization warmup's probe trace: a reader can see how
+        # much session-start ramp the timed legs were protected from
+        "streaming_warmup_probe_trace": warm_trace,
     }
 
 

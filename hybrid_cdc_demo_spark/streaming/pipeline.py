@@ -109,6 +109,18 @@ class PipelineConfig:
     #: window (tests/test_streaming.py::
     #: test_pii_column_added_mid_stream_is_masked).
     auto_evolve: bool = True
+    #: compute the per-key latest-wins flag ONCE in the cached batch
+    #: (__latest) and let every same-keyed upsert sink filter it
+    #: map-side, instead of each sink running its own window shuffle.
+    #: MEASURED trade-off (r9 A/B, interleaved, calibration-stable):
+    #: at the SLO batch size (~2k rows, 1-partition exchanges) the
+    #: extra window SERIALIZES into the pre-fan-out job and costs more
+    #: than the per-sink shuffles it removes (median batch 0.80 s vs
+    #: 0.71 s) because the per-sink collapses overlap inside the
+    #: parallel fan-out — so the default is OFF. Turn it on for large
+    #: triggers / many upsert destinations, where one multi-partition
+    #: shuffle replacing N is the right trade.
+    share_latest_flag: bool = False
     #: optional per-table data-quality rules (operators/quality.py
     #: semantics): {rule_name: SQL boolean expression over the
     #: envelope/payload columns — use get_json_object('columns', ...)
@@ -417,15 +429,17 @@ class CDCPipeline:
                 valid, quality_bad = gate(valid, self._quality_rules)
             else:
                 quality_bad = None
-            valid = self._flag_latest(self.mask(self.dedup(valid))).persist()
+            valid = self.mask(self.dedup(valid))
+            if self.config.share_latest_flag:
+                # one window shuffle per batch instead of one per
+                # upsert sink (see PipelineConfig.share_latest_flag
+                # for the measured small-batch trade-off)
+                valid = self._flag_latest(valid)
+            valid = valid.persist()
             # job 1: materialize the transformed batch into cache so
             # the parallel fan-out reads warm data instead of racing
             # cold-cache partitions; the same job computes the O19
-            # stat AND the schema-drift probe (no extra pass).
-            # _flag_latest adds the shared latest-wins flag (__latest)
-            # in the SAME cached frame: one window shuffle per batch
-            # instead of one per upsert sink — the fan-out's MERGE
-            # writes become map-only filters over warm cache.
+            # stat AND the schema-drift probe (no extra pass)
             schema = self.registry.latest(self.config.keyspace, self.config.table)
             if self.config.auto_evolve and schema is not None:
                 from hybrid_cdc_demo_spark.schema.evolution import _json_class

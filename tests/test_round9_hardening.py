@@ -353,7 +353,9 @@ class TestSharedLatestFlag:
         src = str(tmp_path / "commitlog")
         generate_change_events(src, n_events=200, n_files=2, seed=7)
         cfg = PipelineConfig(
-            source_dir=src, target_dir=str(tmp_path / "wh")
+            source_dir=src,
+            target_dir=str(tmp_path / "wh"),
+            share_latest_flag=True,  # opt-in (off by default — r9 A/B)
         )
         p = CDCPipeline(spark, cfg, reg)
 
@@ -462,3 +464,57 @@ class TestBPEGeneratedOracles:
         # doc 2: low -> [low] (1 token), lower -> [low,e,r] (3 tokens)
         assert out.loc[2, "n_words"] == 2
         assert out.loc[2, "n_bpe_tokens"] == 4
+
+    def test_flag_off_by_default_and_on_when_opted_in(self, spark, tmp_path):
+        """Default config never adds __latest (the r9 A/B showed the
+        serialized window LOSES at SLO batch size); opting in delivers
+        it to same-keyed sinks."""
+        from hybrid_cdc_demo_spark.schema.evolution import (
+            SchemaRegistry,
+            TableSchema,
+        )
+        from hybrid_cdc_demo_spark.sources.cdc import generate_change_events
+        from hybrid_cdc_demo_spark.streaming.pipeline import (
+            CDCPipeline,
+            PipelineConfig,
+        )
+
+        reg = SchemaRegistry()
+        reg.register(
+            TableSchema(
+                "ecommerce", "users",
+                {"user_id": "uuid", "age": "int"}, ["user_id"],
+            )
+        )
+        src = str(tmp_path / "cl")
+        generate_change_events(src, n_events=100, n_files=1, seed=3)
+
+        seen: dict[str, list] = {}
+
+        def spy_sink(name):
+            class Spy:
+                key_cols = ["key_hash"]  # matches the pipeline default
+
+                def __init__(self):
+                    self.name = name
+
+                def write_batch(self, batch, batch_id):
+                    seen[name] = batch.columns
+                    return batch.count()
+
+                def flush(self):
+                    pass
+
+            return Spy()
+
+        for flag in (False, True):
+            cfg = PipelineConfig(
+                source_dir=src,
+                target_dir=str(tmp_path / f"wh-{flag}"),
+                share_latest_flag=flag,
+            )
+            p = CDCPipeline(spark, cfg, reg)
+            p.sinks = {f"spy{flag}": spy_sink(f"spy{flag}")}
+            p.run_available()
+        assert "__latest" not in seen["spyFalse"]
+        assert "__latest" in seen["spyTrue"]

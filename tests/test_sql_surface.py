@@ -635,6 +635,11 @@ NS_SQL_SURFACE_EXEMPT = {
     "ns_attribution": "list(x ORDER BY …) sorted-fold determinism idiom",
     "ns_bm25_topk": "list(x ORDER BY …) sorted-fold determinism idiom",
     "ns_bpe_merges": "QUALIFY + list lambdas",
+    "ns_bpe_encode": "generated unrolled-CTE chain: AS MATERIALIZED + list_reduce lambdas",
+    "ns_bpe_vocab": "generated unrolled-CTE chain: AS MATERIALIZED + list_reduce lambdas",
+    "ns_pagerank_tokens": "generated power-iteration CTE chain: AS MATERIALIZED (DuckDB inlining guard)",
+    "ns_mmr_diverse": "generated greedy-pick CTE chain: AS MATERIALIZED + list_transform lambdas",
+    "ns_lr_training": "generated unrolled-GD CTE chain: AS MATERIALIZED (DuckDB inlining guard)",
     "ns_contamination": "list_transform lambda (no SQL-UDF lambda params)",
     "ns_corpus_curation": "regexp_replace 'g' flag collides with Spark's position arg",
     "ns_corpus_mix": "list_contains(['…'] literal) — no Spark SQL list-literal spelling",
