@@ -121,6 +121,18 @@ class PipelineConfig:
     #: triggers / many upsert destinations, where one multi-partition
     #: shuffle replacing N is the right trade.
     share_latest_flag: bool = False
+    #: AQE for the pipeline's micro-batch jobs. Default OFF: the
+    #: micro-batcher already sizes shuffle partitions to observed
+    #: batch volume (O19, _batch_partitions), so runtime re-planning
+    #: has nothing to decide at trigger scale and its per-stage
+    #: re-plan latency is pure overhead — interleaved A/B with
+    #: calibration-stable probes (r9) shows ~8% lower median batch
+    #: time with AQE off (0.59-0.70 s vs 0.63-0.93 s). Batch/catalog
+    #: queries keep AQE (session conf untouched); this latches only
+    #: onto the streaming query's cloned session and is restored on
+    #: stop. Set True for pipelines with large, highly variable
+    #: triggers where coalescing/skew-splitting earn their keep.
+    adaptive_execution: bool = False
     #: optional per-table data-quality rules (operators/quality.py
     #: semantics): {rule_name: SQL boolean expression over the
     #: envelope/payload columns — use get_json_object('columns', ...)
@@ -727,11 +739,21 @@ class CDCPipeline:
             "spark.sql.files.minPartitionNum": conf.get(
                 "spark.sql.files.minPartitionNum", None
             ),
+            "spark.sql.adaptive.enabled": conf.get(
+                "spark.sql.adaptive.enabled", None
+            ),
         }
         conf.set(
             "spark.sql.shuffle.partitions", str(self.config.shuffle_partitions)
         )
         conf.set("spark.sql.files.minPartitionNum", "1")
+        # micro-batch jobs plan with AQE per config (see
+        # PipelineConfig.adaptive_execution — the measured default is
+        # off); restored with the other confs on stop
+        conf.set(
+            "spark.sql.adaptive.enabled",
+            "true" if self.config.adaptive_execution else "false",
+        )
         # O34 (VERDICT r4 #7): for byte-offset sources, feed the
         # source-lag backlog gauge (bytes on disk beyond the committed
         # offset) from the progress stream; the per-destination gauges
