@@ -169,23 +169,45 @@ def _warm_until_stable(
     session), and the FIRST timed replay was the worst one in 5/5
     recorded sessions, independent of code state. Benchmarks measure
     steady state, so: run small untimed replays and re-probe until
-    two consecutive probes agree within ``tol`` (or ``max_rounds``
-    is hit), and return the probe trace for the artifact."""
+    ``need`` consecutive probe PAIRS agree within ``tol`` (or
+    ``max_rounds`` is hit), and return the probe trace for the
+    artifact. Stability compares each probe to the PREVIOUS probe,
+    two-sided (max(p, prev)/min(p, prev) <= tol) — the earlier
+    running-min test (p <= best*tol) was satisfied by ANY improving
+    probe, so a steeply descending ramp (8s → 4s → 2s) exited as
+    "stable" while still mid-descent (r9 ADVICE)."""
     trace: list[float] = []
-    best = None
     hits = 0
     for _ in range(max_rounds):
         run_streaming_replay(spark, n_events=2000)  # untimed warmup
         p = calibration_probe(spark, reps=1)
         trace.append(p)
-        if best is not None and p <= best * tol:
-            hits += 1
-            if hits >= need:  # ``need`` consecutive stable probes
-                return trace
-        else:
-            hits = 0
-        best = p if best is None else min(best, p)
+        if len(trace) >= 2:
+            prev = trace[-2]
+            if max(p, prev) / max(min(p, prev), 1e-9) <= tol:
+                hits += 1
+                if hits >= need:  # ``need`` consecutive stable pairs
+                    return trace
+            else:
+                hits = 0
     return trace
+
+
+def _p99_rerun_eligible(
+    p99: float,
+    *,
+    pre: float,
+    post: float,
+    floor: float,
+    breach: float = 1.0,
+    drift: float = 1.5,
+) -> bool:
+    """The disclosed bounded re-run predicate (VERDICT r9 #1): a timed
+    SLO replay earns ONE re-run only when it breaches the p99 target
+    AND its own calibration bracket shows the session was degraded
+    while it ran (an adjacent probe >50% above the session floor). A
+    breach on calm probes is a real regression and must stand."""
+    return p99 >= breach and (pre > floor * drift or post > floor * drift)
 
 
 def run_streaming_bench(
@@ -239,13 +261,57 @@ def run_streaming_bench(
     binary_rates = sorted(
         r["streaming_events_per_sec"] for r in binaries
     )
+    # --- the SLO leg (BASELINE.md row 3: per-batch p99 < 1 s) -------
+    # Self-adjudicating protocol (VERDICT r9 #1): every timed replay is
+    # bracketed by calibration probes, so a breach run carries its own
+    # noise evidence in the artifact — r9's breach (2.097 s on a
+    # session whose probes swung 3x) needed cross-artifact forensics to
+    # attribute; this round the evidence rides along. Disclosed bounded
+    # re-run rule: if a replay breaches AND an adjacent probe drifted
+    # >50% above the session floor (= min of every probe seen so far,
+    # warmup trace included), that replay re-runs ONCE with its own
+    # probe bracket; BOTH values are recorded (streaming_p99_runs_raw
+    # keeps originals, streaming_p99_reruns the full bookkeeping) and
+    # the adjudicated streaming_p99_runs uses the re-run. A breach on
+    # calm probes is a real regression and is NOT re-run.
+    floor = min(warm_trace) if warm_trace else float("inf")
     results = []
-    for _ in range(runs):
+    runs_raw: list[float] = []
+    replay_cal: list[dict] = []
+    reruns: list[dict] = []
+    all_slo_results = []  # originals + reruns, for cold-start max
+    for i in range(runs):
         # GC barrier: a replay's p99 is one worst batch — don't let a
         # collection triggered by the PREVIOUS replay's garbage land
         # mid-batch and masquerade as pipeline latency
         spark.sparkContext._jvm.System.gc()
-        results.append(run_streaming_replay(spark, n_events=n_events))
+        pre = calibration_probe(spark, reps=1)
+        r = run_streaming_replay(spark, n_events=n_events)
+        post = calibration_probe(spark, reps=1)
+        floor = min(floor, pre, post)
+        p99 = r["streaming_batch_p99_sec"]
+        runs_raw.append(p99)
+        replay_cal.append({"pre": round(pre, 3), "post": round(post, 3)})
+        all_slo_results.append(r)
+        if _p99_rerun_eligible(p99, pre=pre, post=post, floor=floor):
+            spark.sparkContext._jvm.System.gc()
+            pre2 = calibration_probe(spark, reps=1)
+            r2 = run_streaming_replay(spark, n_events=n_events)
+            post2 = calibration_probe(spark, reps=1)
+            floor = min(floor, pre2, post2)
+            all_slo_results.append(r2)
+            reruns.append(
+                {
+                    "replay": i,
+                    "original_p99_sec": p99,
+                    "original_cal": {"pre": round(pre, 3), "post": round(post, 3)},
+                    "rerun_p99_sec": r2["streaming_batch_p99_sec"],
+                    "rerun_cal": {"pre": round(pre2, 3), "post": round(post2, 3)},
+                    "floor_at_decision_sec": round(floor, 3),
+                }
+            )
+            r = r2
+        results.append(r)
     p99s = [r["streaming_batch_p99_sec"] for r in results]
     return {
         "streaming_events_per_sec": round(
@@ -267,11 +333,19 @@ def run_streaming_bench(
         # (worst observed across ALL replay legs incl. the binary
         # commitlog runs; target < 30 s)
         "streaming_cold_start_sec": max(
-            r["streaming_cold_start_sec"] for r in [*results, *singles, *binaries]
+            r["streaming_cold_start_sec"]
+            for r in [*all_slo_results, *singles, *binaries]
         ),
         # the stabilization warmup's probe trace: a reader can see how
         # much session-start ramp the timed legs were protected from
         "streaming_warmup_probe_trace": warm_trace,
+        # per-replay noise evidence + disclosed re-run bookkeeping
+        # (VERDICT r9 #1): runs_raw keeps every ORIGINAL p99 (nothing
+        # dropped); streaming_p99_runs above is the adjudicated set
+        "streaming_p99_runs_raw": runs_raw,
+        "streaming_p99_replay_calibration": replay_cal,
+        "streaming_p99_reruns": reruns,
+        "streaming_calibration_floor_sec": round(floor, 3),
     }
 
 

@@ -73,6 +73,53 @@ def mask_pii(col: Column | str) -> Column:
     return F.sha2(c.cast("string"), 256)
 
 
+#: Display-layer redaction for the HMAC key pads (below): the ipad and
+#: opad are 64-byte binary plan literals, and explain()/the Spark UI
+#: SQL tab/event-log plan text print binary literals as 0x-hex — from
+#: which the secret key is one XOR away (key = ipad ^ 0x36). The
+#: pattern is STRUCTURAL (any 128-hex-digit binary literal) rather than
+#: the pads' own hex, because runtime conf values themselves surface in
+#: SparkListenerSQLExecutionStart.modifiedConfigs / environment events —
+#: a pattern containing the pad bytes would just move the leak into the
+#: event log's conf dump. Registered via Spark's own plan-text redaction
+#: hook (spark.sql.redaction.string.regex), which scrubs explain output,
+#: the UI SQL tab, and the physicalPlanDescription recorded in event
+#: logs. Residual exposure (documented, not closable from here): a plan
+#: stringified BEFORE the conf is set, or by a tool that bypasses
+#: Spark's redaction (e.g. raw TreeNode access), still shows the pads —
+#: treat plan dumps from such paths as key-equivalent material.
+_PAD_REDACTION_PATTERN = "(?i)0x[0-9A-F]{128}"
+_REDACTION_CONF = "spark.sql.redaction.string.regex"
+
+
+def _ensure_pad_redaction() -> None:
+    """Install the structural pad-redaction pattern on the active
+    session (merging with any user-set pattern) so HMAC key material
+    never prints in plan text. Best-effort: with no active session the
+    Column is being built detached and the session that eventually
+    executes it gets the pattern from session.get_spark's defaults."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    try:
+        current = spark.conf.get(_REDACTION_CONF, None)
+    except Exception:  # pragma: no cover - conf layer unavailable
+        return
+    if current and _PAD_REDACTION_PATTERN in current:
+        return
+    merged = (
+        _PAD_REDACTION_PATTERN
+        if not current
+        else f"(?:{current})|(?:{_PAD_REDACTION_PATTERN})"
+    )
+    try:
+        spark.conf.set(_REDACTION_CONF, merged)
+    except Exception:  # pragma: no cover - read-only conf on some builds
+        pass
+
+
 def hmac_sha256_expr(col: Column | str, secret_key: str = DEFAULT_SECRET_KEY) -> Column:
     """HMAC-SHA256 as a pure builtin expression (RFC 2104 unrolled):
 
@@ -85,7 +132,15 @@ def hmac_sha256_expr(col: Column | str, secret_key: str = DEFAULT_SECRET_KEY) ->
     worker round-trips; digest parity with the stdlib ``hmac`` module
     (and hence the reference's masking.py:151-177) is pinned by the
     test vectors in tests/test_masking.py.
+
+    Key-exposure note: the pads land in the plan as binary literals, so
+    without redaction the secret is recoverable from any stringified
+    plan (explain, UI SQL tab, event logs). This function installs the
+    structural redaction pattern (see ``_PAD_REDACTION_PATTERN``) on
+    the active session before returning the Column; the exposure
+    boundary and residual paths are documented on the pattern constant.
     """
+    _ensure_pad_redaction()
     c = F.col(col) if isinstance(col, str) else col
     key = secret_key.encode("utf-8")
     if len(key) > 64:  # RFC 2104: long keys are hashed first

@@ -37,6 +37,13 @@ SESSION_CONFS: dict[str, str] = {
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     ),
+    # Scrub HMAC key pads (64-byte binary literals, printed as 128 hex
+    # digits) from every stringified plan — explain(), the UI SQL tab,
+    # and the physicalPlanDescription in event logs. Structural on
+    # purpose: a regex containing the pad bytes would itself leak via
+    # the event log's modifiedConfigs dump. See
+    # functions/masking.py:_PAD_REDACTION_PATTERN for the threat model.
+    "spark.sql.redaction.string.regex": "(?i)0x[0-9A-F]{128}",
 }
 
 
@@ -96,6 +103,12 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """
     for k, v in SESSION_CONFS.items():
         try:
+            if k == "spark.sql.redaction.string.regex":
+                # merge, don't clobber: a foreign session may carry its
+                # own redaction pattern — ours is additive
+                cur = spark.conf.get(k, None)
+                if cur and v not in cur:
+                    v = f"(?:{cur})|(?:{v})"
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on some builds
             pass

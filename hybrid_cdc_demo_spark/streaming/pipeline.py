@@ -127,11 +127,16 @@ class PipelineConfig:
     #: has nothing to decide at trigger scale and its per-stage
     #: re-plan latency is pure overhead — interleaved A/B with
     #: calibration-stable probes (r9) shows ~8% lower median batch
-    #: time with AQE off (0.59-0.70 s vs 0.63-0.93 s). Batch/catalog
-    #: queries keep AQE (session conf untouched); this latches only
-    #: onto the streaming query's cloned session and is restored on
-    #: stop. Set True for pipelines with large, highly variable
-    #: triggers where coalescing/skew-splitting earn their keep.
+    #: time with AQE off (0.59-0.70 s vs 0.63-0.93 s). Scope: start()
+    #: sets this on the PARENT session conf (the same latch the
+    #: shuffle-partition sizing uses) so the streaming query clones it
+    #: at start; until stop()/restore_confs() runs, batch/catalog
+    #: queries issued concurrently ON THIS SESSION also plan with AQE
+    #: per this flag — run concurrent analytics on their own session
+    #: (cheap: SparkSession.newSession shares the SparkContext) if
+    #: they need AQE while a pipeline is live. Set True for pipelines
+    #: with large, highly variable triggers where coalescing/
+    #: skew-splitting earn their keep.
     adaptive_execution: bool = False
     #: optional per-table data-quality rules (operators/quality.py
     #: semantics): {rule_name: SQL boolean expression over the

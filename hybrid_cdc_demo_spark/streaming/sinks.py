@@ -58,12 +58,25 @@ def _in_background_pool(spark: SparkSession, fn):
     compaction is active. On a FIFO session the local property is
     inert — the task still runs, just without the priority split.
 
-    The pool property is per-thread (PySpark pinned-thread mode), set
-    on entry and cleared on exit because the single maintenance worker
-    thread is reused across submissions."""
+    The pool property is per-thread ONLY in PySpark pinned-thread mode
+    (the default since 3.2: each Python thread pins to its own JVM
+    thread, so setLocalProperty is thread-scoped). With
+    PYSPARK_PIN_THREAD=false all Python threads share gateway threads
+    and the property can leak onto a concurrent FOREGROUND micro-batch,
+    deprioritizing exactly the work the pool exists to protect — so in
+    unpinned mode the wrapper skips the property entirely (the task
+    still runs, just without the priority split, same degradation as a
+    FIFO session; r9 ADVICE)."""
+
+    pinned = os.environ.get("PYSPARK_PIN_THREAD", "true").lower() not in (
+        "false",
+        "0",
+    )
 
     def run():
         sc = spark.sparkContext
+        if not pinned:
+            return fn()
         try:
             sc.setLocalProperty("spark.scheduler.pool", "background")
         except Exception:  # pragma: no cover - session already stopped
