@@ -395,6 +395,7 @@ def run_streaming_replay(
     sinks: tuple[str, ...] | None = None,
     source_format: str = "envelope",
     n_files: int = 25,
+    pipeline_conf: dict | None = None,
 ) -> dict[str, float]:
     """S6 pipeline replay: envelope fixtures → validate/mask/merge into
     all three sink personalities (or the ``sinks`` subset); reports
@@ -402,7 +403,9 @@ def run_streaming_replay(
     (BASELINE.md targets: ≥1000 events/s single / ≥800 multi,
     p99 < 1 s, cold start < 30 s). ``source_format='commitlog'``
     replays the reference-native BINARY segments instead (frame split +
-    envelope parse inside the timed path)."""
+    envelope parse inside the timed path). ``pipeline_conf`` overrides
+    PipelineConfig fields — the hook interleaved A/B runs use to
+    compare pipeline variants inside one session (PERF.md protocol)."""
     from hybrid_cdc_demo_spark.schema.evolution import SchemaRegistry, TableSchema
     from hybrid_cdc_demo_spark.sources.cdc import generate_change_events
     from hybrid_cdc_demo_spark.streaming.pipeline import CDCPipeline, PipelineConfig
@@ -443,6 +446,7 @@ def run_streaming_replay(
         # semantics explicitly rather than by accident.)
         max_files_per_trigger=1 if source_format == "envelope" else None,
         source_format=source_format,
+        **(pipeline_conf or {}),
     )
     pipeline = CDCPipeline(spark, cfg, reg)
     if sinks is not None:

@@ -19,13 +19,54 @@ from hybrid_cdc_demo_spark.plans import ORACLE_SQL, QUERIES
 SF = "/root/testdata/sf0.001"
 
 #: queries verified WITHOUT a DuckDB oracle → where their pin lives.
+#:
+#: WHY each remains pinned (r9 VERDICT #6 — the boundary of what is
+#: mechanically convertible to a generated oracle, documented per pin;
+#: ns_embedding_neardup crossed it this round — its SRP planes are
+#: seeded literals and every step folds deterministically, so the full
+#: LSH pipeline is now a generated DuckDB mirror in northstar.py):
+#:
+#: * xxhash64 family (ns_winnowing, ns_dedup_minhash, ns_dedup_simhash,
+#:   ns_multimodal_features' fingerprint column): the signatures hash
+#:   with Spark's xxhash64 builtin; DuckDB's hash() is a different
+#:   64-bit function and DuckDB ships no xxhash64 — no SQL mirror can
+#:   reproduce the signatures. Verified instead by property tests
+#:   (banded-candidate recall vs exact Jaccard / planted near-dups)
+#:   and, for minhash, the ns_dedup_bucket_coverage companion oracle
+#:   that hash-verifies the banding arithmetic itself.
+#: * recall-pinned ANN ladder (ns_simsearch_lsh/ivf/ivf_sq8/ivfpq/opq/
+#:   ivfopq/refine, ns_opq_rotation, ns_dedup_bucket_coverage): the
+#:   CLAIM is approximate (recall vs the exact top-k, which IS
+#:   oracle-backed via ns_simsearch_brute); an equality oracle would
+#:   assert the wrong thing. Where equality does hold, it is pinned
+#:   bitwise in-suite (PQ/OPQ train+encode vs generated SQL in
+#:   test_pq.py; refine's exact-d2 rescoring).
+#: * sketch-tolerance pair (q05_approx_distinct, ns_sketch_cardinality,
+#:   ns_quantile_sketch): HLL/KLL estimates — SURVEY §2c declares them
+#:   tolerance-checked (<5% / rank-error bounds) against the exact
+#:   answer, which is the oracle-backed quantity.
+#: * ns_pca_project: the eigenbasis comes from LAPACK eigh — not
+#:   unrollable as SQL iterations (Jacobi sweeps are order-dependent
+#:   rotations, no fixed small iteration count). The r9 suggestion of
+#:   injecting the eigenbasis as literals fails across scale points:
+#:   the vec_id<500 training slice is a DIFFERENT 500 vectors at each
+#:   sf (verified: per-sf md5 of the ordered slice differs), so a
+#:   static literal basis can only ever match one sf while the sweep
+#:   certifies five. What IS mechanically checkable is oracle-backed:
+#:   the Gram matrix (ns_gram_matrix, hash-exact fold) and the
+#:   projection-given-basis (same fold as the oracle-green kmeans/PQ
+#:   dot products); the eigh step between them is pinned by
+#:   orthonormality/variance/determinism contracts in test_linalg.py.
+#: * ns_text_langid: classification over hand-tuned n-gram heuristic
+#:   tables — mirrorable only by restating the entire table in SQL,
+#:   which would duplicate (not independently check) the rules; pinned
+#:   on a labeled fixture instead.
 PINNED_NO_ORACLE = {
     "q05_approx_distinct": "test_oracle_parity.py::test_approx_distinct_within_tolerance",
     "ns_dedup_minhash": "test_dedup.py (property vs exact Jaccard)",
     "ns_dedup_simhash": "test_dedup.py (planted near-dups)",
     "ns_simsearch_ivf": "test_ivf.py (recall, persisted parity, pruning)",
     "ns_simsearch_lsh": "test_query_contracts.py::test_ns_simsearch_lsh_pinned",
-    "ns_embedding_neardup": "test_query_contracts.py::test_ns_embedding_neardup_pinned",
     "ns_text_langid": "test_query_contracts.py::test_ns_text_langid_pinned",
     "ns_multimodal_features": "test_query_contracts.py::test_ns_multimodal_features_pinned",
     "ns_winnowing": "test_query_contracts.py::test_ns_winnowing_pinned",
@@ -88,6 +129,74 @@ def test_ns_embedding_neardup_pinned(spark):
     pairs = embedding_neardup_pairs(emb, threshold=0.95, num_planes=4).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
     assert pairs[0]["cos"] >= 0.95
+
+
+def test_ns_embedding_neardup_oracle_on_planted_pairs(spark, tmp_path):
+    """The generated SRP-LSH oracle (northstar._neardup_oracle) must
+    agree with the Spark pipeline on a corpus where near-dup pairs
+    EXIST — the sf0.01 corpus is isotropic (both sides emit 0 rows,
+    a vacuous equality), so this plants clusters of perturbed 64-dim
+    vectors and compares the full (id_a, id_b, cos) result sets."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    for _ in range(30):  # 30 clusters of 3 near-identical vectors
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(3):
+            rows.append(
+                (vid, [x + rng.uniform(-0.01, 0.01) for x in base])
+            )
+            vid += 1
+    for _ in range(100):  # isotropic background
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(64)]))
+        vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    pdf["embedding"] = pdf["embedding"].map(
+        lambda v: [float(x) for x in v]
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(
+        pdf,
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+            ]
+        ),
+        preserve_index=False,
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    s = (
+        QUERIES["ns_embedding_neardup"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    o = (
+        con.execute(ORACLE_SQL["ns_embedding_neardup"])
+        .df()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(s) > 0, "planted corpus must produce pairs"
+    assert list(s.columns) == list(o.columns)
+    assert len(s) == len(o)
+    assert (s["id_a"].values == o["id_a"].values).all()
+    assert (s["id_b"].values == o["id_b"].values).all()
+    assert (s["cos"].values == o["cos"].values).all()  # bitwise
 
 
 def test_ns_text_langid_pinned(spark):

@@ -174,6 +174,14 @@ def main() -> None:
         builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # session-noise calibration rides EVERY timing artifact (VERDICT
+    # r9 #3): r9's sweep ran 1.38x slower than r8 on identical code and
+    # only a cross-harness forensic pass proved it was the sandbox —
+    # with the same fixed q03 probe recorded here (pre and post), a
+    # round-over-round sweep delta adjudicates itself.
+    from bench import calibration_probe
+
+    calibration_pre = calibration_probe(spark)
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     # pre-filter inventory size: recorded in _summary so a SLICE
     # artifact (SWEEP_QUERIES / SWEEP_EXCLUDE active) is always
@@ -259,6 +267,8 @@ def main() -> None:
     doc = {
         "_summary": {
             "sf_dir": sf_dir,
+            "calibration_sec": calibration_pre,
+            "calibration_post_sec": calibration_probe(spark),
             **({"spark_conf_overrides": conf_overrides} if conf_overrides else {}),
             "oracle_queries": len(osql),
             "oracle_inventory": oracle_inventory,

@@ -162,6 +162,46 @@ def _settle(api: str, status_tracker) -> dict[int, dict]:
     return _stages(api)
 
 
+def _result_fingerprint(df) -> dict:
+    """Order-independent fingerprint of a query's full result, used to
+    certify that a SPILLED execution produced the same answer as a
+    non-spilled one (VERDICT r9 #4 — r9's starved sf10 run showed
+    ns_dedup_minhash spilling 18.4 GB and completing, but nothing
+    certified the spilled answer). Per row: xxhash64 over every column
+    cast to string (float/double rounded to 6 dp first — partition
+    order perturbs low bits of float AGGREGATES, and rounding the
+    emitted values is the same tolerance policy the sweep oracle
+    uses); combined across rows by count + bit-XOR + decimal sum, all
+    insensitive to row order and overflow-safe under ANSI."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (DoubleType, FloatType)):
+            c = F.round(c, 6)
+        elif isinstance(f.dataType, ArrayType) and isinstance(
+            f.dataType.elementType, (DoubleType, FloatType)
+        ):
+            c = F.transform(c, lambda x: F.round(x, 6))
+        cols.append(c.cast("string"))
+    row = (
+        df.select(F.xxhash64(*cols).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        )
+        .collect()[0]
+    )
+    return {
+        "rows": int(row["n"]),
+        "xor": int(row["x"]) if row["x"] is not None else None,
+        "sum": str(row["s"]) if row["s"] is not None else None,
+    }
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SPILL.json"
     sf_dir = os.environ.get("SPILL_SF_DIR", "/root/repo/.scaling/sf1")
@@ -202,6 +242,10 @@ def main() -> None:
     app_id = _get(f"{api_root}/applications")[0]["id"]
     api = f"{api_root}/applications/{app_id}"
 
+    # session-noise calibration in every timing artifact (VERDICT r9 #3)
+    from bench import calibration_probe
+
+    calibration_pre = calibration_probe(spark)
     results: dict[str, dict] = {}
     spilled: list[str] = []
     for name in names:
@@ -210,7 +254,10 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = QUERIES[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            # full materialization AND an order-independent result
+            # fingerprint in one action — so a spilled run's answer is
+            # certifiable against a non-spilled run's (VERDICT r9 #4)
+            fingerprint = _result_fingerprint(df)
         except Exception as exc:  # noqa: BLE001 — record, keep auditing
             results[name] = {"error": f"{type(exc).__name__}: {exc}"}
             continue
@@ -220,6 +267,7 @@ def main() -> None:
         agg = {k: sum(s.get(k, 0) for s in new) for k in STAGE_SUMS}
         rec = {
             "sec": sec,
+            "result_fingerprint": fingerprint,
             "num_stages": len(new),
             **agg,
             "peak_execution_memory": max(
@@ -244,6 +292,8 @@ def main() -> None:
             "sf_dir": sf_dir,
             "cpus": cpus,
             "mem_gb": mem_gb,
+            "calibration_sec": calibration_pre,
+            "calibration_post_sec": calibration_probe(spark),
             "pass_criterion": (
                 "spill-and-complete (starved budget)"
                 if expect_spill

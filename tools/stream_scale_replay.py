@@ -136,9 +136,29 @@ def main() -> None:
         delete_policy_append="tombstone",
     )
     pipeline = CDCPipeline(spark, cfg, reg)
+
+    # session-noise calibration in every timing artifact (VERDICT r9
+    # #3) + per-batch latency distribution (VERDICT r9 #5): throughput
+    # and zero-loss alone leave the p99 SLO unobserved exactly where
+    # the reference's peak-ingest scenario implies hot partitions.
+    from bench import calibration_probe
+
+    calibration_pre = calibration_probe(spark)
+    batch_secs: list[float] = []
+    orig_pb = pipeline.process_batch
+
+    def timed_pb(df, bid):
+        t1 = time.perf_counter()
+        out = orig_pb(df, bid)
+        batch_secs.append(time.perf_counter() - t1)
+        return out
+
+    pipeline.process_batch = timed_pb
     t0 = time.perf_counter()
     pipeline.run_available()
     wall = round(time.perf_counter() - t0, 1)
+    calibration_post = calibration_probe(spark)
+    batch_secs.sort()
 
     # ground truth: batch latest-wins over the same envelopes (the
     # SC-001 computation), DELETEs removing keys
@@ -196,6 +216,18 @@ def main() -> None:
             "events_per_sec": round(n_events / wall, 1),
             "n_sinks": len(pipeline.sinks),
             "all_sinks_zero_loss_zero_dup": ok,
+            "n_batches": len(batch_secs),
+            "batch_p50_sec": round(batch_secs[len(batch_secs) // 2], 3)
+            if batch_secs
+            else None,
+            "batch_p99_sec": round(
+                batch_secs[max(0, int(len(batch_secs) * 0.99) - 1)], 3
+            )
+            if batch_secs
+            else None,
+            "batch_worst_sec": round(batch_secs[-1], 3) if batch_secs else None,
+            "calibration_sec": calibration_pre,
+            "calibration_post_sec": calibration_post,
         },
         "sinks": sinks_report,
     }
