@@ -54,6 +54,26 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+#: Hadoop-level output-committer tuning for the micro-batch write path
+#: (r10 interleaved A/B, tools-level, calibration-stable: batch median
+#: 0.56 vs 0.64 s — ~12% — with worst-batch no worse):
+#: * no _SUCCESS markers — one file create per write job removed; the
+#:   sinks' commit signal is the BatchLedger entry (and the versioned
+#:   table's pointer swap), never _SUCCESS (grep-clean by test).
+#: * committer algorithm v2 — task outputs rename directly to the
+#:   destination, skipping the per-file job-commit rename pass. Safe
+#:   for every engine write: sink segments are overwrite-by-batchId
+#:   (a failed job's partial output is wholly replaced on replay, and
+#:   invisible to readers until the ledger commits); snapshot writes
+#:   hide behind the atomic pointer swap. Caveat documented: DLQ
+#:   appends could duplicate rows if a multi-task DLQ job dies mid-
+#:   commit and replays — DLQ rows carry event_id for exactly that.
+HADOOP_CONFS: dict[str, str] = {
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs": "false",
+    "mapreduce.fileoutputcommitter.algorithm.version": "2",
+}
+
+
 def get_spark(
     app_name: str = "hybrid-cdc-demo-spark",
     master: str | None = None,
@@ -86,6 +106,8 @@ def get_spark(
         builder = builder.config("spark.scheduler.allocation.file", alloc)
     for k, v in SESSION_CONFS.items():
         builder = builder.config(k, v)
+    for k, v in HADOOP_CONFS.items():
+        builder = builder.config(f"spark.hadoop.{k}", v)
     builder = builder.config("spark.ui.enabled", "false")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -112,4 +134,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on some builds
             pass
+    try:
+        hc = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in HADOOP_CONFS.items():
+            hc.set(k, v)
+    except Exception:  # pragma: no cover - connect-mode sessions
+        pass
     return spark

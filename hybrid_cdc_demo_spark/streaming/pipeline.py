@@ -126,10 +126,18 @@ class PipelineConfig:
     #: — zero extra Spark jobs per trigger — instead of a separate
     #: aggregate job submitted inside the fan-out pool. Both paths
     #: produce identical counts (same aggregate expressions over the
-    #: same rows); this flag exists for interleaved A/B measurement
-    #: (tools/batch_profile.py) and as a fallback if a foreign session
-    #: restricts QueryExecutionListeners (Observation needs one).
-    control_counts_via_observe: bool = True
+    #: same rows). MEASURED trade-off (r10 interleaved A/B, 4 pairs,
+    #: calibration-stable 0.26-0.35 s probes, tools/ab_replay.py): at
+    #: SLO batch size the observe path LOSES slightly — batch median
+    #: 0.618 vs 0.594 s, median worst 1.18 vs 1.05 s, p99 tied — the
+    #: CollectMetrics evaluation + listener-bus wait sit in the SERIAL
+    #: materialize step, while the control-agg job it removes ran
+    #: concurrently with the sink writes and was never on the critical
+    #: path. Default OFF (the r9 shape). Turn it on when driver job
+    #: SCHEDULING is the constrained resource (hundreds of concurrent
+    #: streams per driver, scheduler-queue-bound deployments) — it
+    #: trades a few ms of serial latency for one fewer job per trigger.
+    control_counts_via_observe: bool = False
     #: AQE for the pipeline's micro-batch jobs. Default OFF: the
     #: micro-batcher already sizes shuffle partitions to observed
     #: batch volume (O19, _batch_partitions), so runtime re-planning

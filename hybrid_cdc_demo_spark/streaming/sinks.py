@@ -175,11 +175,18 @@ class BatchLedger:
         self.compact_every = compact_every
         self._committed: set[int] | None = None  # lazy-loaded from disk
         self._max_ts: int | None = None
+        #: loose per-batch files on disk — counted once at load, then
+        #: maintained in memory so the per-commit hot path never lists
+        #: the directory (the glob was one dirscan per sink per trigger
+        #: — a filesystem sync on the p99 path for a number that only
+        #: decides WHEN to fold; a restart recounts from disk)
+        self._loose = 0
 
     def _load(self) -> None:
         if self._committed is not None:
             return
         self._committed = set()
+        self._loose = len(list(self.path.glob("batch-*.json")))
         for b in self.committed_batches():
             self._committed.add(int(b["batch_id"]))
             ts = b.get("last_event_timestamp_micros")
@@ -207,11 +214,15 @@ class BatchLedger:
         if ts is not None:
             self._max_ts = ts
         stats = {**stats, "last_event_timestamp_micros": ts}
+        target = self.path / f"batch-{batch_id:012d}.json"
+        fresh = not target.exists()  # replay overwrites, not a new file
         tmp = self.path / f".batch-{batch_id:012d}.tmp"
         tmp.write_text(json.dumps({"batch_id": batch_id, **stats}, default=str))
-        os.replace(tmp, self.path / f"batch-{batch_id:012d}.json")
+        os.replace(tmp, target)
         self._committed.add(batch_id)
-        if len(list(self.path.glob("batch-*.json"))) >= self.compact_every:
+        if fresh:
+            self._loose += 1
+        if self._loose >= self.compact_every:
             self._compact()
 
     def _manifest_entries(self) -> list[dict]:
@@ -236,6 +247,7 @@ class BatchLedger:
         os.replace(tmp, self.path / self.MANIFEST)
         for p in loose:
             p.unlink(missing_ok=True)
+        self._loose = 0
 
     def committed_batches(self) -> list[dict]:
         by_id = {int(e["batch_id"]): e for e in self._manifest_entries()}

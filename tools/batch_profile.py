@@ -67,11 +67,15 @@ def main() -> None:
     batch_secs: list[float] = []
     orig_pb = P.CDCPipeline.process_batch
 
+    batch_secs_order: list[float] = []
+
     def profiled_pb(self, batch, batch_id):
         j0 = next_job_id()
         t0 = time.perf_counter()
         out = orig_pb(self, batch, batch_id)
-        batch_secs.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        batch_secs.append(dt)
+        batch_secs_order.append(dt)
         batch_jobs.append(next_job_id() - j0)
         return out
 
@@ -81,6 +85,7 @@ def main() -> None:
     run_streaming_replay(spark, n_events=2000)
     batch_jobs.clear()
     batch_secs.clear()
+    batch_secs_order.clear()
     for k in list(acc):
         acc[k] = 0.0
         calls[k] = 0
@@ -113,6 +118,12 @@ def main() -> None:
         },
         "calibration_pre_sec": round(cal_pre, 3),
         "calibration_post_sec": round(cal_post, 3),
+        "batch_secs_in_order": [round(s, 3) for s in batch_secs_order],
+        "worst_batch_index": (
+            batch_secs_order.index(max(batch_secs_order))
+            if batch_secs_order
+            else -1
+        ),
         "replay": r,
     }
     print(json.dumps(out))
