@@ -124,6 +124,31 @@ def pca_components(
     return comps, vals[order]
 
 
+def random_orthonormal_basis(dim: int, k: int, seed: int = 42):
+    """Seeded random orthonormal k×dim basis (rows orthonormal) — the
+    Johnson–Lindenstrauss projection model: a DATA-INDEPENDENT rotation
+    that preserves pairwise distances within (1±ε) at k = O(log n/ε²),
+    the standard cheap precursor to ANN / near-dup over very wide
+    embeddings (no training pass over the corpus at all, unlike PCA).
+    Deterministic: fixed-seed gaussian → QR → sign convention
+    (largest-|coordinate| positive per row), so the same (dim, k, seed)
+    yields the same basis everywhere in one process — which is what
+    lets the projection query carry a GENERATED literal-basis oracle
+    (the eigh-based PCA basis can't: it depends on the per-sf training
+    slice, see tests/test_query_contracts.py PINNED_NO_ORACLE notes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    g = rng.standard_normal((dim, k))
+    q, _ = np.linalg.qr(g)  # dim x k, orthonormal columns
+    comps = q.T  # k x dim rows
+    for c in comps:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0.0:
+            c *= -1.0
+    return comps
+
+
 def project_expr(vec: F.Column, component) -> F.Column:
     """Dot product of a vector column against one literal component —
     a strict left fold in index order (deterministic), whole-stage

@@ -479,6 +479,58 @@ def ns_pca_project(spark, sf_dir):
     return pca_project(emb, comps, "embedding", "vec_id").orderBy("vec_id")
 
 
+def _random_projection_oracle(dim: int = 64, k: int = 4, seed: int = 42) -> str:
+    """GENERATED DuckDB mirror of the JL random projection: the basis
+    is data-independent (seeded gaussian + QR, linalg.py), so — unlike
+    the PCA eigenbasis, whose training slice differs per sf — the SAME
+    literal basis is valid at every scale point. Both sides are the
+    identical strict left fold in index order (Spark F.aggregate over
+    zip_with ≡ DuckDB list_reduce over list_transform), so values are
+    bitwise-equal; the basis floats are rendered shortest-repr and both
+    engines' literal parses are correctly rounded."""
+    from hybrid_cdc_demo_spark.operators.linalg import (
+        random_orthonormal_basis,
+    )
+
+    comps = random_orthonormal_basis(dim, k, seed)
+    cols = []
+    for i, c in enumerate(comps):
+        arr = "[" + ", ".join(f"'{float(x)!r}'::DOUBLE" for x in c) + "]"
+        cols.append(
+            f"list_reduce(list_prepend(0.0, list_transform(e, "
+            f"(x,j) -> x * {arr}[j])), (a,b) -> a + b) AS rp{i + 1}"
+        )
+    return f"""
+    SELECT vec_id, {", ".join(cols)}
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ORDER BY vec_id
+    """
+
+
+@query("ns_random_projection", oracle=_random_projection_oracle())
+def ns_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection of the full embedding
+    corpus onto a seeded orthonormal k=4 basis — the data-independent
+    dimensionality reduction an LLM pipeline runs BEFORE any training
+    pass is affordable (distance-preserving sketch for ANN prefilters,
+    near-dup blocking, cheap clustering; the PCA query above is the
+    trained counterpart). Map-only: scan + one codegen projection per
+    output dim, zero shuffles, zero driver data — at 100 TB this is a
+    pure pass over the corpus. Hash-exact vs a generated literal-basis
+    DuckDB oracle (see _random_projection_oracle)."""
+    from hybrid_cdc_demo_spark.operators.linalg import (
+        pca_project,
+        random_orthonormal_basis,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = random_orthonormal_basis(64, 4, 42)
+    out = pca_project(emb, comps, "embedding", "vec_id").orderBy("vec_id")
+    return out.select(
+        "vec_id", *[F.col(f"pc{i + 1}").alias(f"rp{i + 1}") for i in range(4)]
+    )
+
+
 def _pq_oracle(m: int = 4, sub: int = 16, k: int = 8) -> str:
     """Generate the DuckDB mirror of PQ training+encoding: the
     ns_kmeans_assign CTE chain (seed -> 2 exact-fold Lloyd iterations

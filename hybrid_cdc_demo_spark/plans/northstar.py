@@ -726,7 +726,7 @@ def _neardup_oracle(
     planes = hyperplanes(dim, num_planes, seed)
 
     def lst(vals) -> str:
-        return "[" + ", ".join(f"{float(x)!r}::DOUBLE" for x in vals) + "]"
+        return "[" + ", ".join(f"'{float(x)!r}'::DOUBLE" for x in vals) + "]"
 
     def fold_dot(vec: str, arr: str) -> str:
         return (

