@@ -89,6 +89,18 @@ def get_spark(
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{default_parallelism()}]")
     builder = SparkSession.builder.appName(app_name).master(master)
+    # In local mode the driver heap IS the executor heap, and Spark's
+    # default is 1g — for a local[32] engine that is 32 MB/thread,
+    # QUARTER of the spill audit's deliberately-starved budget. The
+    # r10 SLO forensics traced intermittent 1.3 s micro-batches on a
+    # quiet host with calm read+write probes to exactly this: GC
+    # pauses on a heap ~8x too small for the thread count. Default to
+    # 8g (64 GB box leaves plenty; override via SPARK_GRAFT_DRIVER_MEM
+    # for constrained hosts). Static conf — only effective when this
+    # builder launches the JVM; foreign sessions keep their own.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     builder = builder.config(
         "spark.sql.shuffle.partitions", str(shuffle_partitions or default_parallelism())
     )

@@ -321,6 +321,9 @@ class UpsertSink:
         self.table = VersionedParquetTable(spark, os.path.join(path, "data"))
         self.delta_path = Path(path) / "delta"
         self.delta_path.mkdir(parents=True, exist_ok=True)
+        # L1 tier of the size-tiered compaction ladder (see maintain())
+        self.l1_path = Path(path) / "l1"
+        self.l1_path.mkdir(parents=True, exist_ok=True)
         self.ledger = BatchLedger(os.path.join(path, "ledger"))
         self.key_cols = key_cols
         self.compact_every = compact_every
@@ -343,6 +346,9 @@ class UpsertSink:
 
     def _segments(self) -> list[Path]:
         return sorted(self.delta_path.glob("seg-*"))
+
+    def _l1_runs(self) -> list[Path]:
+        return sorted(self.l1_path.glob("run-*"))
 
     def write_batch(self, batch: DataFrame, batch_id: int) -> int:
         if self.ledger.is_committed(batch_id):
@@ -373,7 +379,7 @@ class UpsertSink:
             self._compact_future is None or self._compact_future.done()
         ):
             self._compact_future = self._compact_pool.submit(
-                _in_background_pool(self.spark, self.compact)
+                _in_background_pool(self.spark, self.maintain)
             )
         return n
 
@@ -384,19 +390,26 @@ class UpsertSink:
             self._compact_future.result()
             self._compact_future = None
 
-    def _merged(self, segs: list[Path] | None = None) -> DataFrame | None:
+    def _merged(
+        self,
+        segs: list[Path] | None = None,
+        runs: list[Path] | None = None,
+    ) -> DataFrame | None:
         base = self.table.read()
         if segs is None:
             segs = self._segments()
-        if segs:
+        if runs is None:
+            runs = self._l1_runs()
+        pending = [str(r) for r in runs] + [str(s) for s in segs]
+        if pending:
             # ignoreMissingFiles: a reader racing the background
-            # compactor may hold a plan over segments the compactor
-            # just folded+removed; tolerate the vanished files — every
-            # row in them is, by compaction's contract, already in the
-            # base snapshot this same plan unions in.
+            # compactor may hold a plan over segments/runs the
+            # compactor just folded+removed; tolerate the vanished
+            # files — every row in them is, by compaction's contract,
+            # already in the tier this same plan unions in.
             deltas = (
                 self.spark.read.option("ignoreMissingFiles", "true")
-                .parquet(*[str(s) for s in segs])
+                .parquet(*pending)
             )
             base = deltas if base is None else base.unionByName(
                 deltas.select(*base.columns)
@@ -404,6 +417,43 @@ class UpsertSink:
         if base is None:
             return None
         return latest_per_key(base, self.key_cols)
+
+    def maintain(self) -> None:
+        """The recurring background maintenance step — size-tiered, so
+        steady-state per-trigger cost is O(recent), never O(table):
+
+        * L0 → L1: fold the pending delta segments (one per batch)
+          into a single latest-wins L1 run. Cost is proportional to
+          ``compact_every`` batches of data, CONSTANT as the table
+          grows.
+        * L1 → base: only when ``compact_every`` L1 runs have
+          accumulated (i.e. every ~compact_every² batches) does the
+          full ``compact()`` rewrite the base.
+
+        The earlier scheme folded the ENTIRE base every compact_every
+        batches — O(table) recurring work, measured as a per-batch
+        latency creep once replays ran past ~50 batches (every
+        compaction rewrote all accumulated data while the foreground
+        batch shared the same cores; at 100 TB the scheme would be
+        unrunnable). Tombstone grace-GC happens only in the base fold,
+        where the ledger clock is consulted; L1 runs preserve
+        tombstones unconditionally. Crash-safe the same way the write
+        path is: the run name derives from the last folded segment, a
+        re-fold overwrites the same run, and latest-wins makes any
+        overlap between a leftover run and its refold a no-op."""
+        segs = self._segments()
+        if segs:
+            folded = latest_per_key(
+                self.spark.read.option("ignoreMissingFiles", "true")
+                .parquet(*[str(s) for s in segs]),
+                self.key_cols,
+            ).sortWithinPartitions(*self.key_cols)
+            run = self.l1_path / f"run-{segs[-1].name[4:]}"
+            folded.write.mode("overwrite").parquet(str(run))
+            for s in segs:
+                shutil.rmtree(s, ignore_errors=True)
+        if len(self._l1_runs()) >= self.compact_every:
+            self.compact()
 
     def compact(self) -> None:
         """Fold pending delta segments into the base snapshot (the
@@ -420,7 +470,8 @@ class UpsertSink:
         GC'd only once older than ``tombstone_grace_micros`` against
         the ledger's monotone event clock, and filtered in read()."""
         segs = self._segments()
-        merged = self._merged(segs)
+        runs = self._l1_runs()
+        merged = self._merged(segs, runs)
         if merged is None:
             return
         keep = merged
@@ -438,7 +489,7 @@ class UpsertSink:
         # time. Cost: a sort of data this merge rewrites anyway.
         keep = keep.sortWithinPartitions(*self.key_cols)
         self.table.write(keep, partition_by=self.partition_cols)
-        for s in segs:
+        for s in [*segs, *runs]:
             shutil.rmtree(s, ignore_errors=True)
 
     def read(self) -> DataFrame | None:

@@ -16,9 +16,10 @@
    probes recorded, and a disclosed bounded re-run rule (breach + >50%
    probe drift vs the session floor → ONE re-run, both values kept)
    (VERDICT r9 #1).
-5. Sink write_batch computes segment stats via Observation on the
-   write job itself — no post-write footer scan in the per-batch path,
-   stats identical to the footer read (VERDICT r9 #2).
+5. Both control-count execution strategies (observe-node vs separate
+   aggregate job) produce identical per-batch stats and sink contents
+   (VERDICT r9 #2 — the A/B'd alternatives must be semantically
+   interchangeable).
 """
 
 from __future__ import annotations
@@ -209,12 +210,14 @@ class TestP99Adjudication:
 
         import bench
 
-        src = inspect.getsource(bench.run_streaming_bench)
+        src = inspect.getsource(bench.run_streaming_slo_bench)
         for field in (
             "streaming_p99_replay_calibration",
             "streaming_p99_runs_raw",
             "streaming_p99_reruns",
             "streaming_calibration_floor_sec",
+            "streaming_write_probe_floor_ms",
+            "streaming_slo_calm_wait_sec",
         ):
             assert field in src, f"missing artifact field {field}"
 
@@ -229,3 +232,106 @@ class TestP99Adjudication:
         assert not _p99_rerun_eligible(1.4, pre=0.31, post=0.33, floor=0.3)
         # no breach → never eligible
         assert not _p99_rerun_eligible(0.8, pre=0.9, post=0.9, floor=0.3)
+        # whole-session storm: probes calm RELATIVE to a storm-inflated
+        # floor but above the absolute quiet-host band → eligible only
+        # when the absolute threshold is supplied (the write family)
+        assert not _p99_rerun_eligible(1.4, pre=3.6, post=2.6, floor=2.6)
+        assert _p99_rerun_eligible(1.4, pre=3.6, post=2.6, floor=2.6, abs_limit=3.0)
+        # absolute threshold never fires without a breach
+        assert not _p99_rerun_eligible(0.8, pre=9.9, post=9.9, floor=2.6, abs_limit=3.0)
+
+
+class TestTieredCompaction:
+    """Size-tiered background maintenance (the r10 worst-batch-cost
+    fix): the recurring maintain() step folds L0 delta segments into
+    an L1 run at O(recent) cost and rewrites the base ONLY when
+    compact_every L1 runs have accumulated. The earlier fold-all-to-
+    base-every-8-batches scheme was O(table) recurring work, measured
+    as a per-batch latency creep past ~50 batches (PERF.md round-10)
+    and unrunnable at the 100 TB design point."""
+
+    SCHEMA = (
+        "key_hash string, event_id string, event_type string, "
+        "timestamp_micros long"
+    )
+
+    def _batch(self, spark, b, n=8):
+        rows = [
+            (f"k{(b * 5 + i) % 13}", f"e{b}-{i}", "INSERT", b * 1000 + i)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_ladder_levels_and_correctness(self, spark, tmp_path):
+        from hybrid_cdc_demo_spark.streaming.sinks import UpsertSink
+
+        # compact_every=99 disables the background trigger so the
+        # ladder can be stepped deterministically via maintain()
+        sink = UpsertSink(
+            spark, str(tmp_path / "pg"), ["key_hash"], compact_every=99
+        )
+        expected = {}
+        bid = 0
+        for _ in range(3):
+            df = self._batch(spark, bid)
+            for r in df.collect():
+                expected[r["key_hash"]] = max(
+                    expected.get(r["key_hash"], -1), r["timestamp_micros"]
+                )
+            sink.write_batch(df, bid)
+            bid += 1
+        base_v0 = sink.table.current_version()
+        sink.maintain()
+        # L0 folded into ONE L1 run; base untouched (the O(recent) pin)
+        assert sink._segments() == []
+        assert len(sink._l1_runs()) == 1
+        assert sink.table.current_version() == base_v0
+        got = {
+            r["key_hash"]: r["timestamp_micros"] for r in sink.read().collect()
+        }
+        assert got == expected
+        # second rung
+        for _ in range(3):
+            df = self._batch(spark, bid)
+            for r in df.collect():
+                expected[r["key_hash"]] = max(
+                    expected.get(r["key_hash"], -1), r["timestamp_micros"]
+                )
+            sink.write_batch(df, bid)
+            bid += 1
+        sink.maintain()
+        assert len(sink._l1_runs()) == 2
+        assert sink.table.current_version() == base_v0
+        # tier full → maintain escalates to the base fold
+        sink.compact_every = 2
+        sink.maintain()
+        assert sink._l1_runs() == []
+        assert sink._segments() == []
+        assert sink.table.current_version() == base_v0 + 1
+        got = {
+            r["key_hash"]: r["timestamp_micros"] for r in sink.read().collect()
+        }
+        assert got == expected
+
+    def test_tombstones_survive_l1_fold(self, spark, tmp_path):
+        """Grace-GC happens only in the base fold; an L1 fold must
+        preserve DELETE tombstones unconditionally or a late stale
+        insert could resurrect the key (same invariant the base fold
+        pins in test_round2_hardening)."""
+        import pyspark.sql.functions as F
+
+        from hybrid_cdc_demo_spark.streaming.sinks import UpsertSink
+
+        sink = UpsertSink(
+            spark, str(tmp_path / "pg"), ["key_hash"], compact_every=99
+        )
+        df = lambda *rows: spark.createDataFrame(list(rows), self.SCHEMA)  # noqa: E731
+        sink.write_batch(df(("k1", "e0", "INSERT", 200)), 0)
+        sink.write_batch(df(("k1", "e1", "DELETE", 300)), 1)
+        sink.maintain()
+        assert len(sink._l1_runs()) == 1
+        run_df = spark.read.parquet(str(sink._l1_runs()[0]))
+        assert run_df.filter(F.col("event_type") == "DELETE").count() == 1
+        # stale resurrect attempt older than the tombstone loses
+        sink.write_batch(df(("k1", "e2", "INSERT", 250)), 2)
+        assert sink.read().filter(F.col("key_hash") == "k1").count() == 0
