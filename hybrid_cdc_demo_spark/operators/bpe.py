@@ -111,8 +111,13 @@ def train_bpe(
     sym = symbolize(word_freq_table(docs, text_col)).select("freq", "sym")
     if partitions:
         sym = sym.coalesce(partitions)
-    # pin the start state: iterations re-scan the vocab table, not the corpus
-    sym = sym.localCheckpoint(eager=True)
+    # pin the start state: iterations re-scan the vocab table, not the
+    # corpus. eager=False (r10): the checkpoint materializes inside the
+    # next argmax job instead of spending a dedicated job per step —
+    # same truncated lineage and cached blocks, half the scheduled jobs
+    # for the k-step loop (per-step latency dominates on a vocab-sized
+    # frame; guide §1.2 "per-task work" after the algorithm is right).
+    sym = sym.localCheckpoint(eager=False)
     merges: list[dict] = []
     for step in range(1, num_merges + 1):
         top = (
@@ -129,7 +134,8 @@ def train_bpe(
         )
         sym = sym.select(
             "freq", merge_pair_expr(F.col("sym"), a, b).alias("sym")
-        ).localCheckpoint(eager=True)  # k passes total, not O(k^2) lineage
+        ).localCheckpoint(eager=False)  # k passes total, not O(k^2)
+        # lineage; lazy — the next step's argmax job materializes it
     return merges
 
 

@@ -114,6 +114,10 @@ def train_logistic(
     """
     d = len(features)
     cols = [f.alias(f"_f{i}") for i, f in enumerate(features)]
+    # (r10 A/B: spread() before the feature projection measured 12%
+    # SLOWER at sf0.1 — the extra round-robin shuffle and 32-task
+    # iteration jobs cost more than the parallel regex extraction
+    # saved; the scan's native partitioning stays.)
     data = df.select(*cols, label.cast("double").alias("_y")).persist()
     try:
         if standardize:

@@ -92,23 +92,37 @@ def heavy_hitters(
             _mg_summaries(capacity), schema="_item string, _w long"
         )
         candidates = summaries.groupBy("_item").agg(F.sum("_w").alias("_est"))
-        exact = (
-            items.join(
-                F.broadcast(candidates.select("_item")), "_item", "left_semi"
+        # ONE exact pass serves both the candidate recount and the
+        # total N (r10; previously a semi-join recount plus a separate
+        # full count = two scans of the cached stream): non-candidates
+        # collapse into a single NULL bucket map-side, so the
+        # aggregated frame is ≤ capacity+1 rows and N is its row-count
+        # sum. The φ threshold then runs on collected control data —
+        # bounded by the same pigeonhole argument as the result itself.
+        flagged = items.join(
+            F.broadcast(
+                candidates.select("_item").withColumn("_c", F.lit(1))
+            ),
+            "_item",
+            "left",
+        )
+        counts = (
+            flagged.groupBy(
+                F.when(F.col("_c") == 1, F.col("_item")).alias("_item")
             )
-            .groupBy("_item")
             .agg(F.count(F.lit(1)).cast("long").alias(out_count))
         )
-        total = items.agg(F.count(F.lit(1)).alias("_n"))
-        result = (
-            exact.crossJoin(F.broadcast(total))
-            .filter(F.col(out_count) * (capacity + 1) > F.col("_n"))
-            .select(F.col("_item").alias(out_item), out_count)
+        # ≤ capacity+1 rows (candidates + the NULL rest-bucket):
+        # bounded driver-side control data at any scale
+        buckets = counts.collect()
+        n = sum(r[out_count] for r in buckets)
+        rows = [
+            (r["_item"], r[out_count])
+            for r in buckets
+            if r["_item"] is not None and r[out_count] * (capacity + 1) > n
+        ]
+        return items.sparkSession.createDataFrame(
+            rows, f"{out_item} string, {out_count} long"
         )
-        # materialize before unpersisting: the answer is ≤ capacity
-        # rows by the pigeonhole bound (freq > N/(capacity+1)), so
-        # collecting is bounded driver-side control data at any scale
-        rows = result.collect()
-        return items.sparkSession.createDataFrame(rows, result.schema)
     finally:
         items.unpersist()

@@ -140,11 +140,23 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    broadcast_max_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Damped PageRank over a directed (src, dst) edge set; returns
     (node, rank) with Σrank = 1 (dangling mass redistributed
     uniformly). One keyed join + one keyed aggregation per iteration;
-    lineage truncated with localCheckpoint every few rounds."""
+    lineage truncated with localCheckpoint every few rounds.
+
+    Join strategy (r10): the rank/outdeg/contribution relations are
+    NODE-sized while the per-iteration joins run against the EDGE set
+    — the side that must never shuffle. The node count is already on
+    the driver (the ``count()`` below), so when n <= ``broadcast_max_nodes``
+    (default 2M nodes ≈ tens of MB built) every per-iteration join
+    broadcasts its node-sized side and the only distributed shuffle
+    per iteration is the partial-aggregated groupBy(dst); the edge set
+    is scanned from its checkpoint, never exchanged. Above the bound
+    (web-graph-class node counts) the joins fall back to the shuffled
+    path unhinted, where AQE picks the strategy from runtime sizes."""
     # materialize the edge set ONCE: edges is usually a lazy plan over
     # the raw corpus (tokenize + explode + distinct), and every
     # iteration references it — without this checkpoint each lineage
@@ -164,18 +176,24 @@ def pagerank(
     ).localCheckpoint(eager=True)  # reused by all iterations
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
+    # node-sized relations broadcast below the bound (see docstring)
+    bc = F.broadcast if n <= broadcast_max_nodes else (lambda df: df)
     for it in range(iterations):
         with_out = ranks.join(
-            outdeg, ranks["node"] == outdeg["src"], "left"
+            bc(outdeg), ranks["node"] == outdeg["src"], "left"
         ).select("node", "rank", "_out")
         dangling = with_out.filter(F.col("_out").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         contribs = (
             edges.join(
-                with_out.filter(F.col("_out").isNotNull()).select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("_out").cast("double")).alias("_c"),
+                bc(
+                    with_out.filter(F.col("_out").isNotNull()).select(
+                        F.col("node").alias("src"),
+                        (F.col("rank") / F.col("_out").cast("double")).alias(
+                            "_c"
+                        ),
+                    )
                 ),
                 "src",
             )
@@ -183,7 +201,7 @@ def pagerank(
             .agg(F.sum("_c").alias("_in"))
         )
         ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            nodes.join(bc(contribs), nodes["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -198,5 +216,8 @@ def pagerank(
             )
         )
         if (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy: the next iteration's first job (the broadcast build
+            # / dangling aggregate) materializes the truncated frame —
+            # no dedicated checkpoint job per segment
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

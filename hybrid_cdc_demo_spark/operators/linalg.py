@@ -36,6 +36,8 @@ def gram_matrix(
     *,
     dim: int,
     exact_fold: bool = False,
+    mode: str = "dist",
+    max_driver_sample: int = 200_000,
 ) -> DataFrame:
     """Upper-triangle Gram matrix G[i,j] = Σ_rows v[i]·v[j] (1-based
     i ≤ j) as a (i, j, v) DataFrame of d(d+1)/2 rows.
@@ -44,8 +46,53 @@ def gram_matrix(
     partials via mapInPandas, one d²-row aggregation — the scan never
     explodes. exact_fold=True (oracle-matchable): explode the i ≤ j
     terms and fold each cell in sorted vec_id order.
+
+    ``mode="driver"`` (r10, the pq_train mode="driver" precedent)
+    computes the SAME ascending-vec_id strict left fold on the
+    COLLECTED bounded sample: Python/numpy float64 ``G += vᵢ·vⱼ`` in
+    vec_id order is the identical IEEE-754 addition sequence, so every
+    cell is BITWISE-equal to the distributed exact fold (pinned in
+    tests/test_linalg.py) — without exploding the sample into
+    rows × d(d+1)/2 structs and shuffling them to d² reducers just to
+    re-serialize 2,080 doubles. The collect is bounded by contract
+    (``max_driver_sample`` raises rather than pulling an unbounded
+    frame); at 100 TB the flow is unchanged — train-on-sample
+    driver-side, the FULL-corpus Gram keeps the mapInPandas partial
+    path (exact_fold=False), which never collects row data.
     """
     emb = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    if mode == "driver":
+        if not exact_fold:
+            raise ValueError(
+                "gram_matrix(mode='driver') implements the exact-fold "
+                "update only — the distributed partial-aggregation "
+                "order cannot be reproduced driver-side"
+            )
+        import numpy as np
+
+        rows = emb.collect()
+        if len(rows) > max_driver_sample:
+            raise ValueError(
+                f"gram_matrix(mode='driver'): sample has {len(rows)} "
+                f"rows, over the {max_driver_sample} driver-side bound "
+                "— pass a bounded training sample (or raise "
+                "max_driver_sample deliberately)"
+            )
+        sample = sorted(
+            ((r[0], [float(x) for x in r[1]]) for r in rows),
+            key=lambda t: t[0],
+        )
+        g = np.zeros((dim, dim), dtype=np.float64)
+        for _, v in sample:  # ascending id: the exact fold's order
+            a = np.asarray(v, dtype=np.float64)
+            g += np.outer(a, a)
+        iu, ju = np.triu_indices(dim)
+        out = [
+            (int(i) + 1, int(j) + 1, float(g[i, j])) for i, j in zip(iu, ju)
+        ]
+        return df.sparkSession.createDataFrame(out, "i int, j int, v double")
+    if mode != "dist":
+        raise ValueError(f"gram_matrix: unknown mode {mode!r}")
     if exact_fold:
         pairs = F.flatten(
             F.transform(

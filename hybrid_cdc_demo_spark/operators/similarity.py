@@ -39,6 +39,24 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def cosine_with_norms(
+    a: F.Column, b: F.Column, na: F.Column, nb: F.Column
+) -> F.Column:
+    """``cosine(a, b)`` with the two self-norms hoisted: callers
+    precompute ``sqrt(dot(v, v))`` ONCE PER ROW on each side instead of
+    re-folding both self-dots for every scored pair (r10 — the fold is
+    an interpreted higher-order expression, so a pair scan paid 3 folds
+    per pair where 1 cross-fold suffices). Same expression tree —
+    dot/(na*nb) with na the left operand — so the emitted double is
+    bitwise-identical to :func:`cosine` (oracle hashes unchanged)."""
+    return dot(a, b) / (na * nb)
+
+
+def norm_col(vec: F.Column) -> F.Column:
+    """sqrt(dot(v, v)) — the per-row self-norm cosine_with_norms hoists."""
+    return F.sqrt(dot(vec, vec))
+
+
 def brute_force_topk(
     df: DataFrame,
     query: DataFrame,
@@ -49,9 +67,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of ``query`` (1-row DataFrame with a
     double-array column) against every row of ``df``."""
-    emb = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
-    scored = emb.crossJoin(F.broadcast(query)).select(
-        id_col, cosine(F.col("_v"), F.col(query_vec_col)).alias("score")
+    emb = df.select(
+        F.col(id_col), _as_double_array(vec_col).alias("_v")
+    ).withColumn("_n", norm_col(F.col("_v")))
+    q = query.withColumn("_qn", norm_col(F.col(query_vec_col)))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        id_col,
+        cosine_with_norms(
+            F.col("_v"), F.col(query_vec_col), F.col("_n"), F.col("_qn")
+        ).alias("score"),
     )
     return scored.orderBy(F.desc("score"), id_col).limit(k)
 
@@ -78,11 +102,16 @@ def batch_topk(
     (plan-pinned in tests/test_plans-adjacent checks)."""
     from pyspark.sql import Window
 
-    emb = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
-    scored = emb.crossJoin(F.broadcast(queries)).select(
+    emb = df.select(
+        F.col(id_col), _as_double_array(vec_col).alias("_v")
+    ).withColumn("_n", norm_col(F.col("_v")))
+    q = queries.withColumn("_qn", norm_col(F.col(qvec_col)))
+    scored = emb.crossJoin(F.broadcast(q)).select(
         qid_col,
         id_col,
-        cosine(F.col("_v"), F.col(qvec_col)).alias("score"),
+        cosine_with_norms(
+            F.col("_v"), F.col(qvec_col), F.col("_n"), F.col("_qn")
+        ).alias("score"),
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
     return (
@@ -120,15 +149,18 @@ def hard_negatives_topk(
 
     emb = df.select(
         F.col(id_col), F.col(label_col), _as_double_array(vec_col).alias("_v")
-    )
+    ).withColumn("_n", norm_col(F.col("_v")))
+    q = queries.withColumn("_qn", norm_col(F.col(qvec_col)))
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        emb.crossJoin(F.broadcast(q))
         .filter(F.col(label_col) != F.col(qlabel_col))
         .select(
             qid_col,
             id_col,
             label_col,
-            cosine(F.col("_v"), F.col(qvec_col)).alias("score"),
+            cosine_with_norms(
+                F.col("_v"), F.col(qvec_col), F.col("_n"), F.col("_qn")
+            ).alias("score"),
         )
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
@@ -198,7 +230,10 @@ def mmr_select(
         # than let NaN/NULL float to the top of the DESC sort
         .filter(F.col("rel").isNotNull())
         .withColumn("_ms", F.lit(None).cast("double"))
-        .localCheckpoint(eager=True)
+        # lazy checkpoint: the first argmax job materializes the frame;
+        # an eager one spent a dedicated job per checkpoint and the
+        # greedy loop is job-latency-bound (guide §1.2)
+        .localCheckpoint(eager=False)
     )
     spark = df.sparkSession
     picked: list[tuple] = []  # (rank, id, rel, mmr_score)
@@ -229,7 +264,7 @@ def mmr_select(
                     "_ms",
                     F.greatest(F.coalesce(F.col("_ms"), F.lit(-2.0)), pen),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # next argmax materializes
             )
     id_type = dict(df.select(id_col).dtypes)[id_col]
     return spark.createDataFrame(
@@ -326,9 +361,20 @@ def embedding_neardup_pairs(
     # guard — materialize once instead of hashing 3x
     data = spread(df).select(
         F.col(id_col).alias("_id"), _as_double_array(vec_col).alias("_v")
-    ).withColumn("bucket", srp_bucket_expr("_v", planes)).persist()
-    a = data.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "bucket")
-    b = data.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "bucket")
+    ).withColumn("bucket", srp_bucket_expr("_v", planes)).withColumn(
+        # self-norm hoisted into the persisted projection: the verify
+        # cosine then folds ONE cross dot per candidate pair instead
+        # of three (r10; bitwise-identical value)
+        "_n", norm_col(F.col("_v"))
+    ).persist()
+    a = data.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"), "bucket",
+    )
+    b = data.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"), "bucket",
+    )
     bucket_sizes = data.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
     pairs = (
         a.join(F.broadcast(bucket_sizes.select("bucket")), "bucket")
@@ -337,7 +383,14 @@ def embedding_neardup_pairs(
     )
     return (
         pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("v_a"), F.col("v_b")), 4).alias("cos")
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_with_norms(
+                    F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+                ),
+                4,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .distinct()

@@ -445,12 +445,18 @@ def ns_pca_gram(spark, sf_dir):
     numpy partial-Gram mapInPandas (one d^2-sized partial per
     partition, ONE aggregation shuffle — tested against this exact
     fold in tests/test_linalg.py); train-on-sample bounds the
-    exact-fold cost exactly like ns_kmeans_assign."""
+    exact-fold cost exactly like ns_kmeans_assign. Runs mode="driver"
+    (r10, the ns_pq_encode precedent): the bounded sample collects
+    once and the identical ascending-id fold runs in numpy — bitwise
+    the same cells (pinned in test_linalg.py) without exploding the
+    sample into rows x 2,080 structs and shuffling them to d²
+    reducers; the full-corpus Gram keeps the mapInPandas partial
+    path."""
     from hybrid_cdc_demo_spark.operators.linalg import gram_matrix
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return gram_matrix(
-        emb, "embedding", "vec_id", dim=64, exact_fold=True
+        emb, "embedding", "vec_id", dim=64, exact_fold=True, mode="driver"
     ).orderBy("i", "j")
 
 
@@ -473,7 +479,7 @@ def ns_pca_project(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") < 500)
     rows = gram_matrix(
-        train, "embedding", "vec_id", dim=64, exact_fold=True
+        train, "embedding", "vec_id", dim=64, exact_fold=True, mode="driver"
     ).collect()  # d(d+1)/2 doubles — bounded model-sized driver data
     comps, _ = pca_components(rows, dim=64, n_components=4)
     return pca_project(emb, comps, "embedding", "vec_id").orderBy("vec_id")

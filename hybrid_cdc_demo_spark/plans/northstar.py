@@ -807,10 +807,23 @@ def ns_embedding_neardup_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     v = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).withColumn(
+        # self-norm per vector (r10): the pair scan then folds one
+        # cross dot per pair instead of three — same expression tree
+        # as S.cosine, so the unrounded quotient stays bitwise-equal
+        "n", S.norm_col(F.col("e"))
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
-    cos = S.cosine(F.col("ea"), F.col("eb"))
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"),
+        F.col("n").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"),
+        F.col("n").alias("nb"),
+    )
+    cos = S.cosine_with_norms(
+        F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+    )
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))

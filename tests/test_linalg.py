@@ -59,6 +59,44 @@ def test_gram_numpy_path_matches_exact_fold_on_corpus(spark, sf_dir):
         assert math.isclose(a[k], b[k], rel_tol=1e-9), k
 
 
+def test_gram_driver_mode_bitwise_equals_exact_fold(spark, sf_dir):
+    """r10: ns_pca_gram/ns_pca_project run gram_matrix(mode="driver")
+    — the collected-sample numpy fold MUST be bitwise-identical to the
+    distributed exact fold (same ascending-vec_id IEEE-754 addition
+    sequence), or the oracle hash would silently depend on which mode
+    a caller picked."""
+    import struct
+
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = {(r["i"], r["j"]): r["v"]
+         for r in gram_matrix(emb, dim=64, exact_fold=True).collect()}
+    b = {(r["i"], r["j"]): r["v"]
+         for r in gram_matrix(
+             emb, dim=64, exact_fold=True, mode="driver"
+         ).collect()}
+    assert set(a) == set(b) and len(a) == 64 * 65 // 2
+    for k in a:
+        assert struct.pack("<d", a[k]) == struct.pack("<d", b[k]), k
+
+
+def test_gram_driver_mode_bounds_the_collect(spark):
+    """The driver-side collect is bounded by contract (the pq_train
+    max_driver_sample policy): an over-bound sample raises instead of
+    silently pulling an unbounded frame onto the driver."""
+    vecs = [[float(i), 1.0] for i in range(20)]
+    with pytest.raises(ValueError, match="driver-side bound"):
+        gram_matrix(
+            _emb(spark, vecs), dim=2, exact_fold=True, mode="driver",
+            max_driver_sample=10,
+        )
+    with pytest.raises(ValueError, match="exact-fold"):
+        gram_matrix(
+            _emb(spark, vecs), dim=2, exact_fold=False, mode="driver"
+        )
+
+
 def test_pca_components_orthonormal_and_descending(spark, sf_dir):
     from hybrid_cdc_demo_spark.sources.tables import load_table
 

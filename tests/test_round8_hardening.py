@@ -203,4 +203,11 @@ class TestBenchProtocolPins:
         assert src.count("statistics.median(") >= 2
         assert "sorted_rates[len" not in src
         assert "single_rates[\n            len(single_rates) // 2" not in src
-        assert "[*results, *singles, *binaries]" in src
+        # Cold-start coverage across the r10 split bench: the
+        # throughput legs take the max over single-sink AND binary
+        # commitlog replays, and main()/run_streaming_bench merge that
+        # with the isolated SLO leg's cold start (the pre-r10 pin was
+        # `[*results, *singles, *binaries]` in the one-session bench).
+        assert "[*singles, *binaries]" in src
+        assert src.count('streaming.pop("streaming_legs_cold_start_sec")') >= 1
+        assert src.count("streaming_legs_cold_start_sec") >= 3
