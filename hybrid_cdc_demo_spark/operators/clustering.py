@@ -47,6 +47,7 @@ from hybrid_cdc_demo_spark.operators.similarity import (
     cell_assign_expr,
     cell_assign_np,
     cosine,
+    double_array_lit,
     nested_double_lit,
 )
 
@@ -1246,7 +1247,7 @@ def ivfopq_refine_topk(
             spark, path, query, topk=topk * refine, nprobe=nprobe
         ).collect()
     ]
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = double_array_lit(query)
     exact = (
         raw_df.filter(F.col(id_col).isin(cand))
         .select(

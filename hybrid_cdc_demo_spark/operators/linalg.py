@@ -26,7 +26,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from hybrid_cdc_demo_spark.operators.similarity import _as_double_array
+from hybrid_cdc_demo_spark.operators.similarity import (
+    _as_double_array,
+    double_array_lit,
+)
 
 
 def gram_matrix(
@@ -200,7 +203,7 @@ def project_expr(vec: F.Column, component) -> F.Column:
     """Dot product of a vector column against one literal component —
     a strict left fold in index order (deterministic), whole-stage
     codegen'd, no join."""
-    lit = F.array(*[F.lit(float(x)) for x in component])
+    lit = double_array_lit(component)
     return F.aggregate(
         F.zip_with(vec, lit, lambda a, b: a * b),
         F.lit(0.0),

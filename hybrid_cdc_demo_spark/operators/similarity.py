@@ -256,7 +256,7 @@ def mmr_select(
             # dot(v, s_unit) * (1/||v||) — exact cosine, one dot
             s_unit = [float(x) * top["_inv"] for x in top["_v"]]
             pen = dot(
-                F.col("_v"), F.array(*[F.lit(x) for x in s_unit])
+                F.col("_v"), double_array_lit(s_unit)
             ) * F.col("_inv")
             scored = (
                 scored.filter(F.col(id_col) != top[id_col])
@@ -280,16 +280,43 @@ def hyperplanes(dim: int, num_planes: int = 16, seed: int = 42) -> list[list[flo
 
 
 def srp_bucket_expr(vec_col, planes: list[list[float]]) -> F.Column:
-    """H-bit sign-random-projection bucket id as a long."""
-    v = _as_double_array(vec_col)
-    bucket = F.lit(0).cast("long")
+    """H-bit sign-random-projection bucket id as a long.
+
+    Built as ONE SQL text parsed JVM-side when ``vec_col`` is a column
+    name (r10): the per-plane Python loop (H×dim F.lit calls + H
+    fold-lambda constructions) cost ~1.5 s of Py4J roundtrips PER
+    QUERY BUILD at 16×64 — measured, the dominant cost of every SRP
+    query's construction. The text mirrors the Column form
+    operation-for-operation (same transform→CAST, same zip_with
+    multiply, same left fold, same when/shiftleft/XOR integer chain),
+    and plane literals use the shortest-repr 'D' rendering whose parse
+    is bitwise-exact vs F.lit (the nested_double_lit guarantee), so
+    bucket ids are unchanged. Column-typed inputs keep the Column
+    path."""
+    if not isinstance(vec_col, str):
+        v = _as_double_array(vec_col)
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(planes):
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
+        return bucket
+    v = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    terms = []
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        arr = "array(" + ",".join(_double_sql(float(x)) for x in plane) + ")"
+        d = (
+            f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
-    return bucket
+        bit = f"(CASE WHEN {d} >= CAST(0.0 AS DOUBLE) THEN 1L ELSE 0L END)"
+        terms.append(f"shiftleft({bit}, {i})")
+    body = "CAST(0 AS BIGINT)"
+    for t in terms:
+        body = f"({body} ^ {t})"
+    return F.expr(body)
 
 
 def srp_buckets(
@@ -426,6 +453,21 @@ def nested_double_lit(rows: list[list[float]]) -> F.Column:
         for r in rows
     )
     return F.expr(f"array({body})")
+
+
+def double_array_lit(vals: list[float]) -> F.Column:
+    """A literal array<double> in O(1) Py4J roundtrips — the 1-D form
+    of :func:`nested_double_lit` (r10): ``F.array(*[F.lit(x) ...])``
+    costs one JVM call per element (~0.5 s for a 16×64 plane set), so
+    every query-vector / component literal goes through the SQL-text
+    render instead. Values are bitwise-identical to the F.lit form
+    (same shortest-repr parse guarantee, pinned for the nested
+    variant in tests/test_round8_hardening.py)."""
+    if len(vals) == 0:  # len(), not truthiness: numpy arrays are accepted
+        return F.array().cast("array<double>")
+    return F.expr(
+        "array(" + ",".join(_double_sql(float(x)) for x in vals) + ")"
+    )
 
 
 def _double_sql(x: float) -> str:
@@ -700,7 +742,7 @@ def _rank_in_cells(
     indexed: DataFrame, qv, probe: list[int], k: int, id_col: str
 ) -> DataFrame:
     cands = indexed.filter(F.col("_cell").isin(probe))
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qlit = double_array_lit(qv)
     scored = cands.select(id_col, cosine(F.col("_v"), qlit).alias("score"))
     return scored.orderBy(F.desc("score"), id_col).limit(k)
 
@@ -950,7 +992,7 @@ def ivf_topk_sq8(
     id_col = meta["id_col"]
     qv = query.select(query_vec_col).first()[0]
     probe = probe_cells(meta["centers"], qv, nprobe)
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qlit = double_array_lit(qv)
 
     codes = spark.read.parquet(os.path.join(path, "data")).filter(
         F.col("_cell").isin(probe)
@@ -1129,7 +1171,7 @@ def binary_rescore_topk(
             vec_col=vec_col,
         ).collect()
     ]
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = double_array_lit(query)
     exact = df.filter(F.col(id_col).isin(cand)).select(
         F.col(id_col),
         cosine(_as_double_array(vec_col), qlit).alias("score"),
