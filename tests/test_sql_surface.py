@@ -654,6 +654,7 @@ NS_SQL_SURFACE_EXEMPT = {
     "ns_dedup_substring": "generate_series table function over per-row gram positions",
     "ns_dedup_two_stage": "list_transform lambda",
     "ns_doc_chunking": "unnest over computed per-row lists (LATERAL VIEW family, representatives provided)",
+    "ns_embedding_neardup": "generated two-stage SRP-bucket chain: list_dot_product + '…'::DOUBLE literal casts",
     "ns_embedding_neardup_exact": "CAST(x AS DOUBLE[]) array-type cast + list_dot_product strict fold",
     "ns_embedding_quantize": "CAST(x AS DOUBLE[]) array-type cast",
     "ns_event_paths": "list(x ORDER BY …) sorted-fold determinism idiom",
@@ -670,6 +671,7 @@ NS_SQL_SURFACE_EXEMPT = {
     "ns_pq_adc_topk": "CAST(x AS DOUBLE[])[1:16] array cast + slice syntax (generated SQL)",
     "ns_pq_encode": "CAST(x AS DOUBLE[])[1:16] array cast + slice syntax (generated SQL)",
     "ns_quality_classifier": "list_filter/list_contains lambdas + list literal",
+    "ns_random_projection": "generated JL-projection: list_reduce/list_transform (x,j) index lambdas + '…'::DOUBLE literal casts",
     "ns_repetition": "list_transform lambda",
     "ns_semantic_dedup": "CAST(x AS DOUBLE[]) + QUALIFY",
     "ns_simsearch_batch": "CAST(x AS DOUBLE[]) array-type cast",
