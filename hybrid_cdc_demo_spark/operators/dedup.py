@@ -421,11 +421,14 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_bands(fps: DataFrame) -> DataFrame:
-    """(_id, band, band_val): the 64-bit SimHash split into 4 16-bit
-    bands — shared by candidate generation and the bucket-coverage
-    report so both see identical buckets."""
+    """(_id, simhash, band, band_val): the 64-bit SimHash split into 4
+    16-bit bands — shared by candidate generation and the bucket-
+    coverage report so both see identical buckets. The full
+    fingerprint rides along (8 bytes; r10) so the candidate self-join
+    can compute hamming in place — aggregating callers prune it."""
     return fps.select(
         "_id",
+        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -465,9 +468,10 @@ def simhash_candidates(
     (map-side semi filter, no extra shuffle). The self-join then runs
     only over kept buckets, each contributing ≤ max_bucket² pairs.
 
-    The candidate ``distinct()`` shuffles bare (id_a, id_b) — the
-    64-bit fingerprints rejoin AFTER dedup instead of riding every
-    shuffled candidate row (VERDICT r3 #8)."""
+    The 8-byte fingerprints ride the band self-join so the hamming
+    filter runs IN PLACE, before the candidate ``distinct()`` — the
+    dedup shuffle then carries only true near-dup pairs (r10; replaces
+    the r3 shape that deduped bare ids and re-joined fps twice)."""
     # candidate generation and the fingerprint rejoin both read fps;
     # without this the upstream fingerprint fold runs once per branch
     fps = fps.persist()
@@ -483,22 +487,29 @@ def simhash_candidates(
         "band", "band_val"
     )
     kept = banded.join(F.broadcast(keep), ["band", "band_val"])
-    a = kept.select(F.col("_id").alias("id_a"), "band", "band_val")
-    b = kept.select(F.col("_id").alias("id_b"), "band", "band_val")
-    pairs = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    a = kept.select(
+        F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"),
+        "band", "band_val",
     )
-    fa = fps.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    fb = fps.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    b = kept.select(
+        F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"),
+        "band", "band_val",
+    )
+    # The 8-byte fingerprints ride the self-join so hamming is
+    # computed IN PLACE and filtered BEFORE the distinct (r10):
+    # the old shape deduped bare (id_a, id_b) and re-joined fps
+    # twice afterwards — two corpus-keyed exchanges plus a pairs
+    # re-exchange per side, all to re-attach 16 bytes the join
+    # already had. hamming is a function of the pair, so filtering
+    # before vs after distinct yields identical rows, and the
+    # distinct now dedups only true near-dups (smaller input).
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        pairs.join(fa, "id_a")
-        .join(fb, "id_b")
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -552,7 +563,9 @@ def connected_components(
     already-materialized checkpoint — no extra join job per round."""
     pair = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
+        # lazy: the count() on the next line touches every partition
+        # and materializes the checkpoint as a side effect (r10)
+    ).localCheckpoint(eager=False)
     if pair.count() <= driver_threshold:
         parent: dict = {}
 
@@ -715,7 +728,10 @@ def prefix_duplicate_flags(
         .repartitionByRange(num, F.col(text_col), F.col(id_col))
         .sortWithinPartitions(text_col, id_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy: the heads aggregation below touches every partition and
+        # materializes the checkpoint as a side effect (r10, the
+        # global_rank lazy-checkpoint pattern)
+        .localCheckpoint(eager=False)
     )
     heads = (
         d.groupBy("_pid")

@@ -104,7 +104,11 @@ def global_rank(
         df.repartitionByRange(num, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy: the counts aggregation below touches every partition,
+        # so it materializes the checkpoint as a side effect — one
+        # upstream pass instead of a dedicated eager job + a cached
+        # re-read (r10, the BPE/MMR lazy-checkpoint pattern)
+        .localCheckpoint(eager=False)
     )
     counts = {
         int(r["_pid"]): r["n"]
@@ -172,7 +176,9 @@ def global_rank_cumsum(
         df.repartitionByRange(num, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy: the summaries aggregation materializes it (see
+        # global_rank)
+        .localCheckpoint(eager=False)
     )
     summaries = {
         int(r["_pid"]): (int(r["n"]), r["s"])

@@ -57,6 +57,26 @@ def norm_col(vec: F.Column) -> F.Column:
     return F.sqrt(dot(vec, vec))
 
 
+def cosine_qlit(vec: F.Column, qv) -> F.Column:
+    """``cosine(vec, lit(qv))`` with the query self-norm folded ON THE
+    DRIVER (r10): the JVM fold re-ran dot(q, q) — 64 interpreted
+    multiplies + sqrt — for every scored row even though q is a
+    literal (lambda-bearing HOFs are not constant-folded). The Python
+    fold below runs the identical IEEE-754 sequence (strict left fold
+    in index order, then a correctly-rounded sqrt), so the emitted
+    double is bitwise-equal to :func:`cosine`; the vec side keeps its
+    per-row fold as the left factor, same as cosine()'s sqrt order."""
+    import math
+
+    qn = 0.0
+    for x in qv:
+        fx = float(x)
+        qn += fx * fx
+    qn = math.sqrt(qn)
+    qlit = double_array_lit(qv)
+    return dot(vec, qlit) / (norm_col(vec) * F.lit(qn))
+
+
 def brute_force_topk(
     df: DataFrame,
     query: DataFrame,
@@ -364,10 +384,24 @@ def lsh_topk(
         for i in range(num_planes):
             probe_ids.append(F.col("qbucket").bitwiseXOR(F.lit(1 << i).cast("long")))
     probes = q.select(
-        query_vec_col, F.explode(F.array(*probe_ids)).alias("bucket")
+        query_vec_col,
+        F.explode(F.array(*probe_ids)).alias("bucket"),
+        # query self-norm computed once per (broadcast) probe row so
+        # the candidate scan folds 2 dots per row, not 3 (r10; the
+        # fold mirrors cosine()'s dot(b, b) on the raw column, so
+        # cosine_with_norms emits the bitwise-identical double)
+        norm_col(F.col(query_vec_col)).alias("_qn"),
     )
     cands = data.join(F.broadcast(probes), "bucket")
-    scored = cands.select(id_col, cosine(F.col("_v"), F.col(query_vec_col)).alias("score"))
+    scored = cands.select(
+        id_col,
+        cosine_with_norms(
+            F.col("_v"),
+            F.col(query_vec_col),
+            norm_col(F.col("_v")),
+            F.col("_qn"),
+        ).alias("score"),
+    )
     return scored.orderBy(F.desc("score"), id_col).limit(k)
 
 
@@ -742,8 +776,9 @@ def _rank_in_cells(
     indexed: DataFrame, qv, probe: list[int], k: int, id_col: str
 ) -> DataFrame:
     cands = indexed.filter(F.col("_cell").isin(probe))
-    qlit = double_array_lit(qv)
-    scored = cands.select(id_col, cosine(F.col("_v"), qlit).alias("score"))
+    scored = cands.select(
+        id_col, cosine_qlit(F.col("_v"), qv).alias("score")
+    )
     return scored.orderBy(F.desc("score"), id_col).limit(k)
 
 
@@ -992,14 +1027,16 @@ def ivf_topk_sq8(
     id_col = meta["id_col"]
     qv = query.select(query_vec_col).first()[0]
     probe = probe_cells(meta["centers"], qv, nprobe)
-    qlit = double_array_lit(qv)
 
     codes = spark.read.parquet(os.path.join(path, "data")).filter(
         F.col("_cell").isin(probe)
     )
     code_vec = F.transform("_codes", lambda c: c.cast("double"))
+    # cosine is scale-invariant, so scoring int8 codes against the
+    # FLOAT query is exact up to quantization; cosine_qlit folds the
+    # query norm driver-side (bitwise-equal, one less per-row fold)
     shortlist = (
-        codes.select(id_col, cosine(code_vec, qlit).alias("_ascore"))
+        codes.select(id_col, cosine_qlit(code_vec, qv).alias("_ascore"))
         .orderBy(F.desc("_ascore"), id_col)
         .limit(k * rerank_factor)
     )
@@ -1008,7 +1045,7 @@ def ivf_topk_sq8(
     )
     return (
         shortlist.join(full, id_col)
-        .select(id_col, cosine(F.col("_v"), qlit).alias("score"))
+        .select(id_col, cosine_qlit(F.col("_v"), qv).alias("score"))
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
@@ -1171,9 +1208,8 @@ def binary_rescore_topk(
             vec_col=vec_col,
         ).collect()
     ]
-    qlit = double_array_lit(query)
     exact = df.filter(F.col(id_col).isin(cand)).select(
         F.col(id_col),
-        cosine(_as_double_array(vec_col), qlit).alias("score"),
+        cosine_qlit(_as_double_array(vec_col), query).alias("score"),
     )
     return exact.orderBy(F.desc("score"), id_col).limit(topk)
