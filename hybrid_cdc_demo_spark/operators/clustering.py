@@ -130,6 +130,91 @@ def _update_centers_exact(
     return {r["_cluster"]: list(r["c"]) for r in cent.collect()}
 
 
+def _kmeans_driver(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    seed_by: str,
+    seed: int,
+    on_empty: str,
+    centers0: list[list[float]] | None,
+    max_driver_sample: int,
+) -> tuple[list[list[float]], list[int], DataFrame]:
+    """kmeans's exact-fold Lloyd loop on the collected bounded sample
+    (the pq_train mode='driver' pattern — see _pq_train_driver). Each
+    arithmetic step mirrors the expression path operation for
+    operation, so centers/ids are BITWISE identical to mode='dist'
+    with exact_fold=True (pinned in tests/test_clustering.py):
+
+    - distance: strict left fold ``acc = acc + (a-b)*(a-b)`` in dim
+      order (cell_assign_expr's aggregate/zip_with fold) — and the
+      guarded BLAS path above ASSIGN_NUMPY_THRESHOLD is expr-identical
+      by proof, so the replica covers every k;
+    - argmin: first strict minimum in current-centroid order;
+    - update: members sorted by id, per-dim strict left-fold sum, one
+      division by n;
+    - on_empty: same drop/keep policy over ORIGINAL cluster ids.
+
+    The returned ``assigned`` frame is the same map-only literal-
+    argmin projection mode='dist' returns (built lazily — no extra
+    job). The collect is bounded by contract: ``max_driver_sample``
+    raises rather than silently pulling an unbounded frame."""
+    data = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v"))
+    rows = data.collect()
+    if len(rows) > max_driver_sample:
+        raise ValueError(
+            f"kmeans(mode='driver'): sample has {len(rows)} rows, over "
+            f"the {max_driver_sample} driver-side bound — pass a bounded "
+            "training sample (or raise max_driver_sample deliberately)"
+        )
+    sample = sorted(
+        ((r[0], [float(x) for x in r[1]]) for r in rows), key=lambda t: t[0]
+    )
+    if centers0 is not None:
+        centers = [[float(x) for x in c] for c in centers0]
+    elif seed_by == "hash":
+        # xxhash64 ordering is JVM-side; one k-row job, same as "dist"
+        centers = [
+            list(r["_v"])
+            for r in data.orderBy(F.xxhash64(F.col(id_col) + seed))
+            .limit(k)
+            .collect()
+        ]
+    else:
+        centers = [v for _, v in sample[:k]]
+    if not centers:
+        raise ValueError("kmeans(mode='driver'): empty training set")
+    ids = list(range(len(centers)))
+    dim = len(centers[0])
+    for _ in range(max(iters, 0)):
+        groups: dict[int, list[list[float]]] = {}
+        for _i, v in sample:  # already id-sorted
+            best_pos, best_d = 0, None
+            for j, c in enumerate(centers):
+                acc = 0.0
+                for a, b in zip(v, c):
+                    acc = acc + (a - b) * (a - b)
+                if best_d is None or acc < best_d:
+                    best_d, best_pos = acc, j
+            groups.setdefault(ids[best_pos], []).append(v)
+        new: dict[int, list[float]] = {}
+        for cid, members in groups.items():
+            acc = [0.0] * dim
+            for e in members:
+                acc = [a + b for a, b in zip(acc, e)]
+            n = float(len(members))
+            new[cid] = [x / n for x in acc]
+        if on_empty == "drop":
+            ids = [i for i in ids if i in new]
+            centers = [new[i] for i in ids]
+        else:
+            centers = [new.get(i, centers[pos]) for pos, i in enumerate(ids)]
+    assigned = assign_with_ids(data, centers, ids, id_col)
+    return centers, ids, assigned
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -142,6 +227,8 @@ def kmeans(
     on_empty: str = "keep",
     centers0: list[list[float]] | None = None,
     partitions: int | None = None,
+    mode: str = "dist",
+    max_driver_sample: int = 200_000,
 ) -> tuple[list[list[float]], list[int], DataFrame]:
     """Lloyd's k-means: ``iters`` rounds of (map-only literal argmin
     assignment -> distributed centroid update -> driver model refresh).
@@ -163,6 +250,19 @@ def kmeans(
     compute (Lloyd runs several driver-coordinated jobs; fewer tasks
     per job beats idle-core scan parallelism on a few thousand rows).
     """
+    if mode == "driver":
+        if not exact_fold:
+            raise ValueError(
+                "kmeans(mode='driver') implements the exact-fold update "
+                "only — the distributed avg path's partial-aggregation "
+                "order cannot be reproduced driver-side"
+            )
+        return _kmeans_driver(
+            df, k, iters, id_col, vec_col, seed_by, seed, on_empty,
+            centers0, max_driver_sample,
+        )
+    if mode != "dist":
+        raise ValueError(f"kmeans: unknown mode {mode!r}")
     base = df if partitions is None else df.repartition(partitions)
     data = (spread(base) if partitions is None else base).select(
         F.col(id_col), _as_double_array(vec_col).alias("_v")

@@ -177,7 +177,18 @@ def q06(spark, sf_dir):
     """,
 )
 def q07(spark, sf_dir):
-    """TPC-H Q3-shaped 3-way join; AQE picks broadcast vs sort-merge per side."""
+    """TPC-H Q3-shaped 3-way join; AQE picks broadcast vs sort-merge
+    per side. r10 negative result (kept for the record): a guide-§2.3
+    per-order pre-aggregation of lineitem (sum the exact-DECIMAL
+    amounts by l_orderkey before any join — bit-identical by
+    associativity) measured consistently SLOWER on the interleaved
+    A/B (old [2.10, 1.96, 2.08] vs pre-agg [2.26, 2.09, 2.25] s,
+    new > old in 4/4 rounds): locally the planner broadcasts the
+    projected fact side, so the pre-agg just inserts an exchange, and
+    at scale its shuffle saving depends on orderkey co-location in
+    the files (partial aggregation collapses nothing on a shuffled
+    layout) while AQE's size-driven join choice already avoids the
+    broadcast. Reverted — the join-then-aggregate form stays."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -871,6 +882,36 @@ def q28(spark, sf_dir):
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     amount = _dec("l_extendedprice") * (
         (F.lit(1) - _dec("l_discount", _DEC_FRAC)).cast(_DEC_FRAC)
+    )
+    # r10 (guide §3.2 — pre-filter the big side): the final join
+    # requires s_nationkey = n_nationkey ∧ n_regionkey = r_regionkey ∧
+    # r_name = 'ASIA', and c_nationkey = s_nationkey — so ONLY
+    # ASIA-nation customers and suppliers can survive. Semi-joining
+    # both against the broadcast 5-key nation list before the fact
+    # joins drops ~4/5 of customers (and their orders/lineitems)
+    # before anything wide is shuffled; pure logical inference from
+    # the join predicates, so the result is identical.
+    asia_keys = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("_asia_key"))
+    )
+    cust = cust.join(
+        F.broadcast(asia_keys),
+        cust.c_nationkey == F.col("_asia_key"),
+        "left_semi",
+    )
+    supp = supp.join(
+        F.broadcast(asia_keys),
+        supp.s_nationkey == F.col("_asia_key"),
+        "left_semi",
     )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
@@ -1803,12 +1844,25 @@ def q46(spark, sf_dir):
     grouping sets map-side (Expand node) so it stays one shuffle;
     quantity is summed in the exact-decimal domain before the double
     cast (same convention as q03)."""
-    return (
+    # r10 (guide §2.3 — aggregate before you Expand): the corpus
+    # first collapses to the finest grouping (one exact-decimal
+    # partial-aggregated pass); CUBE then expands ≤|groups| rows
+    # instead of every lineitem row ×4. COUNT re-aggregates as SUM
+    # and DECIMAL sums are exact and associative, so the rollup is
+    # bit-identical.
+    pre = (
         load_table(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.count("*").alias("c"),
-            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.count("*").alias("_c"),
+            F.sum(_dec("l_quantity")).alias("_q"),
+        )
+    )
+    return (
+        pre.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("_c").alias("c"),
+            F.round(F.sum("_q").cast("double"), 2).alias("sum_qty"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),

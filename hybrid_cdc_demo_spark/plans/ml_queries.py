@@ -99,7 +99,9 @@ def ns_kmeans_assign(spark, sf_dir):
     train = emb.filter(F.col("vec_id") < 500)
     centers, ids, _ = C.kmeans(
         train, k=8, iters=2, seed_by="id", exact_fold=True, on_empty="drop",
-        partitions=4,  # 500-row sample: scheduling-bound, not compute-bound
+        mode="driver",  # bounded 500-row sample: collect once, train
+        # local — bitwise-identical centers (r10, the pq_train r8
+        # precedent; pinned in test_clustering.py)
     )
     full = emb.select(
         "vec_id", _as_double_array("embedding").alias("_v")

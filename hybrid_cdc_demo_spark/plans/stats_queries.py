@@ -256,9 +256,22 @@ def q52_grouping_sets(spark, sf_dir):
     shuffle — same plan class as rollup/cube); the grouping-id columns
     participate in the ORDER BY so both engines sort the levels
     identically."""
-    out = (
+    # r10 (guide §2.3 — aggregate before you Expand): collapse to the
+    # finest grouping first (exact-decimal partial aggregation, one
+    # corpus pass), then run the grouping sets over ≤|groups| rows —
+    # the Expand stops multiplying every lineitem row ×4. COUNT
+    # re-aggregates as SUM; DECIMAL sums are exact and associative,
+    # so every level is bit-identical.
+    pre = (
         load_table(spark, sf_dir, "lineitem")
-        .groupingSets(
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_q"),
+        )
+    )
+    out = (
+        pre.groupingSets(
             [
                 ["l_returnflag", "l_linestatus"],
                 ["l_returnflag"],
@@ -271,10 +284,8 @@ def q52_grouping_sets(spark, sf_dir):
         .agg(
             F.grouping("l_returnflag").cast("int").alias("g_rf"),
             F.grouping("l_linestatus").cast("int").alias("g_ls"),
-            F.count(F.lit(1)).alias("c"),
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"), 2
-            ).alias("sum_qty"),
+            F.sum("_c").alias("c"),
+            F.round(F.sum("_q").cast("double"), 2).alias("sum_qty"),
         )
     )
     return out.select(
@@ -1344,19 +1355,29 @@ def ns_dedup_containment(spark, sf_dir):
             )
         ).alias("gs"),
     )
-    inv = grams.select("id", F.explode("gs").alias("g"))
-    a = inv.select(F.col("id").alias("id_a"), "g")
-    b = inv.select(F.col("id").alias("id_b"), "g")
+    # r10 (guide §1.2/§2.4): the trigram transform (regex normalize +
+    # up-to-|t| substrings + array_distinct per doc) fed THREE
+    # consumers — both self-join sides and the sizes branch — so it
+    # ran three times. The bounded candidate frame persists (the
+    # simhash fps.persist precedent) and |A| rides the a-side of the
+    # join (constant per id_a, re-read as max()), which deletes the
+    # sizes join outright. One count / one IEEE division — identical
+    # rows.
+    grams = grams.persist()
+    a = grams.select(
+        F.col("id").alias("id_a"),
+        F.size("gs").alias("_s"),
+        F.explode("gs").alias("g"),
+    )
+    b = grams.select(F.col("id").alias("id_b"), F.explode("gs").alias("g"))
     inter = (
         a.join(b, "g")
         .filter(F.col("id_a") != F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(F.count(F.lit(1)).alias("i"), F.max("_s").alias("s"))
     )
-    sizes = grams.select("id", F.size("gs").alias("s"))
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             (F.col("i").cast("double") / F.col("s").cast("double")).alias(

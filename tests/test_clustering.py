@@ -44,6 +44,38 @@ def test_kmeans_exact_fold_matches_mean_update(spark, emb):
         assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
 
 
+def test_kmeans_driver_mode_bitwise_equals_dist(spark, emb):
+    """kmeans(mode='driver') replays the exact-fold Lloyd loop on the
+    collected bounded sample with the identical IEEE-754 operation
+    sequence (r10, the pq_train mode='driver' precedent) — centers and
+    surviving ids must be BITWISE equal to the distributed path, for
+    both seeding policies and both on_empty policies."""
+    for seed_by, on_empty, k, iters in (
+        ("id", "drop", 8, 2),
+        ("hash", "keep", 5, 3),
+    ):
+        cd, idd, _ = C.kmeans(
+            emb, k=k, iters=iters, seed_by=seed_by, exact_fold=True,
+            on_empty=on_empty, partitions=4,
+        )
+        cv, idv, _ = C.kmeans(
+            emb, k=k, iters=iters, seed_by=seed_by, exact_fold=True,
+            on_empty=on_empty, mode="driver",
+        )
+        assert idd == idv
+        assert cd == cv  # exact float equality, element-wise
+
+
+def test_kmeans_driver_mode_bounds_and_policy(spark, emb):
+    """The driver-side collect is bounded by contract, and the mean
+    (non-exact-fold) update refuses driver mode."""
+    with pytest.raises(ValueError, match="max_driver_sample|driver-side bound"):
+        C.kmeans(emb, k=4, iters=1, exact_fold=True, mode="driver",
+                 max_driver_sample=3)
+    with pytest.raises(ValueError, match="exact-fold"):
+        C.kmeans(emb, k=4, iters=1, exact_fold=False, mode="driver")
+
+
 def test_kmeans_assignment_covers_all_clusters(spark, emb):
     _, ids, assigned = C.kmeans(emb, k=4, iters=2, seed_by="hash")
     got = {r["_cluster"] for r in assigned.select("_cluster").distinct().collect()}

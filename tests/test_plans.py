@@ -252,14 +252,22 @@ def test_pivot_plans_two_phase_aggregate(spark):
 
 
 def test_cube_expands_mapside(spark):
-    """CUBE grouping sets expand map-side (Expand node) with partial
-    aggregation below the single hash Exchange."""
+    """CUBE pre-aggregates to the finest grouping BEFORE the Expand
+    (r10, guide §2.3): the corpus-side partial aggregation sits below
+    the first hash Exchange, and the Expand multiplies only the
+    ≤|groups| pre-aggregated rows between the two (tiny) exchanges —
+    never every lineitem row ×4."""
     df = QUERIES["q46_cube"](spark, SF)
     plan = plan_of(df)
     assert "Expand" in plan
-    assert plan.count("Exchange hashpartitioning") == 1
-    before_exchange = plan.split("Exchange")[-1]
-    assert "partial_" in before_exchange
+    assert plan.count("Exchange hashpartitioning") == 2
+    below_expand = plan.split("Expand")[-1]
+    # the corpus pass: ONE exchange, partial-aggregated below it
+    assert below_expand.count("Exchange hashpartitioning") == 1
+    assert "partial_" in below_expand.split("Exchange hashpartitioning")[1]
+    # the rollup re-aggregation above the Expand is partial too
+    above_expand = plan.split("Expand")[0]
+    assert "partial_sum" in above_expand
 
 
 def test_winnowing_is_shuffle_free(spark):
@@ -349,14 +357,17 @@ def test_unpivot_is_mapside_expand_with_pushdown(spark):
 
 
 def test_grouping_sets_expand_mapside_single_shuffle(spark):
-    """GROUPING SETS must expand below the partial aggregate: one
-    Expand, partial_ aggregation before a single hash Exchange (the
-    ORDER BY adds a range exchange on <= |groups| rows)."""
+    """GROUPING SETS pre-aggregates to the finest grouping BEFORE the
+    Expand (r10, guide §2.3 — same shape as q46): the corpus partial
+    aggregation sits below the first hash Exchange; the Expand and the
+    grouping-id re-aggregation run on ≤|groups| rows (the ORDER BY
+    adds a range exchange on ≤ |sets|·|groups| rows)."""
     plan = plan_of(QUERIES["q52_grouping_sets"](spark, SF))
     assert "Expand" in plan
-    assert plan.count("Exchange hashpartitioning") == 1
-    before_exchange = plan.split("Exchange hashpartitioning")[1]
-    assert "partial_" in before_exchange
+    assert plan.count("Exchange hashpartitioning") == 2
+    below_expand = plan.split("Expand")[-1]
+    assert below_expand.count("Exchange hashpartitioning") == 1
+    assert "partial_" in below_expand.split("Exchange hashpartitioning")[1]
 
 
 def test_histogram_aggregates_mapside(spark):
