@@ -801,6 +801,79 @@ def _books_matrices(books, dim: int):
     return [np.asarray(centers, dtype=np.float64) for centers, _ in books], sub
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _blas_single_thread():
+    """Pin this process's OpenBLAS to ONE thread for the duration —
+    PySpark launches Python workers with OMP_NUM_THREADS=1 (task
+    cpus), while the driver's BLAS may run threaded, and OpenBLAS's
+    threaded GEMM reduces in a different order (~1 ulp on a d×d
+    cross-correlation — enough to desync the Procrustes SVD between
+    opq_train's two modes). Locates the loaded OpenBLAS via
+    /proc/self/maps and flips openblas_set_num_threads; yields True
+    when pinned, False when thread control is unavailable (callers
+    then fall back to the distributed path, which needs no pinning).
+    """
+    set_fn = get_fn = None
+    try:
+        import ctypes
+
+        libs = set()
+        with open("/proc/self/maps") as fh:
+            for line in fh:
+                parts = line.split()
+                path = parts[-1] if parts else ""
+                if "openblas" in path.lower() and ".so" in path:
+                    libs.add(path)
+        for path in sorted(libs):
+            handle = ctypes.CDLL(path)
+            for suffix in ("64_", "", "_"):
+                s = getattr(handle, f"openblas_set_num_threads{suffix}", None)
+                g = getattr(handle, f"openblas_get_num_threads{suffix}", None)
+                if s is not None and g is not None:
+                    set_fn, get_fn = s, g
+                    break
+            if set_fn is not None:
+                break
+    except Exception:  # noqa: BLE001 — no /proc, no symbols: unpinnable
+        set_fn = None
+    if set_fn is None:
+        yield False
+        return
+    old = int(get_fn())
+    set_fn(1)
+    try:
+        yield True
+    finally:
+        set_fn(old)
+
+
+def _opq_batch_update(X, Wm, mats, sub, A, sums, counts) -> float:
+    """ONE Arrow batch's contribution to an OPQ alternation pass —
+    the shared numpy kernel of _opq_pass (executor-side) and
+    _opq_train_driver's local replay, so the two modes run literally
+    the same operation sequence. Mutates A/sums/counts in place and
+    returns the batch's quantization-error sum."""
+    m = len(mats)
+    Y = X @ Wm
+    Xhat = np.empty_like(Y)
+    for s, C in enumerate(mats):
+        Ys = Y[:, s * sub : (s + 1) * sub]
+        d2 = (
+            (Ys * Ys).sum(axis=1, keepdims=True)
+            - 2.0 * (Ys @ C.T)
+            + (C * C).sum(axis=1)
+        )
+        pos = d2.argmin(axis=1)
+        Xhat[:, s * sub : (s + 1) * sub] = C[pos]
+        np.add.at(sums[s], pos, Ys)
+        np.add.at(counts[s], pos, 1)
+    A += X.T @ Xhat
+    return float(((Y - Xhat) ** 2).sum())
+
+
 def _opq_pass(
     data: DataFrame,
     W: "np.ndarray",
@@ -834,21 +907,7 @@ def _opq_pass(
             if not len(pdf):
                 continue
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Y = X @ Wm
-            Xhat = np.empty_like(Y)
-            for s, C in enumerate(mats):
-                Ys = Y[:, s * sub : (s + 1) * sub]
-                d2 = (
-                    (Ys * Ys).sum(axis=1, keepdims=True)
-                    - 2.0 * (Ys @ C.T)
-                    + (C * C).sum(axis=1)
-                )
-                pos = d2.argmin(axis=1)
-                Xhat[:, s * sub : (s + 1) * sub] = C[pos]
-                np.add.at(sums[s], pos, Ys)
-                np.add.at(counts[s], pos, 1)
-            A += X.T @ Xhat
-            err += float(((Y - Xhat) ** 2).sum())
+            err += _opq_batch_update(X, Wm, mats, sub, A, sums, counts)
             n += len(X)
         if n:
             yield pd.DataFrame(
@@ -887,6 +946,8 @@ def opq_train(
     vec_col: str = "embedding",
     seed_by: str = "id",
     partitions: int | None = None,
+    mode: str = "dist",
+    max_driver_sample: int = 200_000,
 ):
     """Optimized Product Quantization, non-parametric alternation
     (Ge et al., CVPR 2013 — the published technique behind FAISS's
@@ -915,10 +976,36 @@ def opq_train(
     every codebook here; rotate+encode everything else map-only.
     ``partitions`` compacts the (small) training sample so the
     driver-coordinated passes don't each spin a full fleet of Arrow
-    workers — the pq_train/kmeans convention."""
+    workers — the pq_train/kmeans convention.
+
+    ``mode="driver"`` collects the bounded training sample ONCE
+    (with its partition layout) and replays the IDENTICAL numpy
+    operation sequence locally — same per-partition Arrow batching,
+    same per-partition GEMM partials, same ascending-partition
+    accumulation order — so (W, books, history) are BITWISE equal to
+    mode="dist" (pinned in tests/test_pq.py). Why it exists: the
+    alternation is iters driver-coordinated distributed passes over a
+    sample-sized frame, where per-job scheduling latency dominates
+    arithmetic by ~100× (the pq_train/kmeans mode="driver"
+    precedent). The collect is bounded by contract —
+    ``max_driver_sample`` raises rather than silently pulling an
+    unbounded frame (ivfopq_write trains on full-corpus residuals and
+    therefore stays mode="dist" — that is the 100 TB shape)."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
+    if mode == "driver":
+        result = _opq_train_driver(
+            df, dim, m, k, iters, id_col, vec_col, seed_by, partitions,
+            max_driver_sample,
+        )
+        if result is not None:
+            return result
+        # BLAS thread control unavailable on this platform: the local
+        # replay could not be made bitwise-faithful, so run the
+        # distributed path (identical results, just more jobs).
+    elif mode != "dist":
+        raise ValueError(f"opq_train: unknown mode {mode!r}")
     base = df.repartition(partitions) if partitions else spread(df)
     data = base.select(
         F.col(id_col), _as_double_array(vec_col).alias("_x")
@@ -944,41 +1031,172 @@ def opq_train(
         history: list[float] = []
         for it in range(max(iters, 0)):
             A, err, n, sums, counts = _opq_pass(data, W, books, dim, "_x")
-            if n == 0:
-                # Degenerate training set (ADVICE r6 #3): without this
-                # guard the all-zero Lloyd counts drop EVERY cluster and
-                # the next pass fails deep in an executor with an
-                # obscure ValueError (max() over empty codebooks),
-                # while history silently records err/max(n,1) = 0.
-                raise ValueError(
-                    "opq_train: _opq_pass saw zero training rows at "
-                    f"iteration {it} — empty/degenerate training set"
-                )
-            history.append(err / n)
-            # Lloyd update (per subspace; empty clusters dropped)
-            new_books = []
-            for s, (_, ids) in enumerate(books):
-                keep = [p for p in range(len(ids)) if counts[s][p] > 0]
-                if not keep:
-                    raise ValueError(
-                        f"opq_train: subspace {s} lost every cluster in "
-                        f"the Lloyd update at iteration {it} — training "
-                        "set degenerate for this (m, k)"
-                    )
-                centers = [
-                    list(sums[s][p] / counts[s][p]) for p in keep
-                ]
-                new_books.append((centers, [ids[p] for p in keep]))
-            books = new_books
-            if it < iters - 1:
-                # Procrustes rotation update — skipped on the LAST
-                # iteration so the returned (W, books) are consistent:
-                # the final codebooks were trained in the final W space
-                U, _, Vt = np.linalg.svd(A)
-                W = U @ Vt
+            books, W = _opq_update_step(
+                books, W, A, err, n, sums, counts, history, it, iters
+            )
         return W, books, history
     finally:
         data.unpersist()
+
+
+def _opq_update_step(books, W, A, err, n, sums, counts, history, it, iters):
+    """The driver-side half of one OPQ alternation: record the error,
+    apply the Lloyd codebook update (empty clusters dropped), and —
+    except on the last iteration — the Procrustes rotation update.
+    Shared verbatim by mode='dist' and mode='driver'."""
+    if n == 0:
+        # Degenerate training set (ADVICE r6 #3): without this
+        # guard the all-zero Lloyd counts drop EVERY cluster and
+        # the next pass fails deep in an executor with an
+        # obscure ValueError (max() over empty codebooks),
+        # while history silently records err/max(n,1) = 0.
+        raise ValueError(
+            "opq_train: _opq_pass saw zero training rows at "
+            f"iteration {it} — empty/degenerate training set"
+        )
+    history.append(err / n)
+    # Lloyd update (per subspace; empty clusters dropped)
+    new_books = []
+    for s, (_, ids) in enumerate(books):
+        keep = [p for p in range(len(ids)) if counts[s][p] > 0]
+        if not keep:
+            raise ValueError(
+                f"opq_train: subspace {s} lost every cluster in "
+                f"the Lloyd update at iteration {it} — training "
+                "set degenerate for this (m, k)"
+            )
+        centers = [
+            list(sums[s][p] / counts[s][p]) for p in keep
+        ]
+        new_books.append((centers, [ids[p] for p in keep]))
+    books = new_books
+    if it < iters - 1:
+        # Procrustes rotation update — skipped on the LAST
+        # iteration so the returned (W, books) are consistent:
+        # the final codebooks were trained in the final W space
+        U, _, Vt = np.linalg.svd(A)
+        W = U @ Vt
+    return books, W
+
+
+def _opq_train_driver(
+    df: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    seed_by: str,
+    partitions: int | None,
+    max_driver_sample: int,
+):
+    """opq_train's alternation on the collected bounded sample (see
+    opq_train mode='driver'). Bitwise-equal to mode='dist' because
+    every float operation replays in the same order: rows are
+    collected WITH their partition layout (same repartition, same
+    in-partition order), each partition's rows are re-chunked at the
+    session's Arrow batch size, every batch runs the SAME numpy
+    kernel (_opq_batch_update), per-partition partials accumulate in
+    ascending-partition collect order (exactly _opq_pass's reduce),
+    and the update step is the shared _opq_update_step. The replay's
+    batch kernels run under a one-thread BLAS pin (_blas_single_thread
+    — PySpark workers run OMP_NUM_THREADS=1, and OpenBLAS's threaded
+    GEMM reduces in a different order); the Procrustes SVD stays
+    UNPINNED because it runs on the (possibly threaded) driver in
+    both modes. Returns None when BLAS threads cannot be controlled —
+    the caller falls back to the distributed path."""
+    with _blas_single_thread() as pinned:
+        if not pinned:
+            return None
+    sub = dim // m
+    spark = df.sparkSession
+    base = df.repartition(partitions) if partitions else spread(df)
+    data = base.select(
+        F.col(id_col), _as_double_array(vec_col).alias("_x")
+    )
+    rows = data.withColumn("_pid", F.spark_partition_id()).collect()
+    if len(rows) > max_driver_sample:
+        raise ValueError(
+            f"opq_train(mode='driver'): sample has {len(rows)} rows, over "
+            f"the {max_driver_sample} driver-side bound — pass a bounded "
+            "training sample (or raise max_driver_sample deliberately)"
+        )
+    parts: dict[int, list] = {}
+    for r in rows:  # collect preserves partition-major row order
+        parts.setdefault(int(r["_pid"]), []).append(
+            (r[0], [float(x) for x in r["_x"]])
+        )
+    # seed codebooks — same policy as mode='dist'
+    if seed_by == "hash":
+        # xxhash64 ordering is JVM-side; one k-row job (pq_train parity)
+        seed_rows = [
+            list(r["_x"])
+            for r in data.orderBy(F.xxhash64(F.col(id_col) + 42))
+            .limit(k)
+            .collect()
+        ]
+    else:
+        ordered = sorted(
+            (iv for plist in parts.values() for iv in plist),
+            key=lambda t: t[0],
+        )
+        seed_rows = [v for _, v in ordered[:k]]
+    if not seed_rows:
+        raise ValueError(
+            "opq_train: empty training set (no rows with a non-null "
+            f"{vec_col!r}) — cannot seed codebooks"
+        )
+    books = [
+        ([v[s * sub : (s + 1) * sub] for v in seed_rows], list(range(len(seed_rows))))
+        for s in range(m)
+    ]
+    try:
+        batch_max = int(
+            spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        )
+    except Exception:  # noqa: BLE001 — conf unset: Spark's default
+        batch_max = 10_000
+    if batch_max <= 0:
+        batch_max = 10_000
+
+    def local_pass(Wm, bks):
+        mats, sub_ = _books_matrices(bks, dim)
+        k_max = max(len(C) for C in mats)
+        A = np.zeros((dim, dim), dtype=np.float64)
+        sums = np.zeros((m, k_max, sub_), dtype=np.float64)
+        counts = np.zeros((m, k_max), dtype=np.int64)
+        err, n = 0.0, 0
+        with _blas_single_thread():  # match the worker's GEMM order
+            for pid in sorted(parts):  # ascending = collect reduce order
+                plist = parts[pid]
+                A_p = np.zeros((dim, dim), dtype=np.float64)
+                sums_p = np.zeros((m, k_max, sub_), dtype=np.float64)
+                counts_p = np.zeros((m, k_max), dtype=np.int64)
+                err_p = 0.0
+                for lo in range(0, len(plist), batch_max):
+                    chunk = plist[lo : lo + batch_max]
+                    X = np.vstack(
+                        [np.asarray(v, dtype=np.float64) for _, v in chunk]
+                    )
+                    err_p += _opq_batch_update(
+                        X, Wm, mats, sub_, A_p, sums_p, counts_p
+                    )
+                A += A_p
+                sums += sums_p
+                counts += counts_p
+                err += err_p
+                n += len(plist)
+        return A, err, n, sums, counts
+
+    W = np.eye(dim, dtype=np.float64)
+    history: list[float] = []
+    for it in range(max(iters, 0)):
+        A, err, n, sums, counts = local_pass(W, books)
+        books, W = _opq_update_step(
+            books, W, A, err, n, sums, counts, history, it, iters
+        )
+    return W, books, history
 
 
 def opq_adc_topk(

@@ -695,6 +695,7 @@ def prefix_duplicate_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     partitions: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sorted-neighbor prefix-containment dedup (the suffix-array-free
     half of exact-substring dedup): flag every document whose full text
@@ -720,11 +721,21 @@ def prefix_duplicate_flags(
 
     Nulls in ``text_col`` are not supported (a null has no prefix
     order); filter or coalesce upstream.
+
+    ``carry_cols`` rides extra per-row columns through the pass
+    unchanged (r10): a composed pipeline (ns_training_manifest) that
+    needs both the flag AND per-doc signals computes the signals
+    BEFORE the range exchange and carries them, instead of paying a
+    second corpus scan plus a corpus-wide re-join on ``id_col`` to
+    re-attach them (guide §1.2/§2.4). The flags themselves are
+    order-determined facts of (text, id) only — carried bytes change
+    nothing about the stitching.
     """
     spark = df.sparkSession
     num = int(partitions or spark.sparkContext.defaultParallelism)
+    carry = list(carry_cols)
     d = (
-        df.select(id_col, text_col)
+        df.select(id_col, text_col, *carry)
         .repartitionByRange(num, F.col(text_col), F.col(id_col))
         .sortWithinPartitions(text_col, id_col)
         .withColumn("_pid", F.spark_partition_id())
@@ -753,17 +764,20 @@ def prefix_duplicate_flags(
         import pandas as pd
 
         prev_id = prev_text = pid = None
+        prev_carry: dict[str, object] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["_pid"].iloc[0])
             texts = pdf[text_col].tolist()
             ids = pdf[id_col].tolist()
+            extras = {c: pdf[c].tolist() for c in carry}
             if prev_text is not None:  # last row of the previous batch
                 yield pd.DataFrame(
                     {
                         id_col: [prev_id],
                         "is_prefix_dup": [int(texts[0].startswith(prev_text))],
+                        **{c: [prev_carry[c]] for c in carry},
                     }
                 )
             if len(texts) > 1:
@@ -774,9 +788,11 @@ def prefix_duplicate_flags(
                             int(texts[k + 1].startswith(texts[k]))
                             for k in range(len(texts) - 1)
                         ],
+                        **{c: extras[c][:-1] for c in carry},
                     }
                 )
             prev_id, prev_text = ids[-1], texts[-1]
+            prev_carry = {c: extras[c][-1] for c in carry}
         if prev_text is not None:  # partition's last row vs next head
             nh = next_head.get(pid)
             yield pd.DataFrame(
@@ -785,11 +801,18 @@ def prefix_duplicate_flags(
                     "is_prefix_dup": [
                         int(nh is not None and nh.startswith(prev_text))
                     ],
+                    **{c: [prev_carry[c]] for c in carry},
                 }
             )
 
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in d.schema.fields
+        if f.name in set(carry)
+    )
     return d.mapInPandas(
-        flag_batches, schema=f"{id_col} long, is_prefix_dup int"
+        flag_batches,
+        schema=f"{id_col} long, is_prefix_dup int{carry_schema}",
     )
 
 
@@ -831,28 +854,58 @@ def span_dedup_stats(
     * short docs (< k tokens) contribute zero windows and survive via
       the final left join.
     """
-    from hybrid_cdc_demo_spark.functions.text import words_lower
+    from hybrid_cdc_demo_spark.functions.text import let1, words_lower
     from pyspark.sql import Window  # noqa: F811 — used by both windows
 
     toks = df.select(
         F.col(id_col), words_lower(text_col).alias("_w")
     ).withColumn("_n", F.size("_w"))
 
-    gram = F.col("_g")
-    key = F.xxhash64(gram) if hash_grams else gram
-    wins = (
-        toks.select(
-            id_col,
-            F.posexplode(shingle_windows(F.col("_w"), k)).alias("_p0", "_g"),
-            F.col("_n"),
+    if hash_grams:
+        # Hash the k tokens of each window DIRECTLY (multi-argument
+        # xxhash64 chains per-value hashes, so token boundaries stay
+        # unambiguous exactly like the space-joined string) instead of
+        # materializing the gram strings through the k-level zip_with
+        # chain — k array allocations plus a ~k-word string per window
+        # collapse to k bound-variable lookups and one hash (r10,
+        # guide §1.2 per-task work). Same equality classes, so the
+        # corpus-wide counts — and the oracle hashes — are unchanged
+        # (collision probability unchanged at ~n²/2⁶⁵). The token
+        # array is let-bound: element_at in a lambda BODY would
+        # otherwise re-run the tokenizer per element after project
+        # collapse (the shingle_windows lesson).
+        key_windows = let1(
+            F.col("_w"),
+            lambda w: F.when(
+                F.size(w) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (k - 1)),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(w, i + j) for j in range(k)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<long>")),
         )
-        # shingle_windows emits one truncated window for docs with
-        # fewer than k tokens — a span query must drop those
-        .filter(F.col("_p0") <= F.col("_n") - k)
-        .select(
-            id_col, (F.col("_p0") + 1).alias("pos"), key.alias("_key")
+        wins = toks.select(
+            id_col, F.posexplode(key_windows).alias("_p0", "_key")
+        ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_key")
+    else:
+        wins = (
+            toks.select(
+                id_col,
+                F.posexplode(shingle_windows(F.col("_w"), k)).alias(
+                    "_p0", "_g"
+                ),
+                F.col("_n"),
+            )
+            # shingle_windows emits one truncated window for docs with
+            # fewer than k tokens — a span query must drop those
+            .filter(F.col("_p0") <= F.col("_n") - k)
+            .select(
+                id_col, (F.col("_p0") + 1).alias("pos"),
+                F.col("_g").alias("_key"),
+            )
         )
-    )
     # corpus-wide occurrence count as a WINDOW over the gram key, not
     # a groupBy + semi-join back: the window consumes the same single
     # exchange the flagging needs, so the tokenize+window+explode

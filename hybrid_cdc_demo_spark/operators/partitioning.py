@@ -146,6 +146,7 @@ def global_rank_cumsum(
     cum_col: str = "cum",
     cum_type: str = "decimal(28,6)",
     partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Distributed total-order enumeration PLUS exact prefix sums: each
     row gets its 1-based position in the ``order_cols`` total order
@@ -164,6 +165,13 @@ def global_rank_cumsum(
 
     Ties in ``order_cols`` get positions in partition order — pass a
     unique tiebreak column for a total order (callers here always do).
+
+    ``total_col`` additionally emits the GRAND total of ``value_col``
+    as a literal column: the driver's prefix fold over the ≤P-row
+    control frame already computes it (exact Decimal addition is
+    order-independent), so callers that need ``cum / total`` stop
+    paying a second full aggregation pass over the input just to
+    recompute a number this operator always knew (r10, guide §1.2).
     """
     import decimal
 
@@ -222,4 +230,12 @@ def global_rank_cumsum(
             local_s = local_s + sum(vals)
             yield out
 
-    return d.mapInPandas(sweep, schema=out_schema)
+    out = d.mapInPandas(sweep, schema=out_schema)
+    if total_col is not None:
+        # sum_off has folded every partition subtotal by now — it IS
+        # the exact grand total (empty input leaves Decimal(0), and
+        # then there are no rows for the literal to appear on anyway)
+        import pyspark.sql.functions as F
+
+        out = out.withColumn(total_col, F.lit(sum_off).cast(cum_type))
+    return out

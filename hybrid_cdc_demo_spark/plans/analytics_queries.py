@@ -519,16 +519,20 @@ def ns_pareto_revenue(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.sum("_v").alias("_mon"))
     )
-    total = u.agg(F.sum("_mon").alias("_total"))
+    # the grand total rides out of the rank pass's own control frame
+    # (exact Decimal fold of the partition subtotals — bit-identical
+    # to the oracle's order-free SUM), so the events scan + user
+    # aggregation run ONCE instead of twice (r10, guide §1.2)
     ranked = global_rank_cumsum(
         u,
         [F.col("_mon").desc(), F.col("user_id")],
         "_mon",
         rank_col="rank",
         cum_col="_cum",
+        total_col="_total",
     )
     return (
-        ranked.crossJoin(F.broadcast(total))
+        ranked
         .select(
             "rank",
             "user_id",

@@ -654,16 +654,27 @@ def ns_training_manifest(spark, sf_dir):
     from hybrid_cdc_demo_spark.operators.partitioning import global_rank
 
     docs = load_table(spark, sf_dir, "documents")
-    keep_ids = (
-        prefix_duplicate_flags(docs, partitions=8)
-        .filter(F.col("is_prefix_dup") == 0)
-        .select("doc_id")
+    # ONE corpus pass (r10, guide §1.2/§2.4): the quality score and
+    # token count are map-only signals, so they are computed BEFORE
+    # the dedup pass's range exchange and carried through it — the
+    # old shape scanned documents a second time for score_documents
+    # and re-attached the flags with a corpus-wide doc_id join. The
+    # flags are order-determined facts of (text, doc_id) alone, so
+    # the carried bytes change nothing; survivors are the identical
+    # NOT-dup AND keep set.
+    scored = score_documents(docs).select(
+        "doc_id",
+        "text",
+        "source",
+        "keep",
+        T.token_count("text").alias("n_tok"),
     )
     surv = (
-        score_documents(docs)
-        .filter(F.col("keep"))
-        .join(keep_ids, "doc_id")
-        .select("doc_id", "source", T.token_count("text").alias("n_tok"))
+        prefix_duplicate_flags(
+            scored, partitions=8, carry_cols=("source", "keep", "n_tok")
+        )
+        .filter((F.col("is_prefix_dup") == 0) & F.col("keep"))
+        .select("doc_id", "source", "n_tok")
     )
     ranked = global_rank(
         surv,

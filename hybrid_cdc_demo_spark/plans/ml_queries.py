@@ -716,7 +716,8 @@ def ns_opq_rotation(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") < 500)
     W, _, history = opq_train(
-        train, dim=64, m=4, k=8, iters=4, seed_by="id", partitions=4
+        train, dim=64, m=4, k=8, iters=4, seed_by="id", partitions=4,
+        mode="driver",  # bounded 500-row sample: collect once, train local
     )
     orth = float(np.abs(W.T @ W - np.eye(64)).max())
     rows = [
@@ -747,7 +748,8 @@ def ns_simsearch_opq(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     train = emb.filter(F.col("vec_id") < 500)
     W, books, _ = opq_train(
-        train, dim=64, m=4, k=8, iters=3, seed_by="id", partitions=4
+        train, dim=64, m=4, k=8, iters=3, seed_by="id", partitions=4,
+        mode="driver",  # bounded sample — see ns_opq_rotation
     )
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     query_vec = [float(x) for x in qrow["embedding"]]

@@ -112,3 +112,31 @@ class TestGlobalRankCumsum:
         assert {k: v[0] for k, v in got.items()} == {2: 1, 1: 2}
         assert got[1][1] == ref[1][1]
 
+    def test_total_col_is_exact_grand_total(self, spark):
+        """total_col (r10) emits the exact Decimal grand total the
+        control-frame fold already computed: equal on every row, equal
+        to the last row's cum, equal to the order-free exact sum."""
+        import random
+
+        from hybrid_cdc_demo_spark.operators.partitioning import (
+            global_rank_cumsum,
+        )
+
+        rng = random.Random(5)
+        rows = [(i, round(rng.uniform(0, 100), 2)) for i in range(200)]
+        df = spark.createDataFrame(rows, ["i", "v"]).select(
+            "i", F.col("v").cast("decimal(18,6)").alias("v")
+        )
+        out = global_rank_cumsum(
+            df, ["v", "i"], "v", partitions=8, total_col="tot"
+        ).collect()
+        want = sum(
+            (decimal.Decimal(str(v)).quantize(decimal.Decimal("0.000001"))
+             for _, v in rows),
+            decimal.Decimal(0),
+        )
+        totals = {decimal.Decimal(r["tot"]) for r in out}
+        assert totals == {want}
+        last = max(out, key=lambda r: r["pos"])
+        assert decimal.Decimal(last["cum"]) == want
+

@@ -493,7 +493,12 @@ def test_lm_coherence_two_explodes_no_object_agg(spark):
     distinct-bigram-sized, i.e. corpus-scaling — r7 ADVICE); at this
     SF the measured size is tiny so AQE must still pick a broadcast
     join AT RUNTIME, which this pin checks (strategy chosen by size,
-    not forced)."""
+    not forced). (r10 note: a single-explode rewrite sharing one
+    per-(doc, x, y) exchange via ReuseExchange measured consistently
+    SLOWER — the pre-aggregation adds a corpus-sized exchange that
+    costs more than the saved explode, locally and at scale per guide
+    §2.2 — so the two-explode shape is the deliberate choice, recorded
+    in OPTIMIZATION_r10.md.)"""
     df = QUERIES["ns_lm_coherence"](spark, SF)
     df.collect()  # AQE decides join strategies on execution
     plan = plan_of(df)
@@ -726,13 +731,18 @@ def test_dataset_card_single_grouped_pass_no_joins(spark):
 
 def test_pareto_revenue_single_rank_exchange_no_window(spark):
     """Rank + running revenue share come from ONE global_rank_cumsum
-    pass: exactly one hash exchange (the user aggregation), no Window
-    operator (the oracle's unpartitioned SUM OVER would be one task),
-    and the grand total broadcasts back."""
+    pass, and the grand total is a driver literal from that pass's
+    own control frame (r10) — so the FINAL plan shows no Window (the
+    oracle's unpartitioned SUM OVER would be one task), no Join, and
+    ZERO hash exchanges: the only user aggregation lives inside the
+    rank pass's checkpointed lineage (Scan ExistingRDD), and before
+    r10 the one visible hash exchange was literally the wasteful
+    SECOND aggregation recomputing the total."""
     plan = plan_of(QUERIES["ns_pareto_revenue"](spark, SF))
     assert "Window" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed rank pass
 
 
 def test_weighted_sample_is_heap_topk_no_global_sort(spark):

@@ -713,3 +713,68 @@ class TestDriverTrainParity:
         with pytest.raises(ValueError, match="driver-side bound"):
             pq_train(df, dim=8, m=2, k=2, exact_fold=True, mode="driver",
                      max_driver_sample=5)
+
+
+class TestOPQDriverParity:
+    """opq_train(mode='driver') must be BITWISE identical to the
+    distributed path: rows are collected with their partition layout
+    and the same numpy kernel replays per partition in collect order,
+    so (W, books, history) carry the exact same doubles (r10
+    optimization — the pq_train/kmeans driver-mode precedent)."""
+
+    def _bits(self, W, books, history):
+        import struct
+
+        def d(x):
+            return struct.pack(">d", float(x))
+
+        return (
+            [tuple(d(x) for x in row) for row in W],
+            [([tuple(d(x) for x in c) for c in centers], ids)
+             for centers, ids in books],
+            [d(h) for h in history],
+        )
+
+    def test_bitwise_parity_random(self, spark):
+        from hybrid_cdc_demo_spark.operators.clustering import opq_train
+
+        rng = random.Random(17)
+        vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(150)]
+        df = _emb(spark, vecs)
+        dist = opq_train(df, dim=16, m=4, k=6, iters=3, seed_by="id",
+                         partitions=4)
+        drv = opq_train(df, dim=16, m=4, k=6, iters=3, seed_by="id",
+                        partitions=4, mode="driver")
+        assert self._bits(*drv) == self._bits(*dist)
+
+    def test_bitwise_parity_query_shape(self, spark):
+        """The exact call ns_simsearch_opq makes, on the real testdata
+        slice — the shape the optimization actually ships."""
+        from hybrid_cdc_demo_spark.operators.clustering import opq_train
+        from hybrid_cdc_demo_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings")
+        train = emb.filter(F.col("vec_id") < 500)
+        dist = opq_train(train, dim=64, m=4, k=8, iters=3, seed_by="id",
+                         partitions=4, mode="dist")
+        drv = opq_train(train, dim=64, m=4, k=8, iters=3, seed_by="id",
+                        partitions=4, mode="driver")
+        assert self._bits(*drv) == self._bits(*dist)
+
+    def test_driver_mode_guards(self, spark):
+        import pytest
+
+        from hybrid_cdc_demo_spark.operators.clustering import opq_train
+
+        df = _emb(spark, [[0.0] * 8] * 10)
+        with pytest.raises(ValueError, match="driver-side bound"):
+            opq_train(df, dim=8, m=2, k=2, mode="driver",
+                      max_driver_sample=5)
+        with pytest.raises(ValueError, match="unknown mode"):
+            opq_train(df, dim=8, m=2, k=2, mode="nope")
+        empty = spark.createDataFrame(
+            [], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="empty training set"):
+            opq_train(empty, dim=8, m=2, k=4, iters=2, seed_by="id",
+                      mode="driver")

@@ -123,3 +123,41 @@ def test_empty_corpus(spark):
         ])
     )
     assert prefix_duplicate_flags(empty).count() == 0
+
+
+def test_carry_cols_ride_unchanged_and_flags_identical(spark):
+    """carry_cols (r10): extra per-row columns must come out exactly
+    as they went in — same value on the same doc_id, across batch and
+    partition boundaries (the three yield paths) — and the flags must
+    be bit-identical to the carry-free run."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            "".join(rng.choice("ab") for _ in range(rng.randint(0, 6))),
+            f"src{i % 3}",
+            i % 2 == 0,
+            i * 10,
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "source", "keep", "n_tok"]
+    )
+    for parts in (3, 16):
+        out = prefix_duplicate_flags(
+            df, "text", "doc_id", partitions=parts,
+            carry_cols=("source", "keep", "n_tok"),
+        )
+        got = {r["doc_id"]: r for r in out.collect()}
+        assert len(got) == 60
+        for i, _t, src, keep, n_tok in rows:
+            r = got[i]
+            assert (r["source"], r["keep"], r["n_tok"]) == (src, keep, n_tok)
+        plain = prefix_duplicate_flags(
+            df.select("doc_id", "text"), "text", "doc_id", partitions=parts
+        )
+        want = {r["doc_id"]: r["is_prefix_dup"] for r in plain.collect()}
+        assert {i: r["is_prefix_dup"] for i, r in got.items()} == want

@@ -702,12 +702,15 @@ SQL_SURFACE_EXEMPT = {
 #: physical formulations (same results, hash-checked above).
 PLAN_SIG_EXEMPT = {
     "q27_cosine_topk": "builder broadcasts the 1-row query vector; SQL's scalar subquery plans as two single-partition aggregates",
+    "q28_tpch_q5": "builder pre-filters customer+supplier with an inferred ASIA semi-join before the fact joins (r10 §3.2 — a transitive reduction no planner derives from the SQL text); rows hash-checked equal",
     "q31_tpch_q15": "builder reuses the revenue frame; SQL's MAX scalar subquery adds one broadcast join",
     "q32_tpch_q22": "builder's AVG is a broadcast-nested-loop scalar input; SQL plans it as a subquery aggregate",
     "q33_asof_join": "builder is the asof window operator; SQL emulates via join + max(struct) argmax (SortAggregate)",
     "q37_tpch_q17": "scalar avg subquery vs builder's explicit broadcast join",
     "q42_tpch_q7": "join-order formulation: at sf0.01 the builder's order plans one sort-merge leg where the SQL order keeps all joins broadcast",
     "q45_pivot": "builder pins the two-phase pivot aggregate; SQL's PIVOT folds to one",
+    "q46_cube": "builder aggregates to the finest grouping BEFORE the CUBE Expand (r10 §2.3 — Expand multiplies pre-aggregated rows, not the fact table); SQL plans Expand directly over the scan; rows hash-checked equal",
+    "q52_grouping_sets": "builder aggregates to the finest grouping BEFORE the GROUPING SETS Expand (r10 §2.3, same as q46); rows hash-checked equal",
     "q49_tpch_q2_shape": "correlated min-cost subquery decorrelates differently than the builder's explicit join",
     "q50_tpch_q11_shape": "HAVING scalar subquery vs builder's broadcast threshold join",
     "q53_unpivot": "builder uses the Expand-based unpivot operator; SQL's UNPIVOT plans as a union",
