@@ -163,7 +163,8 @@ def rfm_segments(
     ran three CHAINED global_rank passes here: ~9 scheduled jobs over
     the user frame; the union form is one exchange + one control-frame
     collect, ~2× fewer jobs and one barrier instead of three.)
-    Quartile = 1 + floor(4 * (rank-1) / n) with n broadcast — exact
+    Quartile = 1 + floor(4 * (rank-1) / n) with n a driver literal
+    (checkpointed user frame, one cached count — r10) — exact
     integer semantics, identical in the oracle's row_number form.
 
     Determinism: recency is day arithmetic on the NTZ date, monetary
@@ -174,29 +175,39 @@ def rfm_segments(
     """
     from hybrid_cdc_demo_spark.operators.partitioning import global_rank
 
-    p = events.filter(F.col(type_col) == purchase_type).select(
-        F.col(user_col),
-        F.to_date(ts_col).alias("_d"),
-        F.col(value_col).cast("decimal(18,6)").alias("_v"),
-    )
-    anchor = events.agg(F.max(F.to_date(ts_col)).alias("_mxd"))
-    u = (
-        p.groupBy(user_col)
+    # ONE events pass (r10, guide §1.2): the anchor date (max event
+    # date over ALL events, purchases or not) used to cost its own
+    # corpus scan + crossJoin. Instead the single user-keyed
+    # aggregation carries a per-user any-event max date alongside the
+    # purchase-conditional metrics; the anchor is then the max of the
+    # per-user maxes — one job over the already-checkpointed user
+    # frame, folded in as a driver literal. Purchase metrics are
+    # when()-conditional aggregates over the same rows: COUNT of
+    # non-null = count of purchases, DECIMAL SUM skips the NULLs
+    # exactly, so every number matches the old filtered-first form
+    # (oracle hash re-proven).
+    d = F.to_date(ts_col)
+    is_p = F.col(type_col) == purchase_type
+    u0 = (
+        events.groupBy(user_col)
         .agg(
-            F.max("_d").alias("_last"),
-            F.count("*").cast("long").alias("frequency"),
-            F.sum("_v").alias("_mon"),
+            F.max(d).alias("_umax"),
+            F.max(F.when(is_p, d)).alias("_last"),
+            F.count(F.when(is_p, F.lit(1))).cast("long").alias("frequency"),
+            F.sum(
+                F.when(is_p, F.col(value_col).cast("decimal(18,6)"))
+            ).alias("_mon"),
         )
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            user_col,
-            F.datediff(F.col("_mxd"), F.col("_last")).cast("long").alias(
-                "recency_days"
-            ),
-            "frequency",
-            "_mon",
-        )
-        .localCheckpoint(eager=True)  # 3 union branches, one compute
+        .localCheckpoint(eager=True)  # every later leg reads this
+    )
+    mxd = u0.agg(F.max("_umax").alias("_mxd")).collect()[0]["_mxd"]
+    u = u0.filter(F.col("frequency") > 0).select(
+        user_col,
+        F.datediff(F.lit(mxd).cast("date"), F.col("_last")).cast("long").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "_mon",
     )
     _KEY = "decimal(28,6)"
     legs = [
@@ -213,16 +224,19 @@ def rfm_segments(
     pos = global_rank(
         stacked, [F.col("_m"), F.col("_k"), F.col(user_col)], "_pos"
     )
-    n = u.agg(F.count("*").cast("long").alias("_n"))
+    # n is a driver literal: the user frame is checkpointed, so the
+    # count is one cached-read job and the two broadcast builds the
+    # old 1-row crossJoins paid disappear from the plan (r10)
+    n_users = u.count()
+    _n = F.lit(n_users).cast("long")
     # per-metric rank from the single total order: each metric owns a
     # contiguous n-row band, so rank = pos - m*n; pivot back to one
     # row per user (user-keyed shuffle, same key as everything above).
     ranks = (
-        pos.crossJoin(F.broadcast(n))
-        .select(
+        pos.select(
             user_col,
             "_m",
-            (F.col("_pos") - F.col("_m") * F.col("_n")).alias("_r"),
+            (F.col("_pos") - F.col("_m") * _n).alias("_r"),
         )
         .groupBy(user_col)
         .agg(
@@ -239,11 +253,11 @@ def rfm_segments(
             + F.floor(
                 F.lit(4.0)
                 * (F.col(pos) - 1).cast("double")
-                / F.col("_n").cast("double")
+                / _n.cast("double")
             )
         ).cast("int")
 
-    return ranked.crossJoin(F.broadcast(n)).select(
+    return ranked.select(
         user_col,
         "recency_days",
         "frequency",

@@ -98,26 +98,56 @@ def train_bpe(
     num_merges: int,
     text_col: str = "text",
     partitions: int | None = None,
+    mode: str = "auto",
+    max_driver_vocab: int = 200_000,
 ) -> list[dict]:
     """Run ``num_merges`` BPE iterations; returns the merge table
-    [{step, left, right, merged, cnt}, ...]. Only ONE (pair, count)
-    row crosses to the driver per step.
+    [{step, left, right, merged, cnt}, ...].
 
     ``partitions`` sizes the vocab-table stages: the iteration loop is
     scheduling-bound when the vocabulary is small relative to the
     cluster (each of the k steps launches its own jobs), so benchmarks
     on small vocabs pass a small value; at corpus scale leave None and
-    the table keeps the session's parallelism."""
+    the table keeps the session's parallelism.
+
+    ``mode`` (r10): BPE statistics are EXACT integers and the argmax
+    tie-break is lexicographic, so the merge loop is reproducible in
+    plain Python to the byte — no floating point anywhere. After the
+    one corpus-scale aggregation (word_freq_table), ``"auto"`` counts
+    the vocabulary (one cheap job): at or under ``max_driver_vocab``
+    it collects the (freq, symbols) table ONCE and runs all
+    ``num_merges`` iterations locally (the HF-tokenizers trainer
+    shape — 2 jobs total instead of ~2 per merge step); above the
+    bound it stays on the distributed loop. ``"driver"`` forces the
+    collect (raises over the bound); ``"dist"`` forces the loop.
+    Identical merge tables by construction (pinned in test_bpe.py:
+    integer counts are order-free, UTF-8 byte order == code-point
+    order, and the fold below is replayed verbatim)."""
+    if mode not in ("auto", "driver", "dist"):
+        raise ValueError(f"train_bpe: unknown mode {mode!r}")
     sym = symbolize(word_freq_table(docs, text_col)).select("freq", "sym")
     if partitions:
         sym = sym.coalesce(partitions)
     # pin the start state: iterations re-scan the vocab table, not the
     # corpus. eager=False (r10): the checkpoint materializes inside the
-    # next argmax job instead of spending a dedicated job per step —
-    # same truncated lineage and cached blocks, half the scheduled jobs
-    # for the k-step loop (per-step latency dominates on a vocab-sized
-    # frame; guide §1.2 "per-task work" after the algorithm is right).
+    # next job (vocab count or argmax) instead of spending a dedicated
+    # job per step — same truncated lineage and cached blocks (guide
+    # §1.2 "per-task work" after the algorithm is right).
     sym = sym.localCheckpoint(eager=False)
+    if mode != "dist":
+        n_vocab = sym.count()  # materializes the checkpoint too
+        if n_vocab <= max_driver_vocab:
+            rows = sym.collect()
+            return _train_bpe_local(
+                [(r["freq"], list(r["sym"])) for r in rows], num_merges
+            )
+        if mode == "driver":
+            raise ValueError(
+                f"train_bpe(mode='driver'): vocabulary has {n_vocab} "
+                f"words, over the {max_driver_vocab} driver-side bound "
+                "— use mode='auto'/'dist' (or raise max_driver_vocab "
+                "deliberately)"
+            )
     merges: list[dict] = []
     for step in range(1, num_merges + 1):
         top = (
@@ -136,6 +166,43 @@ def train_bpe(
             "freq", merge_pair_expr(F.col("sym"), a, b).alias("sym")
         ).localCheckpoint(eager=False)  # k passes total, not O(k^2)
         # lineage; lazy — the next step's argmax job materializes it
+    return merges
+
+
+def _train_bpe_local(vocab: list[tuple[int, list[str]]], num_merges: int) -> list[dict]:
+    """The merge loop on the collected vocabulary — each step mirrors
+    the distributed formulation operation-for-operation: adjacent-pair
+    counts weighted by word frequency (exact integers, any summation
+    order), argmax by (cnt DESC, a, b) (Python code-point comparison
+    == Spark's UTF8 byte comparison), and merge_pair_expr's strict
+    left fold (last-accumulated == a and current == b -> replace with
+    a+b, leftmost-first non-overlapping)."""
+    merges: list[dict] = []
+    for step in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for freq, sym in vocab:
+            for i in range(len(sym) - 1):
+                key = (sym[i], sym[i + 1])
+                counts[key] = counts.get(key, 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(
+            {"step": step, "left": a, "right": b, "merged": a + b, "cnt": cnt}
+        )
+        merged = a + b
+        new_vocab: list[tuple[int, list[str]]] = []
+        for freq, sym in vocab:
+            acc: list[str] = []
+            for x in sym:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(x)
+            new_vocab.append((freq, acc))
+        vocab = new_vocab
     return merges
 
 

@@ -1154,6 +1154,7 @@ def ns_blocklist_filter(spark, sf_dir):
     dim table — bounded metadata, same class as the IVF centroid
     read."""
     from hybrid_cdc_demo_spark.operators.bloom import blocklist_filter
+    from hybrid_cdc_demo_spark.sources.tables import table_num_rows
 
     events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     banned = (
@@ -1167,7 +1168,13 @@ def ns_blocklist_filter(spark, sf_dir):
         "user_id",
         banned,
         "c_custkey",
-        expected_items=banned.count(),
+        # Bloom sizing needs only an UPPER BOUND on the blocked-key
+        # count: the dim table's parquet-footer row count is free (no
+        # Spark job), where the old exact banned.count() paid a full
+        # customer scan per call. Oversizing only lowers the false-
+        # positive rate; the exact verify anti-join keeps the result
+        # bit-identical either way (r10, guide §1.2).
+        expected_items=table_num_rows(sf_dir, "customer"),
     )
     return survivors.orderBy("event_id")
 

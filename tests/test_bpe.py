@@ -58,6 +58,37 @@ def test_trainer_is_deterministic(spark):
     assert a == b
 
 
+def test_driver_mode_matches_distributed(spark, sf_dir):
+    """train_bpe mode='driver' (the r10 collected-vocab loop) must
+    produce the IDENTICAL merge table to the distributed loop — exact
+    integer counts, lexicographic tie-break, leftmost-first fold — on
+    the classic corpus, a tie-heavy corpus, and real testdata."""
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    for docs, k in [
+        (_classic(spark), 4),
+        (_docs(spark, ["ab ab ba", "ba ab", "aaa bbb"]), 5),
+        (load_table(spark, sf_dir, "documents").limit(200), 6),
+    ]:
+        dist = train_bpe(docs, num_merges=k, mode="dist")
+        drv = train_bpe(docs, num_merges=k, mode="driver")
+        assert drv == dist
+
+
+def test_driver_mode_bound_raises_and_auto_falls_back(spark):
+    import pytest
+
+    docs = _docs(spark, ["one two three four five six"])
+    with pytest.raises(ValueError, match="driver-side bound"):
+        train_bpe(docs, num_merges=2, mode="driver", max_driver_vocab=2)
+    # auto over the bound silently stays distributed, same table
+    a = train_bpe(docs, num_merges=2, mode="auto", max_driver_vocab=2)
+    b = train_bpe(docs, num_merges=2, mode="dist")
+    assert a == b
+    with pytest.raises(ValueError, match="unknown mode"):
+        train_bpe(docs, num_merges=1, mode="nope")
+
+
 def test_merge_is_leftmost_nonoverlapping(spark):
     df = spark.createDataFrame([(["b", "b", "b"],)], ["sym"])
     out = df.select(merge_pair_expr(F.col("sym"), "b", "b").alias("m")).collect()

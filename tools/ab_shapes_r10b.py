@@ -252,12 +252,118 @@ def old_manifest(spark, sf_dir):
     return packed.select("doc_id", "source", "pos", "bin_id").orderBy("doc_id")
 
 
+def old_rfm(spark, sf_dir):
+    """ns_rfm_segments with the separate anchor scan + broadcast n."""
+    from hybrid_cdc_demo_spark.operators.partitioning import global_rank
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    user_col, ts_col, type_col, value_col = "user_id", "ts", "event_type", "value"
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col(type_col) == "purchase").select(
+        F.col(user_col),
+        F.to_date(ts_col).alias("_d"),
+        F.col(value_col).cast("decimal(18,6)").alias("_v"),
+    )
+    anchor = events.agg(F.max(F.to_date(ts_col)).alias("_mxd"))
+    u = (
+        p.groupBy(user_col)
+        .agg(
+            F.max("_d").alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("_v").alias("_mon"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            user_col,
+            F.datediff(F.col("_mxd"), F.col("_last")).cast("long").alias("recency_days"),
+            "frequency",
+            "_mon",
+        )
+        .localCheckpoint(eager=True)
+    )
+    _KEY = "decimal(28,6)"
+    legs = [
+        F.col("recency_days").cast(_KEY),
+        (-F.col("frequency")).cast(_KEY),
+        (-F.col("_mon")).cast(_KEY),
+    ]
+    stacked = None
+    for i, key in enumerate(legs):
+        leg = u.select(F.lit(i).alias("_m"), key.alias("_k"), F.col(user_col))
+        stacked = leg if stacked is None else stacked.unionAll(leg)
+    pos = global_rank(stacked, [F.col("_m"), F.col("_k"), F.col(user_col)], "_pos")
+    n = u.agg(F.count("*").cast("long").alias("_n"))
+    ranks = (
+        pos.crossJoin(F.broadcast(n))
+        .select(
+            user_col, "_m",
+            (F.col("_pos") - F.col("_m") * F.col("_n")).alias("_r"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.max(F.when(F.col("_m") == 0, F.col("_r"))).alias("_pr"),
+            F.max(F.when(F.col("_m") == 1, F.col("_r"))).alias("_pf"),
+            F.max(F.when(F.col("_m") == 2, F.col("_r"))).alias("_pm"),
+        )
+    )
+    ranked = u.join(ranks, user_col)
+
+    def q(pos_name):
+        return (
+            F.lit(1)
+            + F.floor(
+                F.lit(4.0) * (F.col(pos_name) - 1).cast("double")
+                / F.col("_n").cast("double")
+            )
+        ).cast("int")
+
+    return ranked.crossJoin(F.broadcast(n)).select(
+        user_col, "recency_days", "frequency",
+        F.col("_mon").cast("double").alias("monetary"),
+        q("_pr").alias("r_q"), q("_pf").alias("f_q"), q("_pm").alias("m_q"),
+        F.concat(
+            q("_pr").cast("string"), q("_pf").cast("string"), q("_pm").cast("string")
+        ).alias("segment"),
+    ).orderBy(user_col)
+
+
+def old_blocklist(spark, sf_dir):
+    """ns_blocklist_filter with the exact banned.count() sizing scan."""
+    from hybrid_cdc_demo_spark.operators.bloom import blocklist_filter
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    banned = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    survivors = blocklist_filter(
+        spark, events, "user_id", banned, "c_custkey",
+        expected_items=banned.count(),
+    )
+    return survivors.orderBy("event_id")
+
+
+def old_bpe_vocab(spark, sf_dir):
+    """ns_bpe_vocab with the distributed merge loop."""
+    from hybrid_cdc_demo_spark.operators.bpe import merges_df, train_bpe
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=6, partitions=4, mode="dist")
+    return merges_df(spark, merges).orderBy("step")
+
+
 TARGETS = {
     "opq": ("ns_simsearch_opq", old_opq),
     "span": ("ns_dedup_substring", old_span),
     "pareto": ("ns_pareto_revenue", old_pareto),
     "lm": ("ns_lm_coherence", old_lm),
     "manifest": ("ns_training_manifest", old_manifest),
+    "rfm": ("ns_rfm_segments", old_rfm),
+    "blocklist": ("ns_blocklist_filter", old_blocklist),
+    "bpe": ("ns_bpe_vocab", old_bpe_vocab),
 }
 
 
