@@ -199,6 +199,7 @@ def mmr_select(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Maximal-marginal-relevance selection (Carbonell & Goldstein
     1998): greedily pick ``k`` items maximizing
@@ -225,6 +226,17 @@ def mmr_select(
     sort places NaN ABOVE every real double, so they'd win every pick)
     are filtered before the greedy loop, and if the candidate pool
     exhausts before k picks the result simply has fewer rows.
+
+    Size-gated execution (r10, the connected_components/pagerank
+    precedent): the greedy loop is 2 scheduled jobs per pick by
+    construction, so when the scored pool fits on the driver
+    (``driver_threshold`` rows ≈ tens of MB with 64-dim vectors) the
+    k picks replay locally — BITWISE identical (pinned in
+    tests/test_textmetrics.py): every dot product is the same strict
+    left fold (vectorized across rows but folded column-by-column in
+    index order), argmax-first over id-sorted rows is exactly
+    ORDER BY _s DESC, id LIMIT 1, and the −2.0/0.0 coalesce seams are
+    replayed verbatim. Above the bound the loop below runs unchanged.
     """
     emb = df.select(F.col(id_col), _as_double_array(vec_col).alias("_v")).filter(
         dot(F.col("_v"), F.col("_v")) > 0
@@ -256,6 +268,13 @@ def mmr_select(
         .localCheckpoint(eager=False)
     )
     spark = df.sparkSession
+    id_type = dict(df.select(id_col).dtypes)[id_col]
+    # one cached count decides the gate (it materializes the lazy
+    # checkpoint — work the first argmax needed anyway)
+    if scored.count() <= driver_threshold:
+        return _mmr_driver(
+            spark, scored.collect(), k, lam, id_col, id_type
+        )
     picked: list[tuple] = []  # (rank, id, rel, mmr_score)
     score = F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.coalesce(
         F.col("_ms"), F.lit(0.0)
@@ -286,9 +305,61 @@ def mmr_select(
                 )
                 .localCheckpoint(eager=False)  # next argmax materializes
             )
-    id_type = dict(df.select(id_col).dtypes)[id_col]
     return spark.createDataFrame(
         picked, f"rank int, {id_col} {id_type}, relevance double, mmr_score double"
+    )
+
+
+def _mmr_driver(spark, rows, k, lam, id_col, id_type) -> DataFrame:
+    """The greedy MMR loop on the collected scored pool (see
+    mmr_select's size gate). Bitwise-faithful replay of the
+    distributed expressions:
+
+    - dot products fold column-by-column in index order (vectorized
+      across rows, but each row's accumulation is the identical
+      strict left fold ``acc = acc + v[j]*s[j]`` — products are
+      elementwise-exact, so pre-multiplying changes nothing);
+    - the argmax scans id-ascending rows and keeps the FIRST maximum
+      — exactly ORDER BY _s DESC, id LIMIT 1;
+    - the score's COALESCE(_ms, 0.0) before the first update and the
+      GREATEST(COALESCE(_ms, -2.0), pen) update are replayed as
+      written.
+    """
+    rows = sorted(rows, key=lambda r: r[id_col])
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            f"rank int, {id_col} {id_type}, relevance double, "
+            "mmr_score double",
+        )
+    ids = [r[id_col] for r in rows]
+    V = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    inv = np.array([r["_inv"] for r in rows], dtype=np.float64)
+    rel = np.array([r["rel"] for r in rows], dtype=np.float64)
+    n, dim = V.shape
+    alive = np.ones(n, dtype=bool)
+    ms = None  # NULL until the first penalty update, like the column
+    picked: list[tuple] = []
+    for rank in range(1, k + 1):
+        if not alive.any():
+            break  # pool exhausted before k picks
+        base_ms = np.zeros(n) if ms is None else ms
+        s = lam * rel - (1.0 - lam) * base_ms
+        i = int(np.argmax(np.where(alive, s, -np.inf)))
+        picked.append((rank, ids[i], float(rel[i]), float(s[i])))
+        if rank < k:
+            s_unit = V[i] * inv[i]
+            prods = V * s_unit
+            pen = np.zeros(n)
+            for j in range(dim):  # strict left fold, index order
+                pen = pen + prods[:, j]
+            pen = pen * inv
+            prev = ms if ms is not None else np.full(n, -2.0)
+            ms = np.maximum(prev, pen)
+            alive[i] = False
+    return spark.createDataFrame(
+        picked,
+        f"rank int, {id_col} {id_type}, relevance double, mmr_score double",
     )
 
 

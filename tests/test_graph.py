@@ -108,6 +108,35 @@ class TestPageRank:
         got = pagerank(df, iterations=12).collect()
         assert sum(r["rank"] for r in got) == pytest.approx(1.0, abs=1e-9)
 
+    def test_driver_gate_matches_distributed_path(self, spark):
+        """The r10 size-gated driver replay must agree with the
+        distributed loop to float-accumulation precision (the only
+        permitted difference is SUM order — the same deviation class
+        the 6-dp oracle rounding absorbs), on a graph with dangling
+        nodes, a source, and a cycle."""
+        import random
+
+        rng = random.Random(3)
+        names = [f"n{i}" for i in range(40)]
+        edges = list({
+            (rng.choice(names), rng.choice(names)) for _ in range(150)
+        })
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        drv = {
+            r["node"]: r["rank"]
+            for r in pagerank(df, iterations=10).collect()
+        }
+        dist = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                df, iterations=10, driver_threshold_edges=0
+            ).collect()
+        }
+        assert set(drv) == set(dist)
+        for v, want in dist.items():
+            assert drv[v] == pytest.approx(want, abs=1e-12), v
+
     def test_ns_pagerank_tokens_contract(self, spark):
         df = QUERIES["ns_pagerank_tokens"](spark, SF)
         rows = df.collect()

@@ -195,6 +195,55 @@ class TestMMR:
         # probe is the min-id vector -> it is its own best pick
         assert ids[0] == 0 and rows[0]["relevance"] == 1.0
 
+    def test_driver_gate_bitwise_matches_distributed(self, spark):
+        """mmr_select's r10 size-gated driver replay must equal the
+        distributed greedy loop BITWISE — same picks, same relevance
+        and mmr_score doubles — on the real testdata query shape and
+        on a tie-heavy synthetic pool."""
+        import struct
+
+        from hybrid_cdc_demo_spark.operators.similarity import mmr_select
+        from hybrid_cdc_demo_spark.sources.tables import load_table
+
+        def bits(rows):
+            return [
+                (
+                    r["rank"],
+                    r["vec_id"],
+                    struct.pack(">d", r["relevance"]),
+                    struct.pack(">d", r["mmr_score"]),
+                )
+                for r in rows
+            ]
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        qv = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").cast("array<double>").alias("qv")
+        )
+        drv = mmr_select(emb, qv, k=10, lam=0.7).orderBy("rank").collect()
+        dist = (
+            mmr_select(emb, qv, k=10, lam=0.7, driver_threshold=0)
+            .orderBy("rank")
+            .collect()
+        )
+        assert bits(drv) == bits(dist)
+
+        # tie-heavy pool: duplicated vectors force the id tie-break
+        vecs = [[1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                [0.0, 1.0, 0.0], [0.6, 0.8, 0.0]]
+        pool = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        q2 = spark.createDataFrame([([1.0, 0.0, 0.0],)], "qv array<double>")
+        a = mmr_select(pool, q2, k=4, lam=0.5).orderBy("rank").collect()
+        b = (
+            mmr_select(pool, q2, k=4, lam=0.5, driver_threshold=0)
+            .orderBy("rank")
+            .collect()
+        )
+        assert bits(a) == bits(b)
+
 
 class TestQualityWeightedDedup:
     def test_normalization_clusters_and_argmax(self, spark):

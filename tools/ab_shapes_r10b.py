@@ -355,8 +355,43 @@ def old_bpe_vocab(spark, sf_dir):
     return merges_df(spark, merges).orderBy("step")
 
 
+def old_pagerank(spark, sf_dir):
+    """ns_pagerank_tokens forced onto the distributed iteration loop
+    (driver_threshold_edges=0; pays one extra cheap edges.count() the
+    r9 shape didn't have — negligible vs the 10-iteration delta)."""
+    from hybrid_cdc_demo_spark.operators.graph import pagerank, token_edges
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranks = pagerank(
+        token_edges(docs, directed=True), iterations=10,
+        driver_threshold_edges=0,
+    )
+    return ranks.select(
+        "node", F.round(F.col("rank"), 6).alias("rank_6dp")
+    ).orderBy(F.desc("rank_6dp"), F.col("node")).limit(20)
+
+
+def old_mmr(spark, sf_dir):
+    """ns_mmr_diverse forced onto the distributed greedy loop."""
+    from pyspark.sql import Window
+
+    from hybrid_cdc_demo_spark.operators.similarity import mmr_select
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    return mmr_select(
+        emb, qv, k=10, lam=0.7, driver_threshold=0
+    ).orderBy("rank")
+
+
 TARGETS = {
     "opq": ("ns_simsearch_opq", old_opq),
+    "pagerank": ("ns_pagerank_tokens", old_pagerank),
+    "mmr": ("ns_mmr_diverse", old_mmr),
     "span": ("ns_dedup_substring", old_span),
     "pareto": ("ns_pareto_revenue", old_pareto),
     "lm": ("ns_lm_coherence", old_lm),
