@@ -87,6 +87,7 @@ def train_logistic(
     iters: int = 15,
     lr: float = 1.0,
     standardize: bool = True,
+    driver_threshold: int = 500_000,
 ) -> tuple[list[float], list[TrainHistory]]:
     """Full-batch gradient descent for logistic regression, distributed.
 
@@ -111,6 +112,18 @@ def train_logistic(
     runs — fine for training (contract tests assert loss decrease and
     accuracy, not bitwise weights); use fixed weights (QUALITY_WEIGHTS)
     for oracle-checked scoring.
+
+    Size-gated execution (r10, the pagerank/MMR precedent): each GD
+    step is one scheduled aggregation job over the cached feature
+    frame — pure scheduling latency once the frame is a few MB. Under
+    ``driver_threshold`` rows the (already distributed-extracted)
+    features collect once and the ``iters`` steps run in numpy:
+    standardization uses the SAME collected Spark stats (elementwise,
+    bitwise), and the per-step deviations are float SUM order and
+    numpy-vs-JVM exp/log1p ulps — exactly the deviation classes the
+    3-dp training-curve rounding already absorbs between runs and
+    between engines (the generated oracle makes the same argument for
+    DuckDB). Above the bound the distributed loop runs unchanged.
     """
     d = len(features)
     cols = [f.alias(f"_f{i}") for i, f in enumerate(features)]
@@ -122,9 +135,14 @@ def train_logistic(
     try:
         if standardize:
             stats = data.agg(
+                F.count(F.lit(1)).alias("n_rows"),
                 *[F.avg(f"_f{i}").alias(f"m{i}") for i in range(d)],
                 *[F.stddev_pop(f"_f{i}").alias(f"s{i}") for i in range(d)],
             ).collect()[0]
+            if int(stats["n_rows"]) <= driver_threshold:
+                return _train_logistic_driver(
+                    data.collect(), stats, d, iters, lr
+                )
             norm = [
                 (F.col(f"_f{i}") - F.lit(float(stats[f"m{i}"])))
                 / F.lit(float(stats[f"s{i}"]) or 1.0)
@@ -166,6 +184,46 @@ def train_logistic(
         return w, history
     finally:
         data.unpersist()
+
+
+def _train_logistic_driver(
+    rows, stats, d: int, iters: int, lr: float
+) -> tuple[list[float], list[TrainHistory]]:
+    """The GD loop on the collected feature frame (see train_logistic's
+    size gate; standardize=True path only — the gate rides the stats
+    aggregation). Standardization replays the Spark expression
+    elementwise with the SAME collected stats (bitwise); z folds
+    term-by-term in weight order like logit_score; loss/hit/gradient
+    formulas are term-for-term the distributed expressions."""
+    import numpy as np
+
+    X = np.array(
+        [[r[f"_f{i}"] for i in range(d)] for r in rows], dtype=np.float64
+    )
+    y = np.array([r["_y"] for r in rows], dtype=np.float64)
+    for i in range(d):
+        X[:, i] = (X[:, i] - float(stats[f"m{i}"])) / (
+            float(stats[f"s{i}"]) or 1.0
+        )
+    n = float(len(rows))
+    w = [0.0] * (d + 1)
+    history: list[TrainHistory] = []
+    for it in range(iters):
+        z = np.full(len(rows), w[0], dtype=np.float64)
+        for i in range(d):  # b + w1*f0 + w2*f1 + ... , left to right
+            z = z + w[i + 1] * X[:, i]
+        p = 1.0 / (1.0 + np.exp(-z))
+        resid = p - y
+        ce = np.maximum(z, 0.0) - z * y + np.log1p(np.exp(-np.abs(z)))
+        hit = ((p > 0.5).astype(np.float64) == y).astype(np.float64)
+        g = [float(resid.sum())] + [
+            float((resid * X[:, i]).sum()) for i in range(d)
+        ]
+        w = [w[j] - lr * g[j] / n for j in range(d + 1)]
+        history.append(
+            TrainHistory(it, float(ce.sum()) / n, float(hit.sum()) / n)
+        )
+    return w, history
 
 
 def history_df(spark: SparkSession, history: list[TrainHistory]) -> DataFrame:

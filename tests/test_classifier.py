@@ -60,6 +60,29 @@ def test_lr_training_converges(spark, docs):
     assert w[3] > 0
 
 
+def test_lr_driver_gate_matches_distributed(spark, docs):
+    """The r10 size-gated driver GD replay must agree with the
+    distributed loop at the pinned 3-dp training-curve rounding (the
+    declared output), and on weights to float-accumulation precision
+    — the only deviations are SUM order and numpy-vs-JVM exp/log1p
+    ulps, the classes the rounding absorbs."""
+    import pytest as _pytest
+
+    feats = CL.doc_feature_exprs("text")
+    label = CL.logit_score(feats, CL.QUALITY_WEIGHTS) > 0
+    w_drv, h_drv = CL.train_logistic(docs, feats, label, iters=8, lr=1.0)
+    w_dist, h_dist = CL.train_logistic(
+        docs, feats, label, iters=8, lr=1.0, driver_threshold=0
+    )
+    assert [
+        (h.iteration, round(h.loss, 3), round(h.accuracy, 3)) for h in h_drv
+    ] == [
+        (h.iteration, round(h.loss, 3), round(h.accuracy, 3)) for h in h_dist
+    ]
+    for a, b in zip(w_drv, w_dist):
+        assert a == _pytest.approx(b, rel=1e-9, abs=1e-12)
+
+
 def test_lr_training_query_shape(spark):
     df = QUERIES["ns_lr_training"](spark, SF)
     assert df.dtypes == [

@@ -388,10 +388,25 @@ def old_mmr(spark, sf_dir):
     ).orderBy("rank")
 
 
+def old_lr(spark, sf_dir):
+    """ns_lr_training forced onto the distributed GD loop."""
+    import hybrid_cdc_demo_spark.operators.classifier as CL
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = CL.doc_feature_exprs("text")
+    label = CL.logit_score(feats, CL.QUALITY_WEIGHTS) > 0
+    _, hist = CL.train_logistic(
+        docs, feats, label, iters=8, lr=1.0, driver_threshold=0
+    )
+    return CL.history_df(spark, hist)
+
+
 TARGETS = {
     "opq": ("ns_simsearch_opq", old_opq),
     "pagerank": ("ns_pagerank_tokens", old_pagerank),
     "mmr": ("ns_mmr_diverse", old_mmr),
+    "lr": ("ns_lr_training", old_lr),
     "span": ("ns_dedup_substring", old_span),
     "pareto": ("ns_pareto_revenue", old_pareto),
     "lm": ("ns_lm_coherence", old_lm),
