@@ -373,20 +373,76 @@ def minhash_lsh_dedup(
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, impl: str = "arrow"
+) -> DataFrame:
     """(id, simhash long): 64-bit SimHash over word tokens.
 
-    Shuffle-free per-row fold: hash each distinct token once, fold the
-    hashes into 64 signed bit-counters (+1/-1 per bit), then fold the
-    counter signs back into one long. Pure builtin higher-order
-    expressions — a compact tree (the 64-aggregate-columns
-    formulation compiles seconds of generated code) and zero network
-    cost at any scale.
+    Shuffle-free either way: hash each distinct token once (JVM
+    xxhash64 — the fingerprint identity), fold the hashes into 64
+    signed bit-counters (+1/-1 per bit), then fold the counter signs
+    back into one long.
+
+    ``impl="arrow"`` (default, r10): only the token HASHES cross to a
+    mapInPandas stage (8 bytes per distinct token) and the 64-counter
+    fold runs vectorized in numpy — the JVM higher-order fold
+    evaluated ~3 interpreted array ops per token PER BIT and dominated
+    every simhash consumer's profile (guide §4.2: let Spark do I/O and
+    distribution, hand whole batches to vectorized native code). The
+    math is integer-exact and replayed operation-for-operation, so
+    fingerprints are IDENTICAL (pinned vs impl="expr" in
+    test_dedup.py). ``impl="expr"`` keeps the pure-expression fold —
+    a compact tree (the 64-aggregate-columns formulation compiles
+    seconds of generated code) and zero Python surface.
     """
     token_hashes = F.transform(
         F.array_distinct(F.split(normalized_text(text_col), r"\s+")),
         lambda t: F.xxhash64(t),
     )
+    if impl == "arrow":
+        id_type = dict(df.select(id_col).dtypes)[id_col]
+
+        def fold(batches):
+            import numpy as np
+            import pandas as pd
+
+            shifts = np.arange(64, dtype=np.uint64)
+            pows = np.uint64(1) << shifts
+
+            def one(hs):
+                if hs is None:
+                    return None
+                H = np.asarray(hs, dtype=np.int64)
+                if len(H) == 0:
+                    return 0
+                # +1/-1 per bit <=> 2*popcount - n; sign picks the bit
+                cnt = (
+                    (H.astype(np.uint64)[:, None] >> shifts)
+                    & np.uint64(1)
+                ).sum(axis=0, dtype=np.int64)
+                fp_u = pows[(2 * cnt - len(H)) > 0].sum(dtype=np.uint64)
+                fp = int(fp_u)
+                return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"],
+                        "simhash": pd.Series(
+                            [one(h) for h in pdf["_hs"]], dtype="object"
+                        ),
+                    }
+                )
+
+        return (
+            spread(df)
+            .select(F.col(id_col).alias("_id"), token_hashes.alias("_hs"))
+            .mapInPandas(fold, schema=f"_id {id_type}, simhash long")
+        )
+    if impl != "expr":
+        raise ValueError(f"simhash: unknown impl {impl!r}")
     counters = F.aggregate(
         token_hashes,
         F.array_repeat(F.lit(0).cast("long"), 64),

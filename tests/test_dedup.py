@@ -88,6 +88,35 @@ def test_simhash_neardups(spark, corpus):
     assert (0, 1) in found
 
 
+def test_simhash_arrow_fold_matches_expression(spark, corpus):
+    """The r10 vectorized simhash fold (token hashes -> numpy
+    counters) must produce IDENTICAL fingerprints to the pure
+    higher-order-expression fold — integer math replayed exactly —
+    on the planted corpus, real testdata, and edge rows (null text,
+    whitespace-only text, single token)."""
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    def fp_map(df):
+        return {r["_id"]: r["simhash"] for r in df.collect()}
+
+    for frame in (
+        corpus,
+        load_table(spark, "/root/testdata/sf0.001", "documents"),
+        spark.createDataFrame(
+            [(1, None), (2, "   "), (3, "oneword"), (4, "")],
+            "doc_id long, text string",
+        ),
+    ):
+        arrow = fp_map(D.simhash(frame, "text", "doc_id", impl="arrow"))
+        expr = fp_map(D.simhash(frame, "text", "doc_id", impl="expr"))
+        assert arrow == expr
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown impl"):
+        D.simhash(corpus, "text", "doc_id", impl="nope")
+
+
 def test_ngram_jaccard_pairs(spark, corpus):
     out = D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
     found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}

@@ -402,11 +402,40 @@ def old_lr(spark, sf_dir):
     return CL.history_df(spark, hist)
 
 
+def old_simhash_fps(spark, sf_dir):
+    """simhash fingerprints via the pure-expression fold."""
+    from hybrid_cdc_demo_spark.operators import dedup as D
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "text", "doc_id", impl="expr")
+
+
+def new_simhash_fps(spark, sf_dir):
+    from hybrid_cdc_demo_spark.operators import dedup as D
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "text", "doc_id", impl="arrow")
+
+
+def old_simhash_query(spark, sf_dir):
+    """ns_dedup_simhash with the expression fold."""
+    from hybrid_cdc_demo_spark.operators import dedup as D
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = D.simhash(docs, "text", "doc_id", impl="expr")
+    return D.simhash_candidates(fps, max_hamming=10).orderBy("id_a", "id_b")
+
+
 TARGETS = {
     "opq": ("ns_simsearch_opq", old_opq),
     "pagerank": ("ns_pagerank_tokens", old_pagerank),
     "mmr": ("ns_mmr_diverse", old_mmr),
     "lr": ("ns_lr_training", old_lr),
+    "simhash_fold": (new_simhash_fps, old_simhash_fps),
+    "simhash_query": ("ns_dedup_simhash", old_simhash_query),
     "span": ("ns_dedup_substring", old_span),
     "pareto": ("ns_pareto_revenue", old_pareto),
     "lm": ("ns_lm_coherence", old_lm),
@@ -436,7 +465,8 @@ def main():
     # plan/codegen warm at the smallest SF for BOTH shapes
     for t in names:
         qname, old_fn = TARGETS[t]
-        for fn in (old_fn, QUERIES[qname]):
+        new_fn = qname if callable(qname) else None
+        for fn in (old_fn, new_fn or QUERIES[qname]):
             try:
                 materialize(fn(spark, WARM))
             except Exception as exc:  # noqa: BLE001
@@ -455,13 +485,13 @@ def main():
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"ab {t}: new")
             t0 = time.perf_counter()
-            materialize(QUERIES[qname](spark, args.sf))
+            materialize((qname if callable(qname) else QUERIES[qname])(spark, args.sf))
             news.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
             cals.append(bench.calibration_probe(spark))
         spark.sparkContext.setJobDescription(None)
         out["targets"][t] = {
-            "query": qname,
+            "query": getattr(qname, "__name__", qname),
             "old": olds,
             "new": news,
             "old_median": statistics.median(olds),
