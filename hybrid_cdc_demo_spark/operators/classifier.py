@@ -205,24 +205,46 @@ def _train_logistic_driver(
         X[:, i] = (X[:, i] - float(stats[f"m{i}"])) / (
             float(stats[f"s{i}"]) or 1.0
         )
+    # Replicate Spark's NULL semantics: a NULL feature (or label) makes
+    # z — and so every loss/hit/gradient term — NULL, which F.sum SKIPS
+    # while F.count(lit(1)) still counts the row. numpy turns None into
+    # NaN, which would instead poison the sums (and NaN > 0.5 is False,
+    # so a NULL-feature row could score as a hit). Mask those rows out
+    # of every sum; with no NULLs the np.where is the identity and the
+    # arithmetic is unchanged (the bitwise-parity pins still hold).
+    ok = ~(np.isnan(X).any(axis=1) | np.isnan(y))
+    # Zero the masked rows' features/labels so 0.0-masked terms never
+    # multiply a NaN back in (0.0 * NaN is NaN); every use of a masked
+    # row is itself np.where(ok, ...)-masked below.
+    X = np.where(ok[:, None], X, 0.0)
+    y = np.where(ok, y, 0.0)
     n = float(len(rows))
     w = [0.0] * (d + 1)
     history: list[TrainHistory] = []
-    for it in range(iters):
-        z = np.full(len(rows), w[0], dtype=np.float64)
-        for i in range(d):  # b + w1*f0 + w2*f1 + ... , left to right
-            z = z + w[i + 1] * X[:, i]
-        p = 1.0 / (1.0 + np.exp(-z))
-        resid = p - y
-        ce = np.maximum(z, 0.0) - z * y + np.log1p(np.exp(-np.abs(z)))
-        hit = ((p > 0.5).astype(np.float64) == y).astype(np.float64)
-        g = [float(resid.sum())] + [
-            float((resid * X[:, i]).sum()) for i in range(d)
-        ]
-        w = [w[j] - lr * g[j] / n for j in range(d + 1)]
-        history.append(
-            TrainHistory(it, float(ce.sum()) / n, float(hit.sum()) / n)
-        )
+    with np.errstate(invalid="ignore", over="ignore"):
+        for it in range(iters):
+            z = np.full(len(rows), w[0], dtype=np.float64)
+            for i in range(d):  # b + w1*f0 + w2*f1 + ... , left to right
+                z = z + w[i + 1] * X[:, i]
+            p = 1.0 / (1.0 + np.exp(-z))
+            resid = np.where(ok, p - y, 0.0)
+            ce = np.where(
+                ok,
+                np.maximum(z, 0.0) - z * y + np.log1p(np.exp(-np.abs(z))),
+                0.0,
+            )
+            hit = np.where(
+                ok,
+                ((p > 0.5).astype(np.float64) == y).astype(np.float64),
+                0.0,
+            )
+            g = [float(resid.sum())] + [
+                float((resid * X[:, i]).sum()) for i in range(d)
+            ]
+            w = [w[j] - lr * g[j] / n for j in range(d + 1)]
+            history.append(
+                TrainHistory(it, float(ce.sum()) / n, float(hit.sum()) / n)
+            )
     return w, history
 
 

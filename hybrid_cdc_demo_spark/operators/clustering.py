@@ -1158,7 +1158,11 @@ def _opq_train_driver(
     except Exception:  # noqa: BLE001 — conf unset: Spark's default
         batch_max = 10_000
     if batch_max <= 0:
-        batch_max = 10_000
+        # Spark treats a non-positive conf as 'unlimited' (one Arrow
+        # batch per partition); mirror that so the replay's GEMM batch
+        # boundaries — and float accumulation order — match the
+        # distributed pass (0 = whole partition in local_pass below)
+        batch_max = 0
 
     def local_pass(Wm, bks):
         mats, sub_ = _books_matrices(bks, dim)
@@ -1174,8 +1178,9 @@ def _opq_train_driver(
                 sums_p = np.zeros((m, k_max, sub_), dtype=np.float64)
                 counts_p = np.zeros((m, k_max), dtype=np.int64)
                 err_p = 0.0
-                for lo in range(0, len(plist), batch_max):
-                    chunk = plist[lo : lo + batch_max]
+                step = batch_max or max(len(plist), 1)
+                for lo in range(0, len(plist), step):
+                    chunk = plist[lo : lo + step]
                     X = np.vstack(
                         [np.asarray(v, dtype=np.float64) for _, v in chunk]
                     )

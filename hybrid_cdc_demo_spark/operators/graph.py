@@ -185,7 +185,13 @@ def pagerank(
     # the distributed path vs DuckDB (and pinned ≤1e-12 vs the
     # distributed path in test_graph.py). Above the bound the loop
     # below runs unchanged — that is the web-graph-class 100 TB shape.
-    if edges.count() <= driver_threshold_edges:
+    # The gate job is BOUNDED: limit(threshold+1) short-circuits each
+    # checkpoint partition, so an above-threshold (web-scale) graph
+    # pays O(threshold) rows for the decision, not a full edge scan
+    # (r10 ADVICE: the unconditional count() added a full pass to
+    # every large-graph invocation).
+    gate_n = edges.limit(driver_threshold_edges + 1).count()
+    if gate_n <= driver_threshold_edges:
         return _pagerank_driver(edges, nodes, n, iterations, damping)
     outdeg = edges.groupBy("src").agg(
         F.count("*").cast("long").alias("_out")

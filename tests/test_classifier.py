@@ -83,6 +83,43 @@ def test_lr_driver_gate_matches_distributed(spark, docs):
         assert a == _pytest.approx(b, rel=1e-9, abs=1e-12)
 
 
+def test_lr_driver_gate_null_features_match_distributed(spark):
+    """NULL features must train identically on both paths: F.sum skips
+    the NULL gradient/loss/hit terms a NULL feature induces while
+    count(1) still counts the row — the numpy replay masks NaN rows to
+    replicate that (r10 ADVICE: un-masked NaN poisons every sum and
+    NaN > 0.5 scores as a miss/hit)."""
+    import math
+
+    import pytest as _pytest
+
+    data = [
+        (
+            None if i % 5 == 0 else float(i % 7) / 7.0,
+            float((i * 3) % 5) / 5.0,
+            i % 2,
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(data, "f0 double, f1 double, y int")
+    feats = [F.col("f0"), F.col("f1")]
+    label = F.col("y") == 1
+    w_drv, h_drv = CL.train_logistic(df, feats, label, iters=4, lr=0.5)
+    w_dist, h_dist = CL.train_logistic(
+        df, feats, label, iters=4, lr=0.5, driver_threshold=0
+    )
+    assert [
+        (h.iteration, round(h.loss, 3), round(h.accuracy, 3)) for h in h_drv
+    ] == [
+        (h.iteration, round(h.loss, 3), round(h.accuracy, 3)) for h in h_dist
+    ]
+    for a, b in zip(w_drv, w_dist):
+        assert a == _pytest.approx(b, rel=1e-9, abs=1e-12)
+    assert all(
+        math.isfinite(h.loss) and math.isfinite(h.accuracy) for h in h_drv
+    )
+
+
 def test_lr_training_query_shape(spark):
     df = QUERIES["ns_lr_training"](spark, SF)
     assert df.dtypes == [

@@ -761,6 +761,31 @@ class TestOPQDriverParity:
                         partitions=4, mode="driver")
         assert self._bits(*drv) == self._bits(*dist)
 
+    def test_bitwise_parity_unlimited_arrow_batch(self, spark):
+        """arrow.maxRecordsPerBatch <= 0 means 'one batch per
+        partition' in Spark; the driver replay must chunk the same way
+        or its GEMM accumulation order — and the Procrustes rotation —
+        diverges from the distributed pass (r10 ADVICE)."""
+        from hybrid_cdc_demo_spark.operators.clustering import opq_train
+
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "0")
+        try:
+            rng = random.Random(23)
+            vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(80)]
+            df = _emb(spark, vecs)
+            dist = opq_train(df, dim=8, m=2, k=4, iters=2, seed_by="id",
+                             partitions=3)
+            drv = opq_train(df, dim=8, m=2, k=4, iters=2, seed_by="id",
+                            partitions=3, mode="driver")
+            assert self._bits(*drv) == self._bits(*dist)
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
     def test_driver_mode_guards(self, spark):
         import pytest
 
