@@ -56,6 +56,16 @@ def funnel_stage_users(
                 prev.select(user_col, F.col("t").alias("_prev_t")), user_col
             ).filter(F.col(ts_col) > F.col("_prev_t"))
         cur = f.groupBy(user_col).agg(F.min(ts_col).alias("t"))
+        # Each stage frame has TWO consumers (the next stage's
+        # strictly-after join and the caller's count), and stage i's
+        # plan nests every earlier stage — without reuse the events
+        # scan + stage aggregations re-run once per consumer (the
+        # funnel plan read 12 parquet scans for 3 stages, r11). The
+        # frames are user-keyed aggregates (bounded by |users|, never
+        # event volume), so a lazy localCheckpoint materializes each
+        # once; the first consumer's aggregation rides the
+        # materialization (the r10 BPE/MMR lazy-checkpoint pattern).
+        cur = cur.localCheckpoint(eager=False)
         frames.append(cur)
         prev = cur
     return frames

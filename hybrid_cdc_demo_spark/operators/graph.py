@@ -79,11 +79,22 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     on power-law graphs. The closing semi-join checks (u, w); each
     triangle has exactly one orientation-consistent wedge, so the
     count is exact with no division by symmetry."""
+    # Reuse, not recompute: ``edges`` is usually a lazy plan over the
+    # raw corpus (tokenize + explode + distinct) and it feeds FOUR
+    # consumers here (two degree scans, the orientation join, the edge
+    # count) — and ``deg``/``oriented`` each feed several more, so
+    # without checkpoints the corpus explode re-ran ~40x in one plan
+    # (r11 plan capture). All three frames are edge-set-sized (the
+    # same storage class pagerank's eager edge checkpoint accepts);
+    # lazy checkpoints let the first consumer's aggregation ride the
+    # materialization instead of paying a dedicated job each.
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
     )
     da = deg.select(
         F.col("node").alias("a"), F.col("deg").alias("_da")
@@ -96,7 +107,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     oriented = e.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint(eager=False)
     o2 = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w")
     )

@@ -24,8 +24,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from hybrid_cdc_demo_spark.operators.partitioning import spread
-
 
 def deletion_variants(col: Column | str) -> Column:
     """The string plus every single-character deletion, as an array —
@@ -63,21 +61,35 @@ def fuzzy_join(
             f"max_dist=1 (got {max_dist}); use k-deletion variants or "
             "an LSH family for larger budgets"
         )
-    lv = spread(left).select(
+    lv = left.select(
         F.col(left_id).alias("_lid"),
         F.col(left_text).alias("_ltext"),
         F.explode(deletion_variants(left_text)).alias("_variant"),
     )
-    rv = spread(right).select(
+    rv = right.select(
         F.col(right_id).alias("_rid"),
         F.col(right_text).alias("_rtext"),
         F.explode(deletion_variants(right_text)).alias("_variant"),
     )
-    candidates = lv.join(rv, "_variant").select(
-        "_lid", "_rid", "_ltext", "_rtext"
-    ).distinct()
-    return candidates.select(
+    # Verify IN PLACE, before the distinct (guide §2.3 — shuffle fewer
+    # bytes and fewer rows): the bounded levenshtein (early-exit DP,
+    # -1 above the budget) runs on each candidate occurrence right
+    # after the variant join, so the dedup exchange carries only
+    # (id, id, dist) for TRUE matches instead of every banded
+    # candidate pair with both text payloads. dist is a pure function
+    # of the (unique-id) pair, so filter-then-distinct returns the
+    # identical row set the old distinct-then-score shape did. (No
+    # spread() here: the variant join's own exchange redistributes the
+    # work, and on a well-partitioned production input spread was a
+    # no-op anyway.)
+    d = F.expr(f"levenshtein(_ltext, _rtext, {int(max_dist)})")
+    scored = (
+        lv.join(rv, "_variant")
+        .select("_lid", "_rid", d.alias("dist"))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+    return scored.distinct().select(
         F.col("_lid").alias(left_id),
         F.col("_rid").alias(right_id),
-        F.levenshtein("_ltext", "_rtext").alias("dist"),
-    ).filter(F.col("dist") <= max_dist)
+        "dist",
+    )

@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Interleaved single-session A/B for the round-11 optimization batch:
+each target pairs the CURRENT query/operator ("new") against an inline
+reconstruction of the pre-change shape ("old"), alternated old/new for
+--rounds rounds with a calibration probe between rounds (PERF.md:
+inter-session swings reach 3x, so only interleaved same-JVM
+comparisons are valid). noop-sink materialization per guide §1.4.
+
+Usage: python tools/ab_shapes_r11.py --targets funnel,triangles,fuzzy
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM = "/root/testdata/sf0.001"
+
+
+def materialize(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+# ---------------------------------------------------------------- old shapes
+
+def old_funnel(spark, sf_dir):
+    """ns_funnel_conversion without the stage-frame checkpoints: every
+    stage count re-runs the full stage chain (12 events scans)."""
+    from pyspark.sql import Window
+
+    from hybrid_cdc_demo_spark.plans.analytics_queries import FUNNEL_STAGES
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    frames, prev = [], None
+    for st in FUNNEL_STAGES:
+        f = events.filter(F.col("event_type") == st)
+        if prev is not None:
+            f = f.join(
+                prev.select("user_id", F.col("t").alias("_prev_t")), "user_id"
+            ).filter(F.col("ts") > F.col("_prev_t"))
+        cur = f.groupBy("user_id").agg(F.min("ts").alias("t"))
+        frames.append(cur)
+        prev = cur
+    counts = None
+    for i, (st, fr) in enumerate(zip(FUNNEL_STAGES, frames)):
+        row = fr.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("stage_idx"),
+            F.lit(st).alias("stage"),
+            "n_users",
+        )
+        counts = row if counts is None else counts.unionAll(row)
+    w = Window.orderBy("stage_idx")
+    n = F.col("n_users").cast("double")
+    prev_c, head = F.lag("n_users").over(w), F.first("n_users").over(w)
+    return counts.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.when(prev_c > 0, n / prev_c.cast("double")).alias("conv_from_prev"),
+        F.when(head > 0, n / head.cast("double")).alias("conv_from_first"),
+    ).orderBy("stage_idx")
+
+
+def old_triangles(spark, sf_dir):
+    """ns_graph_triangles without the edges/deg/oriented checkpoints
+    (the corpus tokenize+explode+distinct re-ran ~40x in one plan)."""
+    from hybrid_cdc_demo_spark.operators.graph import token_edges
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = token_edges(docs)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("_db"))
+    e = edges.join(da, "a").join(db, "b")
+    fwd = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = oriented.join(o2, "v").select("u", "w")
+    closing = oriented.select(F.col("u"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["u", "w"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    wedge_total = deg.agg(
+        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).alias(
+            "n_wedges"
+        )
+    )
+    counts = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.lit(3.0)
+        * F.col("n_triangles").cast("double")
+        / F.col("n_wedges").cast("double"),
+    )
+    return (
+        nodes.crossJoin(counts)
+        .crossJoin(tri)
+        .crossJoin(wedge_total)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            cc.alias("global_clustering"),
+        )
+    )
+
+
+def old_fuzzy(spark, sf_dir):
+    """ns_fuzzy_join with the distinct-then-score shape: both text
+    payloads ride the dedup exchange for every banded candidate."""
+    from hybrid_cdc_demo_spark.operators.linkage import deletion_variants
+    from hybrid_cdc_demo_spark.operators.partitioning import spread
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 5000)
+        .select("c_custkey", F.expr("substring(c_name, 10)").alias("c_suffix"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.expr("substring(s_name, 10)").alias("s_suffix")
+    )
+    lv = spread(cust).select(
+        F.col("c_custkey").alias("_lid"),
+        F.col("c_suffix").alias("_ltext"),
+        F.explode(deletion_variants("c_suffix")).alias("_variant"),
+    )
+    rv = spread(supp).select(
+        F.col("s_suppkey").alias("_rid"),
+        F.col("s_suffix").alias("_rtext"),
+        F.explode(deletion_variants("s_suffix")).alias("_variant"),
+    )
+    candidates = (
+        lv.join(rv, "_variant").select("_lid", "_rid", "_ltext", "_rtext")
+        .distinct()
+    )
+    return (
+        candidates.select(
+            F.col("_lid").alias("c_custkey"),
+            F.col("_rid").alias("s_suppkey"),
+            F.levenshtein("_ltext", "_rtext").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .select(
+            "c_custkey", "s_suppkey", F.col("dist").cast("int").alias("dist")
+        )
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+TARGETS = {
+    "funnel": ("ns_funnel_conversion", old_funnel),
+    "triangles": ("ns_graph_triangles", old_triangles),
+    "fuzzy": ("ns_fuzzy_join", old_fuzzy),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--targets", default=",".join(TARGETS))
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--sf", default=SF)
+    args = ap.parse_args()
+    names = [t for t in args.targets.split(",") if t]
+
+    from hybrid_cdc_demo_spark.plans import QUERIES
+    from hybrid_cdc_demo_spark.session import get_spark
+
+    import bench
+
+    spark = get_spark(app_name="ab-shapes-r11")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for t in names:
+        qname, old_fn = TARGETS[t]
+        new_fn = qname if callable(qname) else None
+        for fn in (old_fn, new_fn or QUERIES[qname]):
+            try:
+                materialize(fn(spark, WARM))
+            except Exception as exc:  # noqa: BLE001
+                print(f"# warm error {t}: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()
+
+    out = {"sf_dir": args.sf, "rounds": args.rounds, "targets": {}}
+    for t in names:
+        qname, old_fn = TARGETS[t]
+        olds, news, cals = [], [], [bench.calibration_probe(spark)]
+        for _ in range(args.rounds):
+            spark.sparkContext.setJobDescription(f"ab {t}: old")
+            t0 = time.perf_counter()
+            materialize(old_fn(spark, args.sf))
+            olds.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"ab {t}: new")
+            t0 = time.perf_counter()
+            materialize(
+                (qname if callable(qname) else QUERIES[qname])(spark, args.sf)
+            )
+            news.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+            cals.append(bench.calibration_probe(spark))
+        spark.sparkContext.setJobDescription(None)
+        out["targets"][t] = {
+            "query": getattr(qname, "__name__", qname),
+            "old": olds,
+            "new": news,
+            "old_median": statistics.median(olds),
+            "new_median": statistics.median(news),
+            "calibration_trace": cals,
+            "new_wins_rounds": sum(1 for o, n in zip(olds, news) if n <= o),
+        }
+        print(json.dumps({t: out["targets"][t]}), flush=True)
+    print(json.dumps(out, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
