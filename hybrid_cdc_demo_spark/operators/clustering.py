@@ -679,14 +679,34 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_prefix: str = "c",
+    method: str = "auto",
 ) -> DataFrame:
     """Encode every vector as ``m`` small codes (nearest codebook
-    centroid per subspace) — a single map-only projection, the
-    codebooks ride in as literals; dim·8 bytes collapse to m codes
+    centroid per subspace) — a single map-only pass, the codebooks
+    ride in as literals/closures; dim·8 bytes collapse to m codes
     (64-float vector -> 4 bytes at m=4/k<=256). Integer output —
-    zero FP surface in the result."""
+    zero FP surface in the result.
+
+    ``method``: "expr" is the nested-literal argmin projection
+    (interpreted HOFs — m·k·sub fold steps PER ROW, the whole-corpus
+    cost of every PQ query); "guarded" runs all ``m`` subspace argmins
+    in ONE Arrow batch pass (a GEMM per subspace plus the
+    cell_assign_guarded margin proof with d=sub, strict-fold fallback
+    on the uncertain band) — provably code-identical to "expr" at BLAS
+    speed (r11; pinned in tests/test_pq.py). "auto" = guarded: unlike
+    a single small-k assignment, the encode multiplies the interpreted
+    cost by m and runs over the FULL corpus. Vectors must be non-null
+    (the PQ contract; same as the IVF assignment kernels)."""
     m = len(books)
     sub = dim // m
+    if method == "auto":
+        method = "guarded"
+    if method == "guarded":
+        return _pq_encode_guarded(
+            df, books, dim, id_col, vec_col, code_prefix
+        )
+    if method != "expr":
+        raise ValueError(f"pq_encode: unknown method {method!r}")
     v = _as_double_array(vec_col)
     cols = [
         assign_expr_with_ids(
@@ -695,6 +715,74 @@ def pq_encode(
         for s, (centers, ids) in enumerate(books)
     ]
     return df.select(F.col(id_col), *cols)
+
+
+def _pq_encode_guarded(
+    df: DataFrame,
+    books: list[tuple[list[list[float]], list[int]]],
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    code_prefix: str,
+    slack: float = 8.0,
+) -> DataFrame:
+    """All m subspace assignments in one Arrow pass, expr-identical by
+    the cell_assign_guarded margin proof applied per subspace (d=sub):
+    BLAS distances + top-2 margin; rows whose margin clears
+    ``slack·(sub+2)·u·(‖x_s‖+‖c_max_s‖)²`` keep the GEMM argmin with a
+    proof, the rest are re-scored by the strict left fold in dimension
+    order — the exact IEEE sequence the expression evaluates (ties
+    land in the uncertain band by construction and inherit the
+    expression's first-minimum rule). Positions map back to ORIGINAL
+    cluster ids exactly as assign_expr_with_ids does."""
+    import pandas as pd
+
+    m = len(books)
+    sub = dim // m
+    mats = []
+    for centers, ids in books:
+        C = np.asarray(centers, dtype=np.float64)
+        cn = (C * C).sum(axis=1)
+        cmax = float(np.sqrt(cn).max()) if len(C) else 0.0
+        mats.append((C, cn, cmax, np.asarray([int(i) for i in ids])))
+    coef = slack * (sub + 2) * 2.0 ** -53
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(F.col(id_col), _as_double_array(vec_col).alias("_x"))
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf["_x"].to_numpy()).astype(np.float64)
+            out = {id_col: pdf[id_col].to_numpy()}
+            for s, (C, cn, cmax, ids_arr) in enumerate(mats):
+                X = V[:, s * sub : (s + 1) * sub]
+                d2 = (X * X).sum(axis=1, keepdims=True) - 2.0 * (X @ C.T) + cn
+                best = d2.argmin(axis=1)
+                if d2.shape[1] > 1:
+                    two = np.partition(d2, 1, axis=1)
+                    margin = two[:, 1] - two[:, 0]
+                else:
+                    margin = np.full(len(X), np.inf)
+                xnorm = np.sqrt((X * X).sum(axis=1))
+                bound = coef * (xnorm + cmax) ** 2
+                unc = np.flatnonzero(margin <= bound)
+                if unc.size:
+                    U = X[unc]
+                    acc = np.zeros(
+                        (U.shape[0], C.shape[0]), dtype=np.float64
+                    )
+                    for i in range(sub):
+                        diff = U[:, i : i + 1] - C[None, :, i]
+                        acc = acc + diff * diff
+                    best[unc] = acc.argmin(axis=1)
+                out[f"{code_prefix}{s + 1}"] = ids_arr[best].astype(np.int32)
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} {id_type}, " + ", ".join(
+        f"{code_prefix}{s + 1} int" for s in range(m)
+    )
+    return src.mapInPandas(encode, schema=schema)
 
 
 def pq_adc_topk(

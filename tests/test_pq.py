@@ -95,6 +95,58 @@ def test_pq_encode_plan_is_map_only(spark):
     assert "Exchange" not in plan and "Join" not in plan
 
 
+def test_pq_encode_guarded_matches_expr(spark):
+    """The r11 Arrow encode (one GEMM + margin proof per subspace)
+    must emit code-identical tables to the nested-literal expression
+    path — including on exact ties, which land in the uncertain band
+    by construction and inherit the expression's first-minimum rule."""
+    rng = random.Random(41)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(300)]
+    df = _emb(spark, vecs)
+    books = pq_train(df, dim=16, m=4, k=6, seed_by="id")
+    expr = sorted(
+        tuple(r) for r in pq_encode(df, books, dim=16, method="expr").collect()
+    )
+    grd = sorted(
+        tuple(r)
+        for r in pq_encode(df, books, dim=16, method="guarded").collect()
+    )
+    assert expr == grd
+    # adversarial ties: duplicated centroids make every row's top-2
+    # margin exactly zero — the fallback must reproduce the
+    # first-minimum-in-centroid-order rule
+    dup_books = [(c + c, list(range(len(c) * 2))) for c, _ in books]
+    e2 = sorted(
+        tuple(r)
+        for r in pq_encode(df, dup_books, dim=16, method="expr").collect()
+    )
+    g2 = sorted(
+        tuple(r)
+        for r in pq_encode(df, dup_books, dim=16, method="guarded").collect()
+    )
+    assert e2 == g2
+
+
+def test_pq_encode_guarded_matches_expr_testdata(spark):
+    """The exact call ns_pq_encode makes, on the real testdata slice."""
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    train = emb.filter(F.col("vec_id") < 500)
+    books = pq_train(
+        train, dim=64, m=4, k=8, iters=2, exact_fold=True, seed_by="id",
+        mode="driver",
+    )
+    expr = sorted(
+        tuple(r) for r in pq_encode(emb, books, dim=64, method="expr").collect()
+    )
+    grd = sorted(
+        tuple(r)
+        for r in pq_encode(emb, books, dim=64, method="guarded").collect()
+    )
+    assert expr == grd
+
+
 def test_adc_plan_is_distributed_topk(spark):
     vecs, _ = _planted(n=40, dim=8)
     df = _emb(spark, vecs)

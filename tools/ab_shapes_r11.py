@@ -171,10 +171,58 @@ def old_fuzzy(spark, sf_dir):
     )
 
 
+def old_pq_encode(spark, sf_dir):
+    """ns_pq_encode with the nested-literal expression argmin."""
+    from hybrid_cdc_demo_spark.operators.clustering import pq_encode, pq_train
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 500)
+    books = pq_train(
+        train, dim=64, m=4, k=8, iters=2, exact_fold=True, seed_by="id",
+        mode="driver",
+    )
+    return pq_encode(emb, books, dim=64, method="expr").orderBy("vec_id")
+
+
+def old_pq_adc(spark, sf_dir):
+    """ns_pq_adc_topk over the expression encode."""
+    from pyspark.sql import Window
+
+    from hybrid_cdc_demo_spark.operators.clustering import (
+        adc_dist_expr,
+        pq_encode,
+        pq_train,
+    )
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 500)
+    books = pq_train(
+        train, dim=64, m=4, k=8, iters=2, exact_fold=True, seed_by="id",
+        mode="driver",
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    query_vec = [float(x) for x in qrow["embedding"]]
+    enc = pq_encode(emb, books, dim=64, method="expr")
+    dist = adc_dist_expr(books, query_vec, dim=64)
+    top = (
+        enc.select(F.col("vec_id"), dist.alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(10)
+    )
+    w = Window.orderBy("adc_d2", "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "vec_id", "adc_d2"
+    )
+
+
 TARGETS = {
     "funnel": ("ns_funnel_conversion", old_funnel),
     "triangles": ("ns_graph_triangles", old_triangles),
     "fuzzy": ("ns_fuzzy_join", old_fuzzy),
+    "pq_encode": ("ns_pq_encode", old_pq_encode),
+    "pq_adc": ("ns_pq_adc_topk", old_pq_adc),
 }
 
 
