@@ -167,6 +167,24 @@ def minhash_signatures(
     effective hash and making per-slot similarity a 0/1 coin on
     whether two docs share that single argmin.)
     """
+    return (
+        spread(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            minhash_signature_expr(text_col, num_hashes, shingle_k).alias(
+                "signature"
+            ),
+        )
+    )
+
+
+def minhash_signature_expr(
+    text_col, num_hashes: int = 64, shingle_k: int = 3
+):
+    """The MinHash signature as a pure per-row Column (see
+    minhash_signatures) — exposed so multi-fingerprint consumers
+    (ns_dedup_bucket_coverage) can compute it alongside other
+    per-row fingerprints in ONE corpus scan."""
     toks = F.split(normalized_text(text_col), r"\s+")
     # hash the space-joined k-windows; shingle_windows keeps the token
     # array in argument position (evaluated once per row) instead of
@@ -179,17 +197,14 @@ def minhash_signatures(
     # compiles seconds of generated code before the first row moves);
     # iota is foldable so the per-element rehash works on constants
     iota = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    signature = F.aggregate(
-        F.col("_hs"),
+    # sh_hash sits in ARGUMENT position of the aggregate, so it is
+    # evaluated once per row (lambda bodies re-evaluate per element)
+    return F.aggregate(
+        sh_hash,
         F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
         lambda acc, h: F.zip_with(
             acc, iota, lambda m, i: F.least(m, F.xxhash64(h, i))
         ),
-    )
-    return (
-        spread(df)
-        .select(F.col(id_col).alias("_id"), sh_hash.alias("_hs"))
-        .select("_id", signature.alias("signature"))
     )
 
 
@@ -395,51 +410,14 @@ def simhash(
     a compact tree (the 64-aggregate-columns formulation compiles
     seconds of generated code) and zero Python surface.
     """
-    token_hashes = F.transform(
-        F.array_distinct(F.split(normalized_text(text_col), r"\s+")),
-        lambda t: F.xxhash64(t),
-    )
+    token_hashes = simhash_token_hashes(text_col)
     if impl == "arrow":
         id_type = dict(df.select(id_col).dtypes)[id_col]
-
-        def fold(batches):
-            import numpy as np
-            import pandas as pd
-
-            shifts = np.arange(64, dtype=np.uint64)
-            pows = np.uint64(1) << shifts
-
-            def one(hs):
-                if hs is None:
-                    return None
-                H = np.asarray(hs, dtype=np.int64)
-                if len(H) == 0:
-                    return 0
-                # +1/-1 per bit <=> 2*popcount - n; sign picks the bit
-                cnt = (
-                    (H.astype(np.uint64)[:, None] >> shifts)
-                    & np.uint64(1)
-                ).sum(axis=0, dtype=np.int64)
-                fp_u = pows[(2 * cnt - len(H)) > 0].sum(dtype=np.uint64)
-                fp = int(fp_u)
-                return fp - (1 << 64) if fp >= (1 << 63) else fp
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "_id": pdf["_id"],
-                        "simhash": pd.Series(
-                            [one(h) for h in pdf["_hs"]], dtype="object"
-                        ),
-                    }
-                )
-
-        return (
-            spread(df)
-            .select(F.col(id_col).alias("_id"), token_hashes.alias("_hs"))
-            .mapInPandas(fold, schema=f"_id {id_type}, simhash long")
+        return simhash_fold_arrow(
+            spread(df).select(
+                F.col(id_col).alias("_id"), token_hashes.alias("_hs")
+            ),
+            id_type,
         )
     if impl != "expr":
         raise ValueError(f"simhash: unknown impl {impl!r}")
@@ -474,6 +452,67 @@ def simhash(
         lambda a, x: a.bitwiseXOR(x),
     )
     return spread(df).select(F.col(id_col).alias("_id"), fp.alias("simhash"))
+
+
+def simhash_token_hashes(text_col):
+    """The distinct-token xxhash64 array feeding the SimHash fold, as
+    a per-row Column — exposed so multi-fingerprint consumers can
+    compute it alongside other fingerprints in one corpus scan."""
+    return F.transform(
+        F.array_distinct(F.split(normalized_text(text_col), r"\s+")),
+        lambda t: F.xxhash64(t),
+    )
+
+
+def simhash_fold_arrow(
+    frame: DataFrame, id_type: str, passthrough: tuple[tuple[str, str], ...] = ()
+) -> DataFrame:
+    """The vectorized 64-bit-counter SimHash fold over a prepared
+    (_id, _hs, *passthrough) frame: only the 8-byte token hashes (and
+    any passthrough columns) cross the Arrow boundary, numpy computes
+    the bit counters and the sign word (integer-exact — identical
+    fingerprints to the expression fold, pinned in test_dedup.py).
+    ``passthrough`` is (name, spark_type) pairs riding the batch
+    unchanged — ns_dedup_bucket_coverage carries the MinHash signature
+    so both fingerprint families come out of ONE corpus scan (r11)."""
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        pows = np.uint64(1) << shifts
+
+        def one(hs):
+            if hs is None:
+                return None
+            H = np.asarray(hs, dtype=np.int64)
+            if len(H) == 0:
+                return 0
+            # +1/-1 per bit <=> 2*popcount - n; sign picks the bit
+            cnt = (
+                (H.astype(np.uint64)[:, None] >> shifts)
+                & np.uint64(1)
+            ).sum(axis=0, dtype=np.int64)
+            fp_u = pows[(2 * cnt - len(H)) > 0].sum(dtype=np.uint64)
+            fp = int(fp_u)
+            return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"_id": pdf["_id"]}
+            for name, _t in passthrough:
+                out[name] = pdf[name]
+            out["simhash"] = pd.Series(
+                [one(h) for h in pdf["_hs"]], dtype="object"
+            )
+            yield pd.DataFrame(out)
+
+    extra = "".join(f", {name} {t}" for name, t in passthrough)
+    return frame.mapInPandas(
+        fold, schema=f"_id {id_type}{extra}, simhash long"
+    )
 
 
 def simhash_bands(fps: DataFrame) -> DataFrame:

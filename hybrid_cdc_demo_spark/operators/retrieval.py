@@ -97,6 +97,13 @@ def bm25_scores(
         .filter(F.col("term").isin(list(terms)))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("_tf"), F.max("_dl").alias("_dl"))
+        # two consumers (dfreq and the scoring projection) — and
+        # column pruning rewrites dfreq's copy of the aggregate, so
+        # exchange reuse never fires (the r10 tfidf lesson) and the
+        # corpus tokenize+explode ran once per consumer. The frame is
+        # bounded by |terms| x matching docs; the dfreq aggregation
+        # materializes it as a side effect (r11).
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
     avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")

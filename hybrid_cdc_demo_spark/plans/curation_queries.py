@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from hybrid_cdc_demo_spark.functions import text as T
 from hybrid_cdc_demo_spark.functions.masking import scrub_text_pii
 from hybrid_cdc_demo_spark.operators import curation as C
+from hybrid_cdc_demo_spark.operators.partitioning import spread
 from hybrid_cdc_demo_spark.plans.catalog import query
 from hybrid_cdc_demo_spark.sources.tables import load_table
 
@@ -503,7 +504,12 @@ def ns_heavy_hitters(spark, sf_dir):
     vocabulary. The 100 TB shape for 'what dominates this corpus'."""
     from hybrid_cdc_demo_spark.operators.frequency import heavy_hitters
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread BEFORE the explode (r11): the operator no longer
+    # repartitions its input (that shuffled every token occurrence);
+    # spreading the document rows parallelizes the single-row-group
+    # local scan at document granularity and is a no-op on a
+    # well-partitioned production input.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     occ = docs.select(
         F.explode(
             F.split(

@@ -62,9 +62,27 @@ def ns_dedup_bucket_coverage(spark, sf_dir):
     whether boilerplate skew is costing real dedup recall. One row of
     scalar counters (guard threshold 200, the operators' default)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=32)
+    # ONE corpus scan for BOTH fingerprint families (r11; previously
+    # each branch re-read and re-tokenized the corpus): the MinHash
+    # signature expression and the SimHash token hashes ride the same
+    # projection, the Arrow fold carries the signature through, and
+    # the folded frame (id + 32 longs + 1 long — fingerprint-sized,
+    # never text) is checkpointed for the two band explodes. Both
+    # families' bucket counts are value-identical to the two-scan
+    # shape (same expressions, same fold — pinned in tests).
+    both = D.simhash_fold_arrow(
+        spread(docs).select(
+            F.col("doc_id").alias("_id"),
+            D.minhash_signature_expr("text", num_hashes=32).alias(
+                "signature"
+            ),
+            D.simhash_token_hashes("text").alias("_hs"),
+        ),
+        "bigint",
+        passthrough=(("signature", "array<bigint>"),),
+    ).localCheckpoint(eager=False)
     mh_sizes = (
-        D.band_rows(sigs, 16)
+        D.band_rows(both.select("_id", "signature"), 16)
         .groupBy("band", "band_hash")
         .agg(F.count("*").alias("n"))
     )
@@ -73,9 +91,8 @@ def ns_dedup_bucket_coverage(spark, sf_dir):
         F.col("buckets_dropped").alias("minhash_buckets_dropped"),
         F.col("pairs_suppressed").alias("minhash_pairs_suppressed"),
     )
-    fps = D.simhash(docs, "text", "doc_id")
     sh_sizes = (
-        D.simhash_bands(fps)
+        D.simhash_bands(both.select("_id", "simhash"))
         .groupBy("band", "band_val")
         .agg(F.count("*").alias("n"))
     )

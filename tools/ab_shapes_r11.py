@@ -217,8 +217,176 @@ def old_pq_adc(spark, sf_dir):
     )
 
 
+def old_heavy_hitters(spark, sf_dir):
+    """ns_heavy_hitters with the r10 shape: the full exploded token
+    stream round-robin-shuffled (spread) and PERSISTED, then scanned
+    twice (unweighted MG summaries + exact recount)."""
+    from typing import Iterator
+
+    from hybrid_cdc_demo_spark.operators.partitioning import spread
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    capacity, out_count = 64, "n_occ"
+
+    def mg_rows(batches: Iterator):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for item, w in pdf["_item"].value_counts().items():
+                if item in counters:
+                    counters[item] += int(w)
+                elif len(counters) < capacity:
+                    counters[item] = int(w)
+                else:
+                    m = min(min(counters.values()), int(w))
+                    dead = []
+                    for k in counters:
+                        counters[k] -= m
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+                    if int(w) > m:
+                        counters[item] = int(w) - m
+        if counters:
+            yield pd.DataFrame(
+                {"_item": list(counters), "_w": list(counters.values())}
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("tok")
+    )
+    items = spread(occ).select(F.col("tok").alias("_item")).filter(
+        F.col("_item").isNotNull()
+    ).persist()
+    try:
+        summaries = items.mapInPandas(mg_rows, schema="_item string, _w long")
+        candidates = summaries.groupBy("_item").agg(F.sum("_w").alias("_est"))
+        flagged = items.join(
+            F.broadcast(
+                candidates.select("_item").withColumn("_c", F.lit(1))
+            ),
+            "_item",
+            "left",
+        )
+        counts = (
+            flagged.groupBy(
+                F.when(F.col("_c") == 1, F.col("_item")).alias("_item")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias(out_count))
+        )
+        buckets = counts.collect()
+        n = sum(r[out_count] for r in buckets)
+        rows = [
+            (r["_item"], r[out_count])
+            for r in buckets
+            if r["_item"] is not None and r[out_count] * (capacity + 1) > n
+        ]
+        return spark.createDataFrame(
+            rows, f"tok string, {out_count} long"
+        ).orderBy(F.desc(out_count), "tok")
+    finally:
+        items.unpersist()
+
+
+def old_bucket_coverage(spark, sf_dir):
+    """ns_dedup_bucket_coverage with the two-scan shape: each
+    fingerprint family re-reads and re-tokenizes the corpus."""
+    from hybrid_cdc_demo_spark.operators import dedup as D
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=32)
+    mh_sizes = (
+        D.band_rows(sigs, 16)
+        .groupBy("band", "band_hash")
+        .agg(F.count("*").alias("n"))
+    )
+    mh = D.bucket_coverage(mh_sizes, 200).select(
+        F.col("buckets_total").alias("minhash_buckets_total"),
+        F.col("buckets_dropped").alias("minhash_buckets_dropped"),
+        F.col("pairs_suppressed").alias("minhash_pairs_suppressed"),
+    )
+    fps = D.simhash(docs, "text", "doc_id")
+    sh_sizes = (
+        D.simhash_bands(fps)
+        .groupBy("band", "band_val")
+        .agg(F.count("*").alias("n"))
+    )
+    sh = D.bucket_coverage(sh_sizes, 200).select(
+        F.col("buckets_total").alias("simhash_buckets_total"),
+        F.col("buckets_dropped").alias("simhash_buckets_dropped"),
+        F.col("pairs_suppressed").alias("simhash_pairs_suppressed"),
+    )
+    return mh.crossJoin(sh)
+
+
+def old_bm25(spark, sf_dir):
+    """ns_bm25_topk without the tf checkpoint (the tokenize+explode
+    re-ran under both dfreq and the scoring projection)."""
+    from collections.abc import Sequence  # noqa: F401
+
+    from pyspark.sql import Window
+
+    from hybrid_cdc_demo_spark.functions.text import words_lower
+    from hybrid_cdc_demo_spark.operators.retrieval import _sorted_fold_sum
+    from hybrid_cdc_demo_spark.plans.retrieval_queries import BM25_TERMS
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    k1, b, k, id_col = 1.2, 0.75, 20, "doc_id"
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col(id_col), words_lower("text").alias("_w")
+    ).withColumn("_dl", F.size("_w"))
+    stats = toks.agg(
+        F.count("*").alias("_n_docs"), F.sum("_dl").alias("_sum_dl")
+    )
+    tf = (
+        toks.select(id_col, "_dl", F.explode("_w").alias("term"))
+        .filter(F.col("term").isin(list(BM25_TERMS)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("_tf"), F.max("_dl").alias("_dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    idf = (
+        F.col("_n_docs").cast("double")
+        - F.col("_df").cast("double")
+        + F.lit(0.5)
+    ) / (F.col("_df").cast("double") + F.lit(0.5))
+    tf_d = F.col("_tf").cast("double")
+    sat = (tf_d * F.lit(k1 + 1.0)) / (
+        tf_d
+        + F.lit(k1 * (1.0 - b))
+        + (F.lit(k1 * b) * (F.col("_dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "term", (idf * sat).alias("_s"))
+    )
+    doc = scored.groupBy(id_col).agg(
+        _sorted_fold_sum(F.col("term"), F.col("_s")).alias("score")
+    )
+    top = doc.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), id_col, "score"
+    )
+
+
 TARGETS = {
     "funnel": ("ns_funnel_conversion", old_funnel),
+    "heavy": ("ns_heavy_hitters", old_heavy_hitters),
+    "bucket": ("ns_dedup_bucket_coverage", old_bucket_coverage),
+    "bm25": ("ns_bm25_topk", old_bm25),
     "triangles": ("ns_graph_triangles", old_triangles),
     "fuzzy": ("ns_fuzzy_join", old_fuzzy),
     "pq_encode": ("ns_pq_encode", old_pq_encode),
