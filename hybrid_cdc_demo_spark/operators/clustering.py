@@ -725,6 +725,7 @@ def _pq_encode_guarded(
     vec_col: str,
     code_prefix: str,
     slack: float = 8.0,
+    rotate: "np.ndarray | None" = None,
 ) -> DataFrame:
     """All m subspace assignments in one Arrow pass, expr-identical by
     the cell_assign_guarded margin proof applied per subspace (d=sub):
@@ -734,9 +735,16 @@ def _pq_encode_guarded(
     order — the exact IEEE sequence the expression evaluates (ties
     land in the uncertain band by construction and inherit the
     expression's first-minimum rule). Positions map back to ORIGINAL
-    cluster ids exactly as assign_expr_with_ids does."""
+    cluster ids exactly as assign_expr_with_ids does.
+
+    ``rotate`` fuses an OPQ-style rotation into the same Arrow pass
+    (y = x·W per row — a row-independent GEMM, so values are identical
+    to a separate rotate_vecs stage regardless of batch boundaries):
+    the rotated corpus then never round-trips the Arrow boundary
+    twice (r11, ns_simsearch_opq)."""
     import pandas as pd
 
+    Wm = None if rotate is None else np.asarray(rotate, dtype=np.float64)
     m = len(books)
     sub = dim // m
     mats = []
@@ -754,6 +762,8 @@ def _pq_encode_guarded(
             if not len(pdf):
                 continue
             V = np.vstack(pdf["_x"].to_numpy()).astype(np.float64)
+            if Wm is not None:
+                V = V @ Wm
             out = {id_col: pdf[id_col].to_numpy()}
             for s, (C, cn, cmax, ids_arr) in enumerate(mats):
                 X = V[:, s * sub : (s + 1) * sub]
@@ -1309,9 +1319,19 @@ def opq_adc_topk(
     GEMM map stage."""
     Wm = np.asarray(W, dtype=np.float64)
     q = list(np.asarray(query, dtype=np.float64) @ Wm)
-    rotated = rotate_vecs(df, Wm, id_col, vec_col, out_col="_y")
-    return pq_adc_topk(
-        rotated, books, q, dim, topk=topk, id_col=id_col, vec_col="_y"
+    # Rotation FUSED into the encode's Arrow pass (r11): a separate
+    # rotate_vecs stage shipped the rotated corpus back across the
+    # Arrow boundary only for the encode to ship it in again. The
+    # per-row GEMM is row-independent, so the fused values are
+    # identical to the two-stage shape.
+    enc = _pq_encode_guarded(
+        df, books, dim, id_col, vec_col, "c", rotate=Wm
+    )
+    dist = adc_dist_expr(books, q, dim)
+    return (
+        enc.select(F.col(id_col), dist.alias("adc_d2"))
+        .orderBy("adc_d2", id_col)
+        .limit(topk)
     )
 
 

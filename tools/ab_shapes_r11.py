@@ -382,11 +382,52 @@ def old_bm25(spark, sf_dir):
     )
 
 
+def old_opq_query(spark, sf_dir):
+    """ns_simsearch_opq with the r10 shape: a separate rotate_vecs
+    Arrow stage feeding the nested-literal expression encode."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from hybrid_cdc_demo_spark.operators.clustering import (
+        adc_dist_expr,
+        opq_train,
+        pq_encode,
+        rotate_vecs,
+    )
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 500)
+    W, books, _ = opq_train(
+        train, dim=64, m=4, k=8, iters=3, seed_by="id", partitions=4,
+        mode="driver",
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    query_vec = [float(x) for x in qrow["embedding"]]
+    Wm = np.asarray(W, dtype=np.float64)
+    q = list(np.asarray(query_vec, dtype=np.float64) @ Wm)
+    rotated = rotate_vecs(emb, Wm, "vec_id", "embedding", out_col="_y")
+    enc = pq_encode(rotated, books, 64, "vec_id", "_y", method="expr")
+    dist = adc_dist_expr(books, q, 64)
+    top = (
+        enc.select(F.col("vec_id"), dist.alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(10)
+    )
+    w = Window.orderBy("adc_d2", "vec_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        F.round("adc_d2", 6).alias("adc_d2"),
+    )
+
+
 TARGETS = {
     "funnel": ("ns_funnel_conversion", old_funnel),
     "heavy": ("ns_heavy_hitters", old_heavy_hitters),
     "bucket": ("ns_dedup_bucket_coverage", old_bucket_coverage),
     "bm25": ("ns_bm25_topk", old_bm25),
+    "opq": ("ns_simsearch_opq", old_opq_query),
     "triangles": ("ns_graph_triangles", old_triangles),
     "fuzzy": ("ns_fuzzy_join", old_fuzzy),
     "pq_encode": ("ns_pq_encode", old_pq_encode),
