@@ -40,11 +40,16 @@ def funnel_stage_users(
     ts_col: str = "ts",
     user_col: str = "user_id",
     type_col: str = "event_type",
+    reuse: bool = True,
 ) -> list[DataFrame]:
     """Per-stage (user, first-qualifying-timestamp) frames for an
     ORDERED funnel: a user qualifies for stage i+1 only with an event
     STRICTLY AFTER their stage-i qualifying time (the classic
-    first-touch funnel, not a bag-of-events intersection)."""
+    first-touch funnel, not a bag-of-events intersection).
+
+    ``reuse=False`` skips the stage-frame checkpoints below (plan
+    tests assert the partial-aggregation property on the raw
+    lineage; production callers keep the default)."""
     if not stages:
         raise ValueError("stages must be non-empty")
     frames: list[DataFrame] = []
@@ -56,6 +61,10 @@ def funnel_stage_users(
                 prev.select(user_col, F.col("t").alias("_prev_t")), user_col
             ).filter(F.col(ts_col) > F.col("_prev_t"))
         cur = f.groupBy(user_col).agg(F.min(ts_col).alias("t"))
+        if not reuse:
+            frames.append(cur)
+            prev = cur
+            continue
         # Each stage frame has TWO consumers (the next stage's
         # strictly-after join and the caller's count), and stage i's
         # plan nests every earlier stage — without reuse the events

@@ -623,10 +623,28 @@ def test_hybrid_rrf_legs_prereduce(spark):
 def test_funnel_partial_aggregates_per_stage(spark):
     """Every funnel stage is a partial-aggregated MIN per user —
     HashAggregate pairs around each exchange, no window over raw
-    events."""
+    events. Asserted on the raw (reuse=False) stage lineage: the
+    default path checkpoints each stage frame (r11 — one
+    materialization per stage instead of one per consumer), which
+    hides the aggregation inside the checkpoint lineage."""
+    from hybrid_cdc_demo_spark.operators.analytics import (
+        funnel_stage_users,
+    )
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    events = load_table(spark, SF, "events")
+    raw = funnel_stage_users(
+        events, ["view", "click", "purchase"], reuse=False
+    )
+    for fr in raw:
+        p = plan_of(fr)
+        assert "partial_min" in p
+        assert "Window" not in p
+    # the default (reuse=True) query reads each stage frame from its
+    # checkpoint: three ExistingRDD count branches, window only at the
+    # 3-row rate step
     plan = plan_of(QUERIES["ns_funnel_conversion"](spark, SF))
-    assert "partial_min" in plan
-    # the only window is the 3-row rate window at the very top
+    assert plan.count("Scan ExistingRDD") == 3
     assert plan.count("WindowGroupLimit") == 0
 
 
