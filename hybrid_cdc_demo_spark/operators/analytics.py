@@ -134,7 +134,14 @@ def cohort_retention(
     week0 = F.floor(
         F.datediff(F.col("_d0"), F.lit(anchor).cast("date")).cast("double") / 7.0
     ).cast("long")
-    cohorts = first.select(user_col, "_d0", week0.alias("cohort_week"))
+    cohorts = first.select(
+        user_col, "_d0", week0.alias("cohort_week")
+    # two consumers (the sizes aggregation and the activity join) each
+    # nested the events scan + the per-user MIN aggregation — the
+    # user-sized cohort frame materializes once instead (r11, the
+    # funnel/triangles pattern; events now scans twice, not three
+    # times: once under this checkpoint, once for the activity side)
+    ).localCheckpoint(eager=False)
     sizes = cohorts.groupBy("cohort_week").agg(
         F.count("*").cast("long").alias("cohort_size")
     )

@@ -422,8 +422,53 @@ def old_opq_query(spark, sf_dir):
     )
 
 
+def old_cohort(spark, sf_dir):
+    """ns_cohort_retention without the cohorts checkpoint (events
+    scan + per-user MIN re-ran under both sizes and the join)."""
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    anchor = "2024-01-01"
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(F.col("user_id"), F.to_date("ts").alias("_d"))
+    first = d.groupBy("user_id").agg(F.min("_d").alias("_d0"))
+    week0 = F.floor(
+        F.datediff(F.col("_d0"), F.lit(anchor).cast("date")).cast("double")
+        / 7.0
+    ).cast("long")
+    cohorts = first.select("user_id", "_d0", week0.alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    offset = F.floor(
+        F.datediff(F.col("_d"), F.col("_d0")).cast("double") / 7.0
+    ).cast("long")
+    active = (
+        d.join(cohorts, "user_id")
+        .select("user_id", "cohort_week", offset.alias("week_offset"))
+        .distinct()
+    )
+    agg = active.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    return (
+        agg.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 TARGETS = {
     "funnel": ("ns_funnel_conversion", old_funnel),
+    "cohort": ("ns_cohort_retention", old_cohort),
     "heavy": ("ns_heavy_hitters", old_heavy_hitters),
     "bucket": ("ns_dedup_bucket_coverage", old_bucket_coverage),
     "bm25": ("ns_bm25_topk", old_bm25),
