@@ -730,6 +730,7 @@ NS_PLAN_SIG_EXEMPT = {
     "ns_band_join": "oracle states the raw |a-b|<=eps predicate (nested-loop at this SF); builder is the banded equi-join rewrite",
     "ns_blocklist_filter": "builder pre-aggregates the blocklist before the anti-join; SQL semi-joins the raw list",
     "ns_corpus_shuffle": "SQL row_number() OVER (ORDER BY) is a single-partition window; builder ranks distributively via rangepartitioning",
+    "ns_cohort_retention": "builder lazily localCheckpoints the user-sized cohort frame so the events scan + per-user MIN run once (r11); pure SQL re-plans that subtree per consumer — the barrier has no SQL spelling",
     "ns_dq_violations": "SQL counts each rule as a scalar-subquery aggregate; builder explodes rule structs in one pass",
     "ns_funnel_conversion": "SQL computes each funnel stage as its own subquery join; builder is one conditional aggregation pass",
     "ns_fuzzy_join": "oracle states the direct edit-distance predicate (nested-loop); builder prunes through candidate buckets",
