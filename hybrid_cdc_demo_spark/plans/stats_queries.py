@@ -200,17 +200,23 @@ def ns_tfidf_topterms(spark, sf_dir):
     toks = spread(docs).select(
         "doc_id", F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # The no-op tf > 0 filter (tf is a count, always >= 1) keeps the
-    # `tf` column referenced in this branch so column pruning cannot
-    # rewrite its partial aggregate into a bare distinct: both
-    # consumers of tf then share ONE canonical Exchange(doc_id, token)
-    # subtree and AQE exchange reuse runs the corpus explode + partial
-    # aggregation once instead of twice (r10 plan audit: two full
-    # Generate+scan subtrees; guide §2.4).
-    df = tf.where(F.col("tf") > 0).groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
+    # Two consumers of tf (the df aggregate and the scoring join), and
+    # exchange reuse never fires once column pruning rewrites one copy
+    # (r10 audit tried a no-op tf>0 filter to keep the subtrees
+    # canonical; the executed r11 plan still ran the corpus scan +
+    # explode + partial aggregation TWICE, 0 ReusedExchange). The lazy
+    # localCheckpoint materializes the collapsed per-(doc, token)
+    # counts once — the df aggregation rides the materialization — so
+    # the corpus explode runs once at any scale (guide §2.4; the BM25
+    # tf shape). The df side stays a partial-aggregate + broadcast
+    # join rather than a count() window over token partitions, which
+    # would put every occurrence of a hot token in one window task.
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "token")

@@ -466,8 +466,48 @@ def old_cohort(spark, sf_dir):
     )
 
 
+def old_tfidf(spark, sf_dir):
+    """ns_tfidf_topterms without the tf checkpoint (the r10 no-op
+    tf>0 filter relied on AQE exchange reuse, which never fired: the
+    executed plan ran the corpus scan+explode+partial-agg twice)."""
+    from pyspark.sql import Window
+
+    from hybrid_cdc_demo_spark.functions import text as T
+    from hybrid_cdc_demo_spark.operators.partitioning import spread
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.explode(F.split(T.normalized_text("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.where(F.col("tf") > 0).groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .orderBy("doc_id", "rk")
+    )
+
+
 TARGETS = {
     "funnel": ("ns_funnel_conversion", old_funnel),
+    "tfidf": ("ns_tfidf_topterms", old_tfidf),
     "cohort": ("ns_cohort_retention", old_cohort),
     "heavy": ("ns_heavy_hitters", old_heavy_hitters),
     "bucket": ("ns_dedup_bucket_coverage", old_bucket_coverage),
