@@ -43,6 +43,26 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_word_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, word, cnt) — the corpus token stream collapsed to
+    per-document word counts (the tfidf tf shape), lazily
+    localCheckpoint'ed so a train+encode composition runs the corpus
+    scan + explode ONCE: training's word-freq table is its
+    ``groupBy(word).sum(cnt)`` (exact integers, order-free) and the
+    encode join/aggregation runs on the collapsed counts instead of
+    the raw token stream (guide §2.3/§2.4)."""
+    return (
+        spread(docs)
+        .select(F.col(id_col), F.explode(words_lower(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def symbolize(wf: DataFrame, word_col: str = "word") -> DataFrame:
     """Split each word into its character symbols (the BPE start
     state) — a map-only projection."""
@@ -100,6 +120,7 @@ def train_bpe(
     partitions: int | None = None,
     mode: str = "auto",
     max_driver_vocab: int = 200_000,
+    word_freq: DataFrame | None = None,
 ) -> list[dict]:
     """Run ``num_merges`` BPE iterations; returns the merge table
     [{step, left, right, merged, cnt}, ...].
@@ -125,7 +146,13 @@ def train_bpe(
     order, and the fold below is replayed verbatim)."""
     if mode not in ("auto", "driver", "dist"):
         raise ValueError(f"train_bpe: unknown mode {mode!r}")
-    sym = symbolize(word_freq_table(docs, text_col)).select("freq", "sym")
+    # ``word_freq`` (r11): a caller composing train+encode passes the
+    # (word, freq) table derived from a shared doc_word_counts
+    # checkpoint so the corpus explode runs once across the whole
+    # composition; counts are exact integers, so a sum of per-doc
+    # partials is the same table.
+    wf = word_freq if word_freq is not None else word_freq_table(docs, text_col)
+    sym = symbolize(wf).select("freq", "sym")
     if partitions:
         sym = sym.coalesce(partitions)
     # pin the start state: iterations re-scan the vocab table, not the
@@ -231,6 +258,7 @@ def encode_token_counts(
     merges: list[dict],
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus with a trained merge list and report
     per-document whitespace-token and BPE-token counts (the
@@ -239,21 +267,30 @@ def encode_token_counts(
     Dictionary-encoded, the scale-right shape: each DISTINCT word is
     encoded ONCE on the vocab-sized frame (the 6-fold merge chain runs
     |vocab| times, not |corpus tokens| times), then the per-word token
-    count joins back to the exploded corpus on the word key and
-    re-aggregates per document. Both joins/aggs are hash-partitioned
-    equi-operations; the merge rules ride in as literals.
+    count joins back on the word key and re-aggregates per document.
+
+    The join and both consumers run on the COLLAPSED (doc_id, word,
+    cnt) counts (doc_word_counts — checkpointed, so the corpus explode
+    runs once even with two consumers; before r11 the vocab-distinct
+    branch and the join side each re-ran the corpus scan + explode).
+    ``word_counts`` lets a caller that already built the frame (e.g.
+    to derive training's word-freq table) share it. Integer-count
+    algebra keeps results identical: n_words = SUM(cnt) = the old
+    per-occurrence COUNT(*), n_bpe_tokens = SUM(cnt * n_bpe).
     """
-    words = spread(docs).select(
-        F.col(id_col), F.explode(words_lower(text_col)).alias("word")
-    ).filter(F.col("word") != "")
-    vocab = words.select("word").distinct().select(
+    wdc = (
+        word_counts
+        if word_counts is not None
+        else doc_word_counts(docs, text_col, id_col)
+    )
+    vocab = wdc.select("word").distinct().select(
         "word", F.size(encode_expr("word", merges)).alias("_n_bpe")
     )
     return (
-        words.join(vocab, "word")
+        wdc.join(vocab, "word")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_words"),
-            F.sum("_n_bpe").alias("n_bpe_tokens"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("_n_bpe")).alias("n_bpe_tokens"),
         )
     )

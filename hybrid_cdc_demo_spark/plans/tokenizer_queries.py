@@ -177,12 +177,22 @@ def ns_bpe_encode(spark, sf_dir):
     integers, so the match is bit-for-bit; the contract test keeps the
     per-word bounds, whitespace parity, and Python-reference encodes
     as structural safety nets."""
-    from hybrid_cdc_demo_spark.operators.bpe import encode_token_counts
+    from hybrid_cdc_demo_spark.operators.bpe import (
+        doc_word_counts,
+        encode_token_counts,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, num_merges=6, partitions=4)
+    # ONE corpus scan + explode for the whole train+encode composition
+    # (r11): the checkpointed (doc_id, word, cnt) frame feeds
+    # training's word-freq table (sum of exact integer partials), the
+    # vocab-distinct encode branch, and the per-doc re-aggregation —
+    # before, each of the three re-ran the corpus explode.
+    wdc = doc_word_counts(docs)
+    wf = wdc.groupBy("word").agg(F.sum("cnt").alias("freq"))
+    merges = train_bpe(docs, num_merges=6, partitions=4, word_freq=wf)
     return (
-        encode_token_counts(docs, merges)
+        encode_token_counts(docs, merges, word_counts=wdc)
         .select(
             "doc_id",
             "n_words",

@@ -251,3 +251,32 @@ def test_encode_token_counts_matches_python_reference(spark):
         words = t.lower().split()
         want = (len(words), sum(len(ref_encode(w)) for w in words))
         assert got[i] == want, (i, t)
+
+
+def test_shared_doc_word_counts_paths_match_defaults(spark):
+    """r11: the composed train+encode shape (one doc_word_counts
+    checkpoint feeding training's word-freq table and the encode
+    join) must produce the identical merge table and identical
+    per-doc counts as the default per-call corpus scans."""
+    from hybrid_cdc_demo_spark.operators.bpe import (
+        doc_word_counts,
+        encode_token_counts,
+    )
+
+    corpus = _classic(spark)
+    wdc = doc_word_counts(corpus)
+    wf = wdc.groupBy("word").agg(F.sum("cnt").alias("freq"))
+    shared_merges = train_bpe(corpus, num_merges=4, word_freq=wf)
+    default_merges = train_bpe(corpus, num_merges=4)
+    assert shared_merges == default_merges
+    shared = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in encode_token_counts(
+            corpus, shared_merges, word_counts=wdc
+        ).collect()
+    }
+    default = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in encode_token_counts(corpus, default_merges).collect()
+    }
+    assert shared == default

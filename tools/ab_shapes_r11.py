@@ -505,9 +505,44 @@ def old_tfidf(spark, sf_dir):
     )
 
 
+def old_bpe_encode(spark, sf_dir):
+    """ns_bpe_encode before the shared doc_word_counts checkpoint:
+    train_bpe ran its own corpus explode (word_freq_table) and
+    encode_token_counts exploded the corpus twice more (the
+    vocab-distinct branch and the per-occurrence join side)."""
+    from hybrid_cdc_demo_spark.functions.text import words_lower
+    from hybrid_cdc_demo_spark.operators.bpe import encode_expr, train_bpe
+    from hybrid_cdc_demo_spark.operators.partitioning import spread
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, num_merges=6, partitions=4)
+    words = spread(docs).select(
+        F.col("doc_id"), F.explode(words_lower("text")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = words.select("word").distinct().select(
+        "word", F.size(encode_expr("word", merges)).alias("_n_bpe")
+    )
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("_n_bpe").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 TARGETS = {
     "funnel": ("ns_funnel_conversion", old_funnel),
     "tfidf": ("ns_tfidf_topterms", old_tfidf),
+    "bpe_encode": ("ns_bpe_encode", old_bpe_encode),
     "cohort": ("ns_cohort_retention", old_cohort),
     "heavy": ("ns_heavy_hitters", old_heavy_hitters),
     "bucket": ("ns_dedup_bucket_coverage", old_bucket_coverage),
