@@ -414,16 +414,24 @@ def semantic_dedup(
         centers = seed_centers(data, k, id_col, "_v", seed_by=seed_by)
     if ids is None:
         ids = list(range(len(centers)))
-    assigned = assign_with_ids(
-        data, centers, ids, id_col, "_v", method=assign_method
-    ).select(
-        F.col(id_col),
-        F.col("_v"),
-        F.col("_cluster").alias("cluster"),
-        # self-norm hoisted once per row (r10): the in-cluster pair
-        # scan then folds ONE cross dot per pair instead of three —
-        # cosine_with_norms is bitwise-identical to cosine()
-        norm_col(F.col("_v")).alias("_nm"),
+    assigned = (
+        assign_with_ids(data, centers, ids, id_col, "_v", method=assign_method)
+        .select(
+            F.col(id_col),
+            F.col("_v"),
+            F.col("_cluster").alias("cluster"),
+            # self-norm hoisted once per row (r10): the in-cluster pair
+            # scan then folds ONE cross dot per pair instead of three —
+            # cosine_with_norms is bitwise-identical to cosine()
+            norm_col(F.col("_v")).alias("_nm"),
+        )
+        # the self-join's a/b sides (and the max_cluster size scan)
+        # each re-ran the FULL n x k assignment — the dominant cost,
+        # O(n*k*d) with k ~ n/64 — because union/join consumers do not
+        # share subtrees (r11 executed plan: 2 scans, 0 reuse). The
+        # lazy checkpoint materializes the assignment once; the first
+        # consumer's job rides it (guide §2.4).
+        .localCheckpoint(eager=False)
     )
     if max_cluster is not None:
         sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_n"))

@@ -539,10 +539,69 @@ def old_bpe_encode(spark, sf_dir):
     )
 
 
+def old_semantic_dedup(spark, sf_dir):
+    """ns_semantic_dedup without the assigned-frame checkpoint: the
+    pair self-join's a/b sides each re-ran the full n x k centroid
+    assignment."""
+    import hybrid_cdc_demo_spark.operators.clustering as C
+    from hybrid_cdc_demo_spark.operators.clustering import (
+        assign_with_ids,
+        seed_centers,
+    )
+    from hybrid_cdc_demo_spark.operators.partitioning import spread
+    from hybrid_cdc_demo_spark.operators.similarity import (
+        cosine_with_norms,
+        norm_col,
+    )
+    from hybrid_cdc_demo_spark.sources.tables import load_table, table_num_rows
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_num_rows(sf_dir, "embeddings")
+    k = max(8, n // 64)
+    data = spread(emb).select(
+        F.col("vec_id"), C._as_double_array("embedding").alias("_v")
+    )
+    centers = seed_centers(data, k, "vec_id", "_v", seed_by="id")
+    ids = list(range(len(centers)))
+    assigned = assign_with_ids(
+        data, centers, ids, "vec_id", "_v", method="auto"
+    ).select(
+        F.col("vec_id"),
+        F.col("_v"),
+        F.col("_cluster").alias("cluster"),
+        norm_col(F.col("_v")).alias("_nm"),
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_a"),
+        F.col("_v").alias("_va"), F.col("_nm").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_b"),
+        F.col("_v").alias("_vb"), F.col("_nm").alias("_nb"),
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster", "id_a", "id_b",
+            cosine_with_norms(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "id_a", "id_b", "cos",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 TARGETS = {
     "funnel": ("ns_funnel_conversion", old_funnel),
     "tfidf": ("ns_tfidf_topterms", old_tfidf),
     "bpe_encode": ("ns_bpe_encode", old_bpe_encode),
+    "semantic": ("ns_semantic_dedup", old_semantic_dedup),
     "cohort": ("ns_cohort_retention", old_cohort),
     "heavy": ("ns_heavy_hitters", old_heavy_hitters),
     "bucket": ("ns_dedup_bucket_coverage", old_bucket_coverage),
