@@ -1904,23 +1904,19 @@ def ns_unigram_likelihood(spark, sf_dir):
         "doc_id",
         F.explode(F.split(T.normalized_text("text"), " ")).alias("token"),
     ).filter(F.col("token") != "")
-    tf = occ.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # Two consumers of tf (the df aggregate and the scoring join); the
+    # r10 no-op tf>0 filter relied on AQE exchange reuse, which never
+    # fired in the executed r11 plan (0 ReusedExchange — the corpus
+    # scan + explode + partial aggregation ran twice). The lazy
+    # localCheckpoint materializes the collapsed per-(doc, token)
+    # counts once; the df aggregation rides the materialization
+    # (guide §2.4; the tfidf/BM25 tf shape).
+    tf = (
+        occ.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    # count the tf COLUMN (non-null, value identical to count(1)): with
-    # count(1) the optimizer pruned `tf` from this branch, the two tf
-    # subtrees stopped being canonically equal, and the corpus explode
-    # + partial aggregation ran TWICE (r10 plan audit); counting `tf`
-    # keeps the branches identical so AQE exchange reuse shares one
-    # shuffle (guide §2.4)
-    # The no-op tf > 0 filter (tf is a count, always >= 1) keeps `tf`
-    # referenced in this branch so column pruning cannot rewrite its
-    # partial aggregate into a bare distinct: both consumers of tf then
-    # share ONE canonical Exchange(doc_id, token) subtree and AQE
-    # exchange reuse runs the corpus explode + partial aggregation once
-    # instead of twice (r10 plan audit: two full Generate+scan
-    # subtrees; guide §2.4).
-    df = tf.where(F.col("tf") > 0).groupBy("token").agg(
+    df = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df_cnt")
     )
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))

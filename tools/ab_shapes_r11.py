@@ -597,11 +597,55 @@ def old_semantic_dedup(spark, sf_dir):
     )
 
 
+def old_unigram(spark, sf_dir):
+    """ns_unigram_likelihood without the tf checkpoint (the r10 no-op
+    tf>0 filter relied on AQE exchange reuse, which never fired)."""
+    from hybrid_cdc_demo_spark.functions import text as T
+    from hybrid_cdc_demo_spark.operators.partitioning import spread
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = spread(docs).select(
+        "doc_id",
+        F.explode(F.split(T.normalized_text("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = occ.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.where(F.col("tf") > 0).groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df_cnt")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tok"),
+            (
+                F.sum(F.col("tf") * F.col("df_cnt")).cast("double")
+                / (F.sum("tf") * F.first("n_docs")).cast("double")
+            ).alias("mean_df_rate"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("df_cnt") * 10 >= F.col("n_docs"),
+                        F.col("tf"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("tf").cast("double")
+            ).alias("common_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 TARGETS = {
     "funnel": ("ns_funnel_conversion", old_funnel),
     "tfidf": ("ns_tfidf_topterms", old_tfidf),
     "bpe_encode": ("ns_bpe_encode", old_bpe_encode),
     "semantic": ("ns_semantic_dedup", old_semantic_dedup),
+    "unigram": ("ns_unigram_likelihood", old_unigram),
     "cohort": ("ns_cohort_retention", old_cohort),
     "heavy": ("ns_heavy_hitters", old_heavy_hitters),
     "bucket": ("ns_dedup_bucket_coverage", old_bucket_coverage),
