@@ -168,36 +168,46 @@ def pmi_collocations(
     at corpus scale the floor is what keeps the candidate set sparse.
     """
     w = docs.select(words_lower(text_col).alias("_w"))
-    uni = (
-        w.select(F.explode("_w").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("c_tok"))
-    )
-    big = (
+    # ONE corpus explode builds the whole model (r11 — the
+    # bigram_lm_coherence trick): each token occurrence emits exactly
+    # one (x, next-or-NULL) pair via zip_with against the 1-shifted
+    # array (zip_with null-pads), so the DISTINCT-BIGRAM-sized `full`
+    # count table yields unigram counts as its x-rollup (every
+    # occurrence of x heads one pair), bigram counts as its
+    # NULL-free slice, and the corpus totals as integer sums over it
+    # (t = all pairs, b = non-NULL pairs). Before, the unigram explode
+    # ran TWICE (the cx and cy join branches re-ran it), the bigram
+    # explode once more, and totals scanned the corpus a fourth time
+    # (executed r11 plan: 3 Generates, 4 scans, 0 reuse). The lazy
+    # checkpoint pins the model; every downstream job is model-sized.
+    full = (
         w.select(
             F.explode(
-                F.when(
-                    F.size("_w") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_w") - 1),
-                        lambda i: F.struct(
-                            F.element_at("_w", i).alias("x"),
-                            F.element_at("_w", i + 1).alias("y"),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+                F.zip_with(
+                    "_w",
+                    F.slice("_w", 2, F.greatest(F.size("_w") - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+                )
             ).alias("p")
         )
         .select("p.x", "p.y")
         .groupBy("x", "y")
-        .agg(F.count("*").alias("c_xy"))
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    uni = full.groupBy(F.col("x").alias("tok")).agg(
+        F.sum("_c").alias("c_tok")
+    )
+    big = (
+        full.filter(F.col("y").isNotNull())
+        .select("x", "y", F.col("_c").alias("c_xy"))
         .filter(F.col("c_xy") >= min_count)
     )
-    totals = w.agg(
-        F.sum(F.size("_w")).alias("_t"),
-        F.sum(
-            F.when(F.size("_w") >= 2, F.size("_w") - 1).otherwise(F.lit(0))
-        ).alias("_b"),
+    totals = full.agg(
+        F.sum("_c").alias("_t"),
+        F.sum(F.when(F.col("y").isNotNull(), F.col("_c")).otherwise(F.lit(0))).alias(
+            "_b"
+        ),
     )
     cx = uni.select(F.col("tok").alias("x"), F.col("c_tok").alias("c_x"))
     cy = uni.select(F.col("tok").alias("y"), F.col("c_tok").alias("c_y"))

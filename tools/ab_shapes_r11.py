@@ -640,12 +640,81 @@ def old_unigram(spark, sf_dir):
     )
 
 
+def old_pmi(spark, sf_dir):
+    """ns_pmi_collocations before the single-explode model: separate
+    unigram explode (re-run by the cx and cy branches), bigram
+    explode, and a fourth corpus scan for the totals."""
+    from pyspark.sql import Window
+
+    from hybrid_cdc_demo_spark.functions.text import words_lower
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(words_lower("text").alias("_w"))
+    uni = (
+        w.select(F.explode("_w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    big = (
+        w.select(
+            F.explode(
+                F.when(
+                    F.size("_w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_w") - 1),
+                        lambda i: F.struct(
+                            F.element_at("_w", i).alias("x"),
+                            F.element_at("_w", i + 1).alias("y"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 3)
+    )
+    totals = w.agg(
+        F.sum(F.size("_w")).alias("_t"),
+        F.sum(
+            F.when(F.size("_w") >= 2, F.size("_w") - 1).otherwise(F.lit(0))
+        ).alias("_b"),
+    )
+    cx = uni.select(F.col("tok").alias("x"), F.col("c_tok").alias("c_x"))
+    cy = uni.select(F.col("tok").alias("y"), F.col("c_tok").alias("c_y"))
+    lift = (F.col("c_xy").cast("double") / F.col("_b").cast("double")) / (
+        (F.col("c_x").cast("double") / F.col("_t").cast("double"))
+        * (F.col("c_y").cast("double") / F.col("_t").cast("double"))
+    )
+    scored = (
+        big.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "c_xy",
+            lift.alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.desc("lift"), F.col("bigram")).limit(20)
+    win = Window.orderBy(F.desc("lift"), F.col("bigram"))
+    return top.select(
+        F.row_number().over(win).cast("int").alias("rank"),
+        "bigram",
+        "c_xy",
+        "lift",
+    )
+
+
 TARGETS = {
     "funnel": ("ns_funnel_conversion", old_funnel),
     "tfidf": ("ns_tfidf_topterms", old_tfidf),
     "bpe_encode": ("ns_bpe_encode", old_bpe_encode),
     "semantic": ("ns_semantic_dedup", old_semantic_dedup),
     "unigram": ("ns_unigram_likelihood", old_unigram),
+    "pmi": ("ns_pmi_collocations", old_pmi),
     "cohort": ("ns_cohort_retention", old_cohort),
     "heavy": ("ns_heavy_hitters", old_heavy_hitters),
     "bucket": ("ns_dedup_bucket_coverage", old_bucket_coverage),
