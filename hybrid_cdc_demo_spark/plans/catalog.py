@@ -1766,6 +1766,12 @@ def s9(spark, sf_dir):
         )
         .filter(F.col("left_id") != F.col("right_id"))
         .select("left_id", "right_id")
+        # two consumers (the union and the anti-join's distinct): the
+        # r11 executed plan re-ran the whole bucketized interval join
+        # for the anti side (5 events scans, 2 explodes). The lazy
+        # checkpoint materializes the result-sized pair set once
+        # (guide §2.4).
+        .localCheckpoint(eager=False)
     )
     unmatched = a.join(
         matched.select("left_id").distinct(), "left_id", "left_anti"

@@ -779,7 +779,7 @@ def test_interval_join_bucketized_shape(spark):
     the join key carrying the bucket so a hot user's rows spread over
     its time range instead of one quadratic task (SKEW_r08's worst
     amplifier before the rewrite)."""
-    for name in ("s7_interval_join", "s9_interval_join_outer"):
+    for name in ("s7_interval_join",):
         df = QUERIES[name](spark, SF)
         df.collect()  # AQE finalizes join strategies
         # AQE's toString appends the pre-execution "Initial Plan" —
@@ -789,3 +789,37 @@ def test_interval_join_bucketized_shape(spark):
         assert "__ib" in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+    # s9 checkpoints the matched pair set (r11 — the anti-join's
+    # distinct re-ran the whole interval join), which hides the
+    # bucketized join inside the checkpoint lineage: assert the shape
+    # on the raw inner join, and pin the default plan's checkpoint
+    # reads (two consumers, one materialization).
+    from hybrid_cdc_demo_spark.operators.rangejoin import (
+        keyed_interval_join,
+        ntz_micros,
+    )
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    a = ev.select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("u"),
+        ntz_micros("ts").alias("a_us"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("u2"),
+        ntz_micros("ts").alias("b_us"),
+    )
+    raw = keyed_interval_join(
+        a, b, on=[("u", "u2")], left_us="a_us", right_us="b_us",
+        upper_us=300_000_000,
+    )
+    raw.collect()
+    plan = plan_of(raw).split("== Initial Plan ==")[0]
+    assert plan.count("Generate") == 1
+    assert "__ib" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    outer_plan = plan_of(QUERIES["s9_interval_join_outer"](spark, SF))
+    assert outer_plan.count("Scan ExistingRDD") == 2

@@ -708,6 +708,42 @@ def old_pmi(spark, sf_dir):
     )
 
 
+def old_s9(spark, sf_dir):
+    """s9_interval_join_outer without the matched-pairs checkpoint:
+    the anti-join's distinct re-ran the whole interval join."""
+    from hybrid_cdc_demo_spark.operators.rangejoin import (
+        keyed_interval_join,
+        ntz_micros,
+    )
+    from hybrid_cdc_demo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("u"),
+        ntz_micros("ts").alias("a_us"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("u2"),
+        ntz_micros("ts").alias("b_us"),
+    )
+    matched = (
+        keyed_interval_join(
+            a, b, on=[("u", "u2")], left_us="a_us", right_us="b_us",
+            upper_us=300_000_000,
+        )
+        .filter(F.col("left_id") != F.col("right_id"))
+        .select("left_id", "right_id")
+    )
+    unmatched = a.join(
+        matched.select("left_id").distinct(), "left_id", "left_anti"
+    ).select("left_id", F.lit(None).cast("long").alias("right_id"))
+    return matched.unionByName(unmatched).orderBy(
+        "left_id", F.col("right_id").asc_nulls_first()
+    )
+
+
 TARGETS = {
     "funnel": ("ns_funnel_conversion", old_funnel),
     "tfidf": ("ns_tfidf_topterms", old_tfidf),
@@ -715,6 +751,7 @@ TARGETS = {
     "semantic": ("ns_semantic_dedup", old_semantic_dedup),
     "unigram": ("ns_unigram_likelihood", old_unigram),
     "pmi": ("ns_pmi_collocations", old_pmi),
+    "s9": ("s9_interval_join_outer", old_s9),
     "cohort": ("ns_cohort_retention", old_cohort),
     "heavy": ("ns_heavy_hitters", old_heavy_hitters),
     "bucket": ("ns_dedup_bucket_coverage", old_bucket_coverage),
