@@ -644,10 +644,12 @@ def q27(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     emb_d = emb.select("vec_id", dbl.alias("emb"))
-    min_id = emb_d.agg(F.min("vec_id").alias("mid"))
+    # min-id row via one TakeOrderedAndProject scan (r11): the old
+    # agg-then-join extraction scanned embeddings twice just to find
+    # the query vector (vec_id is unique, so the rank-1 row IS the
+    # MIN(vec_id) row — identical result, 3 corpus scans -> 2).
     qv = (
-        emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
-        .select(F.col("emb").alias("qv"))
+        emb_d.orderBy("vec_id").limit(1).select(F.col("emb").alias("qv"))
     )
 
     def dot(a, b):

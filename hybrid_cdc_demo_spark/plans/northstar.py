@@ -504,11 +504,10 @@ def ns_simsearch_lsh(spark, sf_dir):
     emb_d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    min_id = emb_d.agg(F.min("vec_id").alias("mid"))
-    qdf = (
-        emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
-        .select(F.col("emb").alias("qv"))
-    )
+    # min-id row via one TakeOrderedAndProject scan (r11): the old
+    # agg-then-join extraction scanned embeddings twice just to find
+    # the query vector (vec_id is unique — identical result).
+    qdf = emb_d.orderBy("vec_id").limit(1).select(F.col("emb").alias("qv"))
     out = S.lsh_topk(
         emb, qdf, k=10, num_planes=8, multiprobe_bits=1
     )
@@ -636,11 +635,10 @@ def ns_simsearch_ivf_sq8(spark, sf_dir):
     emb_d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    min_id = emb_d.agg(F.min("vec_id").alias("mid"))
-    qdf = (
-        emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
-        .select(F.col("emb").alias("qv"))
-    )
+    # min-id row via one TakeOrderedAndProject scan (r11): the old
+    # agg-then-join extraction scanned embeddings twice just to find
+    # the query vector (vec_id is unique — identical result).
+    qdf = emb_d.orderBy("vec_id").limit(1).select(F.col("emb").alias("qv"))
     out = S.ivf_topk_sq8(spark, path, qdf, k=10, nprobe=10)
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
@@ -659,11 +657,10 @@ def ns_simsearch_ivf(spark, sf_dir):
     emb_d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    min_id = emb_d.agg(F.min("vec_id").alias("mid"))
-    qdf = (
-        emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
-        .select(F.col("emb").alias("qv"))
-    )
+    # min-id row via one TakeOrderedAndProject scan (r11): the old
+    # agg-then-join extraction scanned embeddings twice just to find
+    # the query vector (vec_id is unique — identical result).
+    qdf = emb_d.orderBy("vec_id").limit(1).select(F.col("emb").alias("qv"))
     out = S.ivf_topk_persisted(spark, path, qdf, k=10, nprobe=10)
     return out.select("vec_id", F.round("score", 4).alias("score"))
 
@@ -699,11 +696,10 @@ def ns_simsearch_ivf_fullprobe(spark, sf_dir):
     emb_d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    min_id = emb_d.agg(F.min("vec_id").alias("mid"))
-    qdf = (
-        emb_d.join(F.broadcast(min_id), emb_d.vec_id == F.col("mid"))
-        .select(F.col("emb").alias("qv"))
-    )
+    # min-id row via one TakeOrderedAndProject scan (r11): the old
+    # agg-then-join extraction scanned embeddings twice just to find
+    # the query vector (vec_id is unique — identical result).
+    qdf = emb_d.orderBy("vec_id").limit(1).select(F.col("emb").alias("qv"))
     out = S.ivf_topk_persisted(spark, path, qdf, k=10, nprobe=16)
     return out.select("vec_id", F.round("score", 4).alias("score"))
 

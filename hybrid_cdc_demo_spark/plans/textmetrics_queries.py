@@ -351,9 +351,12 @@ def ns_mmr_diverse(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    min_id = emb.agg(F.min("vec_id").alias("mid"))
+    # min-id row via one TakeOrderedAndProject scan (r11): the old
+    # agg-then-join extraction scanned embeddings twice just to find
+    # the probe vector (vec_id is unique — identical result).
     qv = (
-        emb.join(F.broadcast(min_id), emb.vec_id == F.col("mid"))
+        emb.orderBy("vec_id")
+        .limit(1)
         .select(_as_double_array("embedding").alias("qv"))
     )
     return mmr_select(emb, qv, k=10, lam=0.7)
